@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Reusable Column-returning helpers (NOT UDFs — every helper composes
+  * built-in Catalyst expressions, so codegen and pushdown stay intact).
+  *
+  * The pandas-compat semantics mirror the reference pipeline
+  * (vanderschaarlab/temporai-mivdp); citations are file:line into
+  * /root/reference.
+  */
+object ColFns {
+
+  /** Floor division on a long column: largest n with n*divisor <= x.
+    * Differs from Scala/Java `/` (truncation toward zero) for negatives.
+    */
+  def floorDiv(x: Column, divisor: Long): Column =
+    ((x - pmod(x, lit(divisor))) / lit(divisor)).cast("long")
+
+  /** Pandas-Timedelta "hour components" semantics used throughout the
+    * reference's time-offset math: a stringified Timedelta is split into
+    * `days*24 + hours`
+    * (datagen/data_generation_icu.py:214-218, 250-256, 310-314, 348-369).
+    * Pandas renders -4980s as "-1 days +22:37:00" → -24+22 = -2, which is
+    * exactly floor(total_seconds/3600) — verified against pandas for
+    * positive/negative/boundary values. NOT truncation toward zero.
+    */
+  def tdHours(end: Column, start: Column): Column =
+    floorDiv(unix_micros(end) - unix_micros(start), 3600L * 1000000L)
+
+  /** Same, day granularity (cohort los is days-only:
+    * day_intervals_cohort_v1.py:102-105). */
+  def tdDays(end: Column, start: Column): Column =
+    floorDiv(unix_micros(end) - unix_micros(start), 86400L * 1000000L)
+
+  /** ICD code root = first three characters
+    * (disease_cohort.py:42,71; icu_preprocess_util.py:97,375,398). */
+  def icdRoot(code: Column): Column = substring(code, 1, 3)
+
+  /** anchor_year_group "2014 - 2016" → 2016 (cohort.py:132). */
+  def yearGroupEnd(g: Column): Column = substring(g, -4, 4).cast("int")
+
+  /** Whitespace-normalized text: trim + collapse runs of whitespace. */
+  def normWs(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** Token count of whitespace-normalized text (0 for empty/blank).
+    * Pure length arithmetic so the same computation is expressible in any
+    * ANSI SQL oracle (no regexp-dialect dependence in the hot path).
+    */
+  def tokenCount(text: Column): Column = {
+    val n = normWs(text)
+    when(length(n) === 0, lit(0L))
+      .otherwise(length(n) - length(regexp_replace(n, " ", "")) + 1)
+      .cast("long")
+  }
+
+  /** Number of occurrences of `pat` (plain string, no regex) in `text`,
+    * via length arithmetic — portable across engines. */
+  def countSubstr(text: Column, pat: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(pat), ""))) / lit(pat.length)).cast("long")
+
+  /** Distinct whitespace tokens of a text column. Order is unspecified —
+    * only use order-insensitive consumers (sizes, mins, sums). */
+  def tokenSet(text: Column): Column = array_distinct(split(normWs(text), " "))
+
+  // ---------- vector math over array<float>/array<double> columns ----------
+
+  /** Elementwise cast to double (floats must be widened before any
+    * accumulation so cross-engine results agree to ~1 ulp). */
+  def asDoubles(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product via sequential left fold — deterministic accumulation
+    * order (index order), codegen-friendly, no UDF. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDoubles(a), asDoubles(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two vector columns (double). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+}

@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+import graft.functions.ColFns._
+import graft.queries.Registry.t
+
+/** Text-analysis + deduplication battery over the `documents` table —
+  * the training-data-pipeline operators (BASELINE.json north-star):
+  * token stats, quality scoring, language-ID scoring, fingerprinting,
+  * n-gram Jaccard, MinHash+LSH, SimHash, exact dedup.
+  *
+  * Everything is built from codegen'd built-ins (split/transform/
+  * aggregate/md5) — no UDFs — so the same computation is expressible in
+  * the DuckDB oracle and scales on a cluster.
+  */
+object Docs {
+
+  /** Whitespace tokens (non-distinct, document order). */
+  private def words(c: Column) = split(normWs(c), " ")
+
+  /** Word 3-gram shingles, 1-based window over the token array. */
+  private def shingles(ws: Column): Column =
+    transform(sequence(lit(1), size(ws) - 2), i =>
+      concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))
+
+  /** MinHash value i over a shingle/token array: min of md5("i|" + x).
+    * md5 is identical across engines; the "i|" prefix gives k independent
+    * hash families. */
+  private def minhash(arr: Column, i: Int): Column =
+    array_min(transform(arr, x => md5(concat(lit(s"$i|"), x).cast("binary"))))
+
+  private val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+  // DuckDB-side shared fragments
+  private val dNorm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+  private val dWords = s"str_split($dNorm, ' ')"
+  private def dMinhash(arr: String, i: Int) =
+    s"list_min(list_transform($arr, x -> md5('$i|' || x)))"
+
+  val qs: Seq[Q] = Seq(
+
+    Q("d01_token_count",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        col("n_chars")),
+      Some(s"""SELECT doc_id,
+              |  CAST(CASE WHEN length($dNorm) = 0 THEN 0
+              |    ELSE length($dNorm) - length(replace($dNorm, ' ', '')) + 1 END AS BIGINT) AS n_tokens,
+              |  CAST(length(text) AS BIGINT) AS n_chars_raw, n_chars
+              |FROM documents""".stripMargin),
+      "whitespace token counting (north-star: text analysis)"),
+
+    Q("d02_quality_score",
+      (s, dir) => {
+        val ws = words(col("text"))
+        val nTok = size(ws).cast("long")
+        val nChars = length(normWs(col("text"))).cast("long")
+        val stopCnt = size(filter(ws, x => x.isin("the", "a", "of", "and"))).cast("long")
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          nChars.as("n_chars_norm"),
+          ((nChars - (nTok - 1)).cast("double") / nTok.cast("double")).as("avg_token_len"),
+          (stopCnt.cast("double") / nTok.cast("double")).as("stopword_ratio"))
+      },
+      Some(s"""SELECT doc_id,
+              |  CAST(len($dWords) AS BIGINT) AS n_tokens,
+              |  CAST(length($dNorm) AS BIGINT) AS n_chars_norm,
+              |  CAST(length($dNorm) - (len($dWords) - 1) AS DOUBLE) / CAST(len($dWords) AS DOUBLE) AS avg_token_len,
+              |  CAST(len(list_filter($dWords, x -> x IN ('the','a','of','and'))) AS DOUBLE)
+              |    / CAST(len($dWords) AS DOUBLE) AS stopword_ratio
+              |FROM documents""".stripMargin),
+      "quality scoring: length/stopword ratios (north-star: text analysis)"),
+
+    Q("d03_lang_id",
+      (s, dir) => {
+        val ws = words(col("text"))
+        def cnt(w: String*) = size(filter(ws, x => x.isin(w: _*))).cast("long")
+        val s1 = cnt("the", "a"); val s2 = cnt("data", "spark", "stream"); val s3 = cnt("join", "merge", "hash")
+        t(s, dir, "documents").select(
+          col("doc_id"), s1.as("score_common"), s2.as("score_data"), s3.as("score_db"),
+          when(s1 >= s2 && s1 >= s3, "common")
+            .when(s2 >= s3, "data").otherwise("db").as("pred_class"))
+      },
+      Some(s"""SELECT doc_id,
+              |  CAST(len(list_filter($dWords, x -> x IN ('the','a'))) AS BIGINT) AS score_common,
+              |  CAST(len(list_filter($dWords, x -> x IN ('data','spark','stream'))) AS BIGINT) AS score_data,
+              |  CAST(len(list_filter($dWords, x -> x IN ('join','merge','hash'))) AS BIGINT) AS score_db,
+              |  CASE
+              |    WHEN len(list_filter($dWords, x -> x IN ('the','a'))) >= len(list_filter($dWords, x -> x IN ('data','spark','stream')))
+              |     AND len(list_filter($dWords, x -> x IN ('the','a'))) >= len(list_filter($dWords, x -> x IN ('join','merge','hash')))
+              |    THEN 'common'
+              |    WHEN len(list_filter($dWords, x -> x IN ('data','spark','stream'))) >= len(list_filter($dWords, x -> x IN ('join','merge','hash')))
+              |    THEN 'data' ELSE 'db' END AS pred_class
+              |FROM documents""".stripMargin),
+      "n-gram marker-count language/dialect ID (north-star: text analysis)"),
+
+    Q("d04_fingerprint",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(lower(normWs(col("text"))).cast("binary")).as("fp")),
+      Some(s"SELECT doc_id, md5(lower($dNorm)) AS fp FROM documents"),
+      "document fingerprint via normalized-text hash (north-star)"),
+
+    Q("d09_dedup_exact",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+      Some("""SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+             |  COUNT(*) AS n_copies
+             |FROM documents GROUP BY md5(text)""".stripMargin),
+      "exact dedup: hash-group, keep min id (north-star: dedup)"),
+
+    // Pairwise token-set Jaccard on consecutive doc ids (set sizes only —
+    // distinct-array ORDER differs across engines, sizes don't).
+    Q("d05_jaccard_pairs",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val a = d.select(col("doc_id").as("doc_id_a"), tokenSet(col("text")).as("ta"))
+        val b = d.select((col("doc_id") - 1).as("doc_id_a"),
+          col("doc_id").as("doc_id_b"), tokenSet(col("text")).as("tb"))
+        val i = size(array_intersect(col("ta"), col("tb"))).cast("double")
+        val u = (size(col("ta")) + size(col("tb"))).cast("double") - i
+        a.join(b, Seq("doc_id_a"))
+          .select(col("doc_id_a"), col("doc_id_b"), (i / u).as("jaccard"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, list_distinct($dWords) ts FROM documents)
+              |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+              |  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+              |  (CAST(len(a.ts) + len(b.ts) AS DOUBLE) - CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)) AS jaccard
+              |FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1""".stripMargin),
+      "n-gram Jaccard similarity (north-star: near-dup)"),
+
+    // MinHash signature (8 hash families over word 3-gram shingles).
+    Q("d06_minhash_sig",
+      (s, dir) => {
+        val sh = shingles(words(col("text")))
+        val cols = col("doc_id") +: (0 until 8).map(i => minhash(sh, i).as(s"mh$i"))
+        t(s, dir, "documents").select(cols: _*)
+      },
+      Some {
+        val mh = (0 until 8).map(i => s"  ${dMinhash("sh", i)} AS mh$i").mkString(",\n")
+        s"""WITH w AS (SELECT doc_id, $dWords ws FROM documents),
+           |s AS (SELECT doc_id,
+           |  list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) sh
+           |  FROM w)
+           |SELECT doc_id,
+           |$mh
+           |FROM s""".stripMargin
+      },
+      "MinHash signatures over 3-gram shingles (north-star: dedup)"),
+
+    // LSH banding: 4 bands × 2 rows; candidate pairs share ≥1 band key.
+    Q("d07_lsh_pairs",
+      (s, dir) => {
+        val sh = shingles(words(col("text")))
+        val sig = t(s, dir, "documents").select(
+          col("doc_id") +: (0 until 8).map(i => minhash(sh, i).as(s"mh$i")): _*)
+        val banded = sig.select(col("doc_id"), explode(array(
+          (0 until 4).map(b => concat(lit(s"$b:"), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)).as("band_key"))
+        val l = banded.select(col("doc_id").as("doc_id_a"), col("band_key"))
+        val r = banded.select(col("doc_id").as("doc_id_b"), col("band_key"))
+        l.join(r, Seq("band_key"))
+          .filter(col("doc_id_a") < col("doc_id_b"))
+          .select(col("doc_id_a"), col("doc_id_b")).distinct()
+      },
+      Some {
+        val mh = (0 until 8).map(i => s"  ${dMinhash("sh", i)} AS mh$i").mkString(",\n")
+        val bands = (0 until 4).map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || mh${2 * b + 1} AS band_key FROM sig")
+          .mkString("\n  UNION ALL ")
+        s"""WITH w AS (SELECT doc_id, $dWords ws FROM documents),
+           |s AS (SELECT doc_id,
+           |  list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) sh
+           |  FROM w),
+           |sig AS (SELECT doc_id,
+           |$mh
+           |FROM s),
+           |banded AS (
+           |  $bands)
+           |SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+           |FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin
+      },
+      "MinHash-LSH band-bucket candidate pairs (north-star: dedup)"),
+
+    // SimHash: 16 sign-sum dimensions from md5 hex chars of distinct tokens.
+    Q("d08_simhash",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
+          .withColumn("m", md5(col("tok").cast("binary")))
+        val sums = (0 until 16).map(j =>
+          sum(when(substring(col("m"), j + 1, 1).isin(hexHigh: _*), 1).otherwise(-1)).as(s"s$j"))
+        val agg = toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+        val code = (0 until 16).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+        agg.select(col("doc_id"), code.cast("long").as("simhash"))
+      },
+      Some {
+        val hexIn = hexHigh.map(h => s"'$h'").mkString(",")
+        val sums = (0 until 16).map(j =>
+          s"  SUM(CASE WHEN substring(m, ${j + 1}, 1) IN ($hexIn) THEN 1 ELSE -1 END) AS s$j").mkString(",\n")
+        val code = (0 until 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(list_distinct($dWords)) AS tok FROM documents),
+           |h AS (SELECT doc_id, md5(tok) AS m FROM toks),
+           |s AS (SELECT doc_id,
+           |$sums
+           |FROM h GROUP BY doc_id)
+           |SELECT doc_id, CAST($code AS BIGINT) AS simhash FROM s""".stripMargin
+      },
+      "SimHash 16-bit signatures (north-star: near-dup)")
+  )
+}

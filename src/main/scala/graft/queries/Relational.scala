@@ -1,0 +1,306 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.queries.Registry.t
+
+/** Relational operator battery over the driver's TPC-H-ish tables.
+  *
+  * Each query exercises one operator family from SURVEY.md §2 (IDs in
+  * the scaladoc). Determinism rules for oracle hash-parity:
+  *  - double SUMs go through decimal(18,6) (exact, order-independent),
+  *    then back to double (correctly-rounded in both engines);
+  *  - integer sums/avgs are exact in double, no decimal needed;
+  *  - pure per-row scalar math (one IEEE op chain) is bit-deterministic
+  *    and is emitted raw;
+  *  - DuckDB integer SUM returns HUGEINT — the SQL side always casts
+  *    back to BIGINT.
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a ≤4-decimal double column,
+    * returned as double. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
+  val qs: Seq[Q] = Seq(
+
+    // S1/S3/P1: scan + projection + filter pushdown (pruning reaches parquet).
+    Q("q02_filter_project",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_quantity") < 25)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+             |  l_extendedprice * (1.0 - l_discount) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01' AND l_quantity < 25""".stripMargin),
+      "filter+project, predicate pushdown (SURVEY P1-P4,S3)"),
+
+    // A1/A4/A10: grouped aggregation, TPC-H Q1 shape.
+    Q("q01_agg_sum",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             |  COUNT(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      "grouped agg w/ exact decimal sums (SURVEY A1,A4,A10)"),
+
+    // J1-J3: multiway equi-join with broadcast dims.
+    Q("q03_join_multi",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT r_name, n_name,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name""".stripMargin),
+      "4-way join, broadcast dims (SURVEY J1-J3)"),
+
+    // J4/J9/J11: semi-join (reference `isin` filters).
+    Q("q04_semi_join",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name")),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin),
+      "left-semi join / isin (SURVEY J4,J9,J11)"),
+
+    // J14-adjacent: anti-join.
+    Q("q05_anti_join",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name")),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin),
+      "anti join"),
+
+    // W4/W5 + .iloc[0] first-match: row_number over ordered window.
+    Q("q06_window_topn",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+        t(s, dir, "orders").withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast("date").as("last_order_date"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS last_order_date
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |        ORDER BY o_orderdate DESC, o_orderkey ASC) rn FROM orders)
+             |WHERE rn = 1""".stripMargin),
+      "row_number first-match dedup (SURVEY W4, .iloc[0] semantics)"),
+
+    // P7: full-row dedup / distinct.
+    Q("q14_distinct",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority")).distinct(),
+      Some("SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"),
+      "distinct / drop_duplicates (SURVEY P7)"),
+
+    // U1: union of filtered projections.
+    Q("q15_union",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val hi = li.filter(col("l_quantity") >= 45)
+          .select(col("l_orderkey"), col("l_linenumber"), lit("hi").as("band"))
+        val lo = li.filter(col("l_quantity") <= 5)
+          .select(col("l_orderkey"), col("l_linenumber"), lit("lo").as("band"))
+        hi.unionByName(lo)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, 'hi' AS band FROM lineitem WHERE l_quantity >= 45
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'lo' AS band FROM lineitem WHERE l_quantity <= 5""".stripMargin),
+      "unionByName (SURVEY U1)"),
+
+    // W5: top-K with deterministic tie-break.
+    Q("q16_topk",
+      (s, dir) => t(s, dir, "lineitem").groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l_partkey").asc).limit(5),
+      Some("""SELECT l_partkey, COUNT(*) AS cnt FROM lineitem
+             |GROUP BY l_partkey ORDER BY cnt DESC, l_partkey ASC LIMIT 5""".stripMargin),
+      "top-K by frequency, deterministic ties (SURVEY W5,J12)"),
+
+    // A2: two-level mean-of-counts.
+    Q("q17_mean_of_counts",
+      (s, dir) => {
+        val perCust = t(s, dir, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+        perCust.join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(avg(col("n_orders")).as("mean_frequency"),
+            count(lit(1)).as("n_customers"))
+      },
+      Some("""WITH per_cust AS (
+             |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+             |SELECT c_mktsegment, AVG(n_orders) AS mean_frequency,
+             |       COUNT(*) AS n_customers
+             |FROM per_cust JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin),
+      "two-level mean-of-counts (SURVEY A2)"),
+
+    // A1+A2+A3+J8 folded into one pass: the per-item summary stats shape.
+    Q("q22_summary_stats",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val perOrder = li.groupBy(col("l_partkey"), col("l_orderkey"))
+          .agg(count(lit(1)).as("cnt"))
+        val freq = perOrder.groupBy(col("l_partkey"))
+          .agg(avg(col("cnt")).as("mean_frequency"))
+        val tot = li.groupBy(col("l_partkey")).agg(
+          count(lit(1)).as("total_count"),
+          sum(when(col("l_tax") === 0, 1L).otherwise(0L)).as("zero_tax_count"))
+        freq.join(tot, Seq("l_partkey"))
+      },
+      Some("""WITH per_order AS (
+             |  SELECT l_partkey, l_orderkey, COUNT(*) AS cnt
+             |  FROM lineitem GROUP BY l_partkey, l_orderkey),
+             |freq AS (SELECT l_partkey, AVG(cnt) AS mean_frequency
+             |  FROM per_order GROUP BY l_partkey),
+             |tot AS (SELECT l_partkey, COUNT(*) AS total_count,
+             |  COUNT(*) FILTER (WHERE l_tax = 0) AS zero_tax_count
+             |  FROM lineitem GROUP BY l_partkey)
+             |SELECT freq.l_partkey, mean_frequency, total_count, zero_tax_count
+             |FROM freq JOIN tot USING (l_partkey)""".stripMargin),
+      "summary stats: freq/missing/total in one pass (SURVEY A1-A3,J8)"),
+
+    // P11/P12: conditional label assignment.
+    Q("q19_case_label",
+      (s, dir) => t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0, 2)
+          .when(col("o_orderstatus") === "F", 1).otherwise(0).as("label")),
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderstatus = 'F' AND o_totalprice > 100000.0 THEN 2
+             |       WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+             |FROM orders""".stripMargin),
+      "when/otherwise labels (SURVEY P11,P12)"),
+
+    // P14/P16/P17: substring + casts + derived arithmetic.
+    Q("q20_derived_substr",
+      (s, dir) => t(s, dir, "part").select(
+        col("p_partkey"),
+        substring(col("p_type"), 1, 3).as("type_prefix"),
+        substring(col("p_brand"), -2, 2).as("brand_suffix"),
+        (col("p_size") + lit(100)).cast("long").as("size_code"),
+        (col("p_retailprice") - lit(5.0)).as("adj_price")),
+      Some("""SELECT p_partkey,
+             |  SUBSTRING(p_type, 1, 3) AS type_prefix,
+             |  SUBSTRING(p_brand, LENGTH(p_brand)-1, 2) AS brand_suffix,
+             |  CAST(p_size + 100 AS BIGINT) AS size_code,
+             |  p_retailprice - 5.0 AS adj_price
+             |FROM part""".stripMargin),
+      "substring/cast/arithmetic derivations (SURVEY P14,P16,P17)"),
+
+    // A10: scalar one-row summary (cohort summary.txt shape).
+    Q("q24_scalar_summary",
+      (s, dir) => t(s, dir, "orders").agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+        dsum(col("o_totalprice")).as("total_value")),
+      Some("""SELECT COUNT(*) AS n_orders,
+             |  COUNT(DISTINCT o_custkey) AS n_customers,
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |FROM orders""".stripMargin),
+      "scalar summary aggregates (SURVEY A10,S8)"),
+
+    // A5: vocabulary (distinct values + counts).
+    Q("q25_vocab",
+      (s, dir) => t(s, dir, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt")),
+      Some("SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type"),
+      "vocabulary w/ counts (SURVEY A5)"),
+
+    // A8: per-group mode with deterministic tie-break (UOM-cleaner shape).
+    Q("q13_group_mode",
+      (s, dir) => {
+        val g = t(s, dir, "events").groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("cnt").desc, col("event_type").asc)
+        g.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("mode_type"), col("cnt").as("mode_cnt"))
+      },
+      Some("""SELECT user_id, event_type AS mode_type, cnt AS mode_cnt FROM (
+             |  SELECT user_id, event_type, COUNT(*) AS cnt,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY COUNT(*) DESC, event_type ASC) rn
+             |  FROM events GROUP BY user_id, event_type)
+             |WHERE rn = 1""".stripMargin),
+      "per-group mode, count-desc/value-asc ties (SURVEY A8)"),
+
+    // A3-adjacent: regexp extraction + zero/missing counting.
+    Q("q18_missing_count",
+      (s, dir) => {
+        val k = regexp_extract(col("props"), "(\\d+)", 1).cast("long")
+        t(s, dir, "events").select(col("event_type"), k.as("k"))
+          .groupBy(col("event_type"))
+          .agg(sum(when(col("k") === 0, 1L).otherwise(0L)).as("n_zero"),
+            count(lit(1)).as("n_total"),
+            avg(col("k")).as("avg_k"))
+      },
+      Some("""SELECT event_type,
+             |  COUNT(*) FILTER (WHERE CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) = 0) AS n_zero,
+             |  COUNT(*) AS n_total,
+             |  AVG(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS avg_k
+             |FROM events GROUP BY event_type""".stripMargin),
+      "regexp extract + missing-count agg (SURVEY A3,P16)"),
+
+    // A7: exact per-group percentile clip (outlier_removal.py semantics).
+    Q("q12_percentile_clip",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val pct = ev.groupBy(col("event_type")).agg(
+          percentile(col("value"), lit(0.05)).as("p05"),
+          percentile(col("value"), lit(0.95)).as("p95"))
+        ev.join(broadcast(pct), Seq("event_type"))
+          .select(col("event_id"), col("event_type"),
+            round(least(greatest(col("value"), col("p05")), col("p95")), 6).as("clipped"))
+      },
+      Some("""WITH pct AS (
+             |  SELECT event_type,
+             |    quantile_cont(value, 0.05) AS p05,
+             |    quantile_cont(value, 0.95) AS p95
+             |  FROM events GROUP BY event_type)
+             |SELECT event_id, events.event_type,
+             |  ROUND(LEAST(GREATEST(value, p05), p95), 6) AS clipped
+             |FROM events JOIN pct ON events.event_type = pct.event_type""".stripMargin),
+      "exact linear-interp percentile clip (SURVEY A7, outlier.py:11-37)")
+  )
+}

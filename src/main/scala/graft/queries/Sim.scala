@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.ColFns._
+import graft.queries.Registry.t
+
+/** Similarity search over the `embeddings` table (64-dim float vectors)
+  * plus the multimodal-column plumbing demo — the remaining north-star
+  * operator families.
+  *
+  * Vector math: elements are widened to double BEFORE accumulation and
+  * dot products use a sequential left fold (`aggregate` over `zip_with`)
+  * so the result is deterministic; cross-engine drift is absorbed by
+  * round(..., 4) — selection/ordering gaps in random embeddings are far
+  * larger than 1 ulp.
+  */
+object Sim {
+
+  private val dDot = (a: String, b: String) =>
+    s"list_inner_product($a::DOUBLE[], $b::DOUBLE[])"
+
+  val qs: Seq[Q] = Seq(
+
+    // Pairwise cosine on consecutive ids: the embedding near-dup primitive.
+    Q("e01_cos_pairs",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val a = e.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"))
+        val b = e.select((col("vec_id") - 1).as("vec_id_a"),
+          col("vec_id").as("vec_id_b"), col("embedding").as("eb"))
+        a.join(b, Seq("vec_id_a"))
+          .select(col("vec_id_a"), col("vec_id_b"),
+            round(cosine(col("ea"), col("eb")), 4).as("cos_sim"))
+      },
+      Some(s"""SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+              |  ROUND(${dDot("a.embedding", "b.embedding")} /
+              |    (sqrt(${dDot("a.embedding", "a.embedding")}) * sqrt(${dDot("b.embedding", "b.embedding")})), 4) AS cos_sim
+              |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""".stripMargin),
+      "embedding cosine near-dup pairs (north-star: similarity)"),
+
+    // Brute-force cosine top-k for a query vector (vec_id 0) — the ANN
+    // baseline. Query side is a broadcast of one row.
+    Q("e02_ann_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        e.filter(col("vec_id") > 0).crossJoin(broadcast(q))
+          .withColumn("cos", cosine(col("embedding"), col("qe")))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+          .limit(10)
+          .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+              |SELECT vec_id,
+              |  ROUND(${dDot("e.embedding", "q.qe")} /
+              |    (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("q.qe", "q.qe")})), 4) AS cos_sim
+              |FROM embeddings e, q WHERE vec_id > 0
+              |ORDER BY ${dDot("e.embedding", "q.qe")} /
+              |    (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("q.qe", "q.qe")})) DESC,
+              |  vec_id ASC LIMIT 10""".stripMargin),
+      "brute-force cosine top-k ANN baseline (north-star: similarity)"),
+
+    // IVF-style ANN: coarse quantizer = per-label centroid (avg per dim);
+    // probe the best cell, exact top-5 inside it. The scale path: centroids
+    // are a tiny broadcast table; only one cell is scanned.
+    Q("e03_ann_ivf",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qd = e.filter(col("vec_id") === 0)
+          .select(posexplode(asDoubles(col("embedding")))).toDF("pos", "qv")
+        val cent = e.select(col("label"), posexplode(asDoubles(col("embedding"))))
+          .toDF("label", "pos", "v")
+          .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("c"))
+        val best = cent.join(broadcast(qd), Seq("pos"))
+          .groupBy(col("label")).agg(sum(col("c") * col("qv")).as("dot"))
+          .orderBy(col("dot").desc, col("label").asc).limit(1)
+          .select(col("label"))
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        e.join(broadcast(best), Seq("label")).filter(col("vec_id") > 0)
+          .crossJoin(broadcast(q))
+          .withColumn("cos", cosine(col("embedding"), col("qe")))
+          .orderBy(col("cos").desc, col("vec_id").asc).limit(5)
+          .select(col("label"), col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+      },
+      Some(s"""WITH qd AS (
+              |  SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding::DOUBLE[]) AS qv
+              |  FROM embeddings WHERE vec_id = 0),
+              |cent AS (
+              |  SELECT label, pos, AVG(v) AS c FROM (
+              |    SELECT label, generate_subscripts(embedding, 1) AS pos,
+              |           unnest(embedding::DOUBLE[]) AS v
+              |    FROM embeddings) GROUP BY label, pos),
+              |best AS (
+              |  SELECT label FROM (
+              |    SELECT cent.label, SUM(c * qv) AS dot
+              |    FROM cent JOIN qd USING (pos) GROUP BY cent.label)
+              |  ORDER BY dot DESC, label ASC LIMIT 1),
+              |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+              |SELECT e.label, e.vec_id,
+              |  ROUND(${dDot("e.embedding", "q.qe")} /
+              |    (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("q.qe", "q.qe")})), 4) AS cos_sim
+              |FROM embeddings e JOIN best ON e.label = best.label, q
+              |WHERE e.vec_id > 0
+              |ORDER BY ${dDot("e.embedding", "q.qe")} /
+              |    (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("q.qe", "q.qe")})) DESC,
+              |  e.vec_id ASC LIMIT 5""".stripMargin),
+      "IVF-bucketed ANN: centroid probe then exact in-cell (north-star)"),
+
+    // Multimodal-column plumbing: opaque bytes + typed metadata + a
+    // clearly-fake deterministic "decode" (real decode is stubbed — media
+    // libs aren't in the container; see graft.mm.Multimodal for the
+    // Dataset-level pipeline and tests).
+    Q("m01_multimodal_meta",
+      (s, dir) => {
+        val bytes = col("text").cast("binary")
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          sha2(bytes, 256).as("content_sha"),
+          (octet_length(col("text")) % 320 + 32).cast("long").as("fake_width"),
+          (octet_length(col("text")) % 240 + 32).cast("long").as("fake_height"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  sha256(text) AS content_sha,
+             |  CAST(octet_length(encode(text)) % 320 + 32 AS BIGINT) AS fake_width,
+             |  CAST(octet_length(encode(text)) % 240 + 32 AS BIGINT) AS fake_height
+             |FROM documents""".stripMargin),
+      "multimodal binary column + fake-decode metadata (north-star)")
+  )
+}

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.ColFns._
+import graft.queries.Registry.t
+
+/** Time-series operator battery over `events` / `orders`+`lineitem` —
+  * the Spark-first rewrites of the reference's temporal core
+  * (SURVEY.md §2.4 truncation semantics, §2.5 window ops, §2.6 bucketing).
+  */
+object Temporal {
+
+  private val epoch2024 = lit(1704067200L * 1000000L) // 2024-01-01T00:00Z µs
+
+  val qs: Seq[Q] = Seq(
+
+    // §2.4: pandas-Timedelta hour truncation — floor(total_seconds/3600),
+    // exercised on BOTH signs (half the lineitems ship before orderdate).
+    Q("q21_td_hours",
+      (s, dir) => t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          tdHours(col("l_shipdate"), col("o_orderdate")).as("ship_hours_from_order"),
+          tdDays(col("l_shipdate"), col("o_orderdate")).as("ship_days_from_order")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(FLOOR(epoch(l_shipdate - o_orderdate)/3600) AS BIGINT) AS ship_hours_from_order,
+             |  CAST(FLOOR(epoch(l_shipdate - o_orderdate)/86400) AS BIGINT) AS ship_days_from_order
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin),
+      "pandas timedelta-hour truncation incl. negatives (SURVEY §2.4, P13,P18)"),
+
+    // T1: tumbling-bucket aggregation — the datagen.py:537-604 loop as ONE
+    // groupBy over a floor-divided bucket column (no driver-side loop).
+    Q("q09_bucket_agg",
+      (s, dir) => t(s, dir, "events")
+        .withColumn("t_bucket", floorDiv(unix_micros(col("ts")) - epoch2024, 3600L * 1000000L))
+        .groupBy(col("event_type"), col("t_bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value")),
+      Some("""SELECT event_type,
+             |  CAST(FLOOR(epoch(ts - TIMESTAMP '2024-01-01')/3600) AS BIGINT) AS t_bucket,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      "tumbling-window agg via floor-div bucket (SURVEY T1, datagen.py:537-604)"),
+
+    // J14/T5/U2: dense time grid — every (user, day 0..29) injected, counts
+    // left-joined, missing buckets zero-filled.
+    Q("q10_dense_grid",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val daily = ev
+          .withColumn("day", floorDiv(unix_micros(col("ts")) - epoch2024, 86400L * 1000000L))
+          .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("cnt"))
+        val grid = ev.select(col("user_id")).distinct()
+          .select(col("user_id"), explode(sequence(lit(0L), lit(29L))).as("day"))
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT user_id,
+             |    CAST(FLOOR(epoch(ts - TIMESTAMP '2024-01-01')/86400) AS BIGINT) AS day,
+             |    COUNT(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT u.user_id, g.day
+             |  FROM (SELECT DISTINCT user_id FROM events) u
+             |  CROSS JOIN (SELECT CAST(generate_series AS BIGINT) AS day
+             |              FROM generate_series(0, 29)) g)
+             |SELECT grid.user_id, grid.day, COALESCE(cnt, 0) AS cnt
+             |FROM grid LEFT JOIN daily
+             |  ON grid.user_id = daily.user_id AND grid.day = daily.day""".stripMargin),
+      "dense grid injection + zero fill (SURVEY J14,T5,U2, datagen.py:651-656)"),
+
+    // W2 forward fill: last non-null over ordered per-user window.
+    Q("q07_window_ffill",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("v", when(col("event_type") =!= "error", col("value")))
+          .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("filled"), lit(-1.0)).as("value_ffill"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  COALESCE(LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0) AS value_ffill
+             |FROM events""".stripMargin),
+      "forward fill via last(ignoreNulls) window (SURVEY W2, datagen.py:745-756)"),
+
+    // W2 backward fill: first non-null over the following rows.
+    Q("q27_window_bfill",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        t(s, dir, "events")
+          .withColumn("v", when(col("event_type") =!= "error", col("value")))
+          .withColumn("filled", first(col("v"), ignoreNulls = true).over(w))
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("filled"), lit(-1.0)).as("value_bfill"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  COALESCE(FIRST_VALUE(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), -1.0) AS value_bfill
+             |FROM events""".stripMargin),
+      "backward fill via first(ignoreNulls) window (SURVEY W2)"),
+
+    // W1: readmission labeling — "∃ later visit within gap" as a self
+    // range-join, the set-based rewrite of cohort.py:268-323's row loop.
+    Q("q08_readmission_label",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val a = o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val b = o.select(col("o_custkey").as("b_custkey"), col("o_orderdate").as("b_orderdate"))
+        val pos = a.join(b,
+            col("o_custkey") === col("b_custkey") &&
+            col("b_orderdate") > col("o_orderdate") + expr("INTERVAL 3 DAYS") &&
+            col("b_orderdate") <= col("o_orderdate") + expr("INTERVAL 33 DAYS"),
+            "left_semi")
+          .select(col("o_orderkey")).withColumn("label", lit(1))
+        a.join(pos, Seq("o_orderkey"), "left")
+          .select(col("o_orderkey"), coalesce(col("label"), lit(0)).as("label"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN EXISTS (SELECT 1 FROM orders b
+             |    WHERE b.o_custkey = a.o_custkey
+             |      AND b.o_orderdate > a.o_orderdate + INTERVAL 3 DAY
+             |      AND b.o_orderdate <= a.o_orderdate + INTERVAL 33 DAY)
+             |  THEN 1 ELSE 0 END AS label
+             |FROM orders a""".stripMargin),
+      "readmission-in-gap label via self range-join (SURVEY W1, cohort.py:268-323)"),
+
+    // P10/P12: interval clipping with least/greatest (med stop_time clip).
+    Q("q23_interval_clip",
+      (s, dir) => {
+        val j = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        val hi = col("o_orderdate") + expr("INTERVAL 30 DAYS")
+        j.select(col("l_orderkey"), col("l_linenumber"),
+          tdHours(least(greatest(col("l_shipdate"), col("o_orderdate")), hi),
+            col("o_orderdate")).as("clipped_hours"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(FLOOR(epoch(LEAST(GREATEST(l_shipdate, o_orderdate),
+             |    o_orderdate + INTERVAL 30 DAY) - o_orderdate)/3600) AS BIGINT) AS clipped_hours
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin),
+      "interval clip via least/greatest (SURVEY P10,P12, datagen.py:384-424)"),
+
+    // A9: long→wide pivot with pinned vocabulary (deterministic columns).
+    Q("q11_pivot",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L),
+      Some("""SELECT user_id,
+             |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+             |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+             |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+             |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+             |FROM events GROUP BY user_id""".stripMargin),
+      "pivot w/ precomputed vocab (SURVEY A9,U3, datagen.py:647-649)"),
+
+    // Running per-entity accumulation (integer-exact across engines).
+    Q("q26_running_sum",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("k", regexp_extract(col("props"), "(\\d+)", 1).cast("long"))
+          .select(col("event_id"), col("user_id"),
+            sum(col("k")).over(w).as("running_k"),
+            count(lit(1)).over(w).as("running_n"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(SUM(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT))
+             |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_k,
+             |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+             |FROM events""".stripMargin),
+      "running windowed accumulation (SURVEY W2-adjacent)")
+  )
+}
