@@ -27,12 +27,20 @@ object ColFns {
     * positive/negative/boundary values. NOT truncation toward zero.
     */
   def tdHours(end: Column, start: Column): Column =
-    floorDiv(unix_micros(end) - unix_micros(start), 3600L * 1000000L)
+    floorDiv(micros(end) - micros(start), 3600L * 1000000L)
 
   /** Same, day granularity (cohort los is days-only:
     * day_intervals_cohort_v1.py:102-105). */
   def tdDays(end: Column, start: Column): Column =
-    floorDiv(unix_micros(end) - unix_micros(start), 86400L * 1000000L)
+    floorDiv(micros(end) - micros(start), 86400L * 1000000L)
+
+  /** Microseconds since epoch for TIMESTAMP *or* TIMESTAMP_NTZ input.
+    * `unix_micros` only accepts TIMESTAMP; the driver's parquet tables
+    * (pandas `timestamp[ms]`, no tz) resolve to NTZ in this Spark build,
+    * so we cast first — a wall-clock no-op under the pinned UTC session
+    * timezone.
+    */
+  def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
 
   /** ICD code root = first three characters
     * (disease_cohort.py:42,71; icu_preprocess_util.py:97,375,398). */

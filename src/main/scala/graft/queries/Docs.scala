@@ -19,16 +19,43 @@ object Docs {
   /** Whitespace tokens (non-distinct, document order). */
   private def words(c: Column) = split(normWs(c), " ")
 
-  /** Word 3-gram shingles, 1-based window over the token array. */
+  /** Word 3-gram shingles, 1-based window over the token array.
+    * Guarded for <3 tokens: `sequence(1, size-2)` would otherwise emit a
+    * DESCENDING range ([1,0] …) and element_at(ws, 0) throws
+    * INVALID_INDEX_OF_ZERO; the DuckDB oracle's `range(1, len-1)` yields
+    * an empty list for the same input, so short docs → empty shingle set.
+    */
   private def shingles(ws: Column): Column =
-    transform(sequence(lit(1), size(ws) - 2), i =>
-      concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))
+    when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2), i =>
+        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array().cast("array<string>"))
 
   /** MinHash value i over a shingle/token array: min of md5("i|" + x).
     * md5 is identical across engines; the "i|" prefix gives k independent
-    * hash families. */
+    * hash families.
+    *
+    * PERF: `arr` MUST be a bound attribute (a real column), never an
+    * inline expression tree — a free-variable expression inside a
+    * higher-order-function lambda is re-evaluated PER ELEMENT, which
+    * turned the whole-document tokenization quadratic (199 s at sf0.1;
+    * 1.3 s once bound). See `withShingles`.
+    */
   private def minhash(arr: Column, i: Int): Column =
     array_min(transform(arr, x => md5(concat(lit(s"$i|"), x).cast("binary"))))
+
+  /** Documents with tokenization + 3-gram shingles materialized as bound
+    * columns (see PERF note on `minhash`), spread across the default
+    * shuffle parallelism — the testdata parquet is a single row-group, so
+    * without a repartition every downstream map runs on one core. At
+    * cluster scale the same repartition co-locates by doc_id, which the
+    * groupBy/band shuffle reuses.
+    */
+  private def withShingles(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "documents")
+      .repartition(col("doc_id"))
+      .withColumn("ws", words(col("text")))
+      .withColumn("sh", shingles(col("ws")))
 
   private val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
@@ -137,9 +164,8 @@ object Docs {
     // MinHash signature (8 hash families over word 3-gram shingles).
     Q("d06_minhash_sig",
       (s, dir) => {
-        val sh = shingles(words(col("text")))
-        val cols = col("doc_id") +: (0 until 8).map(i => minhash(sh, i).as(s"mh$i"))
-        t(s, dir, "documents").select(cols: _*)
+        val cols = col("doc_id") +: (0 until 8).map(i => minhash(col("sh"), i).as(s"mh$i"))
+        withShingles(s, dir).select(cols: _*)
       },
       Some {
         val mh = (0 until 8).map(i => s"  ${dMinhash("sh", i)} AS mh$i").mkString(",\n")
@@ -154,18 +180,26 @@ object Docs {
       "MinHash signatures over 3-gram shingles (north-star: dedup)"),
 
     // LSH banding: 4 bands × 2 rows; candidate pairs share ≥1 band key.
+    // Scale shape: ONE pass computes signatures, ONE shuffle groups by
+    // band key, pairs are generated inside each (small) bucket — no
+    // self-join, so the signature pipeline is never recomputed and a hot
+    // bucket can't quadratically explode a join (SNIPPETS: the standard
+    // minhash-LSH band→bucket→pairs layout).
     Q("d07_lsh_pairs",
       (s, dir) => {
-        val sh = shingles(words(col("text")))
-        val sig = t(s, dir, "documents").select(
-          col("doc_id") +: (0 until 8).map(i => minhash(sh, i).as(s"mh$i")): _*)
+        val sig = withShingles(s, dir).select(
+          col("doc_id") +: (0 until 8).map(i => minhash(col("sh"), i).as(s"mh$i")): _*)
         val banded = sig.select(col("doc_id"), explode(array(
           (0 until 4).map(b => concat(lit(s"$b:"), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)).as("band_key"))
-        val l = banded.select(col("doc_id").as("doc_id_a"), col("band_key"))
-        val r = banded.select(col("doc_id").as("doc_id_b"), col("band_key"))
-        l.join(r, Seq("band_key"))
-          .filter(col("doc_id_a") < col("doc_id_b"))
-          .select(col("doc_id_a"), col("doc_id_b")).distinct()
+        val buckets = banded.groupBy(col("band_key"))
+          .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+        // all ordered pairs (ids[i], ids[j]) with i < j, flattened
+        val pairs = buckets.select(explode(flatten(
+          transform(col("ids"), (a, i) =>
+            transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+              struct(a.as("doc_id_a"), b.as("doc_id_b")))))).as("p"))
+        pairs.select(col("p.doc_id_a"), col("p.doc_id_b")).distinct()
       },
       Some {
         val mh = (0 until 8).map(i => s"  ${dMinhash("sh", i)} AS mh$i").mkString(",\n")
@@ -189,6 +223,7 @@ object Docs {
     Q("d08_simhash",
       (s, dir) => {
         val toks = t(s, dir, "documents")
+          .repartition(col("doc_id"))
           .select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
           .withColumn("m", md5(col("tok").cast("binary")))
         val sums = (0 until 16).map(j =>

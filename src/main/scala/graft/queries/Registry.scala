@@ -14,9 +14,24 @@ final case class Q(
     doc: String = "")
 
 object Registry {
-  /** `spark.read.parquet` on one of the driver-generated tables. */
+  /** `spark.read.parquet` on one of the driver-generated tables.
+    *
+    * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL)
+    * — even when `ts` is pruned away. We read nanos as a raw long
+    * (legacy.parquet.nanosAsLong) and convert to a microsecond
+    * TIMESTAMP with exact integer math (`div`, no double round-trip —
+    * ns-since-epoch ≈ 1.7e18 overflows a double's 53-bit mantissa).
+    * DuckDB reads the same column as TIMESTAMP_NS and truncates to µs
+    * on cast, so both engines agree.
+    */
   def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else s.read.parquet(s"$dir/$name.parquet")
 
   lazy val all: Seq[Q] =
     Relational.qs ++ Temporal.qs ++ Docs.qs ++ Sim.qs

@@ -276,9 +276,9 @@ object Relational {
             avg(col("k")).as("avg_k"))
       },
       Some("""SELECT event_type,
-             |  COUNT(*) FILTER (WHERE CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) = 0) AS n_zero,
+             |  COUNT(*) FILTER (WHERE TRY_CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) = 0) AS n_zero,
              |  COUNT(*) AS n_total,
-             |  AVG(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS avg_k
+             |  AVG(TRY_CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS avg_k
              |FROM events GROUP BY event_type""".stripMargin),
       "regexp extract + missing-count agg (SURVEY A3,P16)"),
 

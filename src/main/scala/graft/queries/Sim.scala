@@ -44,20 +44,21 @@ object Sim {
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        // Order by the ROUNDED cosine so the vec_id tie-break governs every
+        // pair that compares equal after rounding — sub-ulp accumulation
+        // drift between engines can no longer flip top-k membership.
         e.filter(col("vec_id") > 0).crossJoin(broadcast(q))
-          .withColumn("cos", cosine(col("embedding"), col("qe")))
-          .orderBy(col("cos").desc, col("vec_id").asc)
+          .withColumn("cos_sim", round(cosine(col("embedding"), col("qe")), 4))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
           .limit(10)
-          .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+          .select(col("vec_id"), col("cos_sim"))
       },
       Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
               |SELECT vec_id,
               |  ROUND(${dDot("e.embedding", "q.qe")} /
               |    (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("q.qe", "q.qe")})), 4) AS cos_sim
               |FROM embeddings e, q WHERE vec_id > 0
-              |ORDER BY ${dDot("e.embedding", "q.qe")} /
-              |    (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("q.qe", "q.qe")})) DESC,
-              |  vec_id ASC LIMIT 10""".stripMargin),
+              |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin),
       "brute-force cosine top-k ANN baseline (north-star: similarity)"),
 
     // IVF-style ANN: coarse quantizer = per-label centroid (avg per dim);
@@ -78,9 +79,9 @@ object Sim {
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
         e.join(broadcast(best), Seq("label")).filter(col("vec_id") > 0)
           .crossJoin(broadcast(q))
-          .withColumn("cos", cosine(col("embedding"), col("qe")))
-          .orderBy(col("cos").desc, col("vec_id").asc).limit(5)
-          .select(col("label"), col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+          .withColumn("cos_sim", round(cosine(col("embedding"), col("qe")), 4))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(5)
+          .select(col("label"), col("vec_id"), col("cos_sim"))
       },
       Some(s"""WITH qd AS (
               |  SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding::DOUBLE[]) AS qv
@@ -101,9 +102,7 @@ object Sim {
               |    (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("q.qe", "q.qe")})), 4) AS cos_sim
               |FROM embeddings e JOIN best ON e.label = best.label, q
               |WHERE e.vec_id > 0
-              |ORDER BY ${dDot("e.embedding", "q.qe")} /
-              |    (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("q.qe", "q.qe")})) DESC,
-              |  e.vec_id ASC LIMIT 5""".stripMargin),
+              |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 5""".stripMargin),
       "IVF-bucketed ANN: centroid probe then exact in-cell (north-star)"),
 
     // Multimodal-column plumbing: opaque bytes + typed metadata + a

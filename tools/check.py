@@ -34,7 +34,13 @@ def norm(df):
         elif k == "M":
             df[c] = df[c].astype("datetime64[us]")
         elif k == "O":
-            df[c] = df[c].astype(str)
+            # DATE columns: spark parquet → datetime.date objects, duckdb
+            # → datetime64; normalize both to datetime64[us].
+            nonnull = df[c].dropna()
+            if len(nonnull) and all(isinstance(v, __import__("datetime").date) for v in nonnull.head(5)):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            else:
+                df[c] = df[c].astype(str)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
