@@ -219,6 +219,47 @@ object Docs {
       },
       "MinHash-LSH band-bucket candidate pairs (north-star: dedup)"),
 
+    // BPE-ish regex tokenization: letter runs / digit runs / punct runs —
+    // the dialect-portable core of a GPT-style pre-tokenizer (north-star:
+    // token counting). Java and RE2 agree on this pattern class.
+    Q("d10_bpe_tokens",
+      (s, dir) => {
+        val pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("n_bpe"),
+          size(regexp_extract_all(col("text"), lit("[a-zA-Z]+"), lit(0))).cast("long").as("n_alpha"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("long").as("n_num"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_bpe,
+             |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_alpha,
+             |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num
+             |FROM documents""".stripMargin),
+      "BPE-ish regex token counting (north-star: text analysis)"),
+
+    // Rolling polynomial hash over the token stream — order-sensitive
+    // document fingerprint (north-star). Exact integer fold, identical
+    // in both engines; the fold input is a bound column (PERF note above).
+    Q("d11_rolling_hash",
+      (s, dir) => {
+        val code = (x: Column) =>
+          (ascii(x) * lit(256L) + ascii(substring(x, -1, 1)) * lit(16L) + length(x)).cast("long")
+        t(s, dir, "documents")
+          .withColumn("ws", words(col("text")))
+          .withColumn("codes", transform(col("ws"), x => code(x)))
+          .select(col("doc_id"),
+            aggregate(col("codes"), lit(0L),
+              (acc, c) => pmod(acc * 31L + c, lit(1000000007L))).as("rhash"))
+      },
+      Some(s"""SELECT doc_id,
+              |  list_reduce(
+              |    list_prepend(0::BIGINT, list_transform($dWords,
+              |      x -> (ascii(x) * 256 + ascii(substring(x, -1, 1)) * 16 + length(x))::BIGINT)),
+              |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
+              |FROM documents""".stripMargin),
+      "rolling-hash document fingerprint (north-star: fingerprinting)"),
+
     // SimHash: 16 sign-sum dimensions from md5 hex chars of distinct tokens.
     Q("d08_simhash",
       (s, dir) => {

@@ -282,6 +282,139 @@ object Relational {
              |FROM events GROUP BY event_type""".stripMargin),
       "regexp extract + missing-count agg (SURVEY A3,P16)"),
 
+    // J8: right join — the reference's summary merges freq ⋈ total with
+    // how="right" (feature_preproc_icu.py:331,343-344).
+    Q("q28_right_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val heavy = li.filter(col("l_quantity") >= 40)
+          .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_heavy"))
+        val total = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_total"))
+        heavy.join(total, Seq("l_partkey"), "right")
+          .select(col("l_partkey"), coalesce(col("n_heavy"), lit(0L)).as("n_heavy"),
+            col("n_total"))
+      },
+      Some("""WITH heavy AS (
+             |  SELECT l_partkey, COUNT(*) AS n_heavy FROM lineitem
+             |  WHERE l_quantity >= 40 GROUP BY l_partkey),
+             |total AS (SELECT l_partkey, COUNT(*) AS n_total FROM lineitem GROUP BY l_partkey)
+             |SELECT total.l_partkey, COALESCE(n_heavy, 0) AS n_heavy, n_total
+             |FROM heavy RIGHT JOIN total ON heavy.l_partkey = total.l_partkey""".stripMargin),
+      "right join of partial agg onto total (SURVEY J8, features.py:331-344)"),
+
+    // A8 FULL: UOM cleaner — per group: majority value; if majority ratio
+    // clears the cutoff keep only majority rows, else keep all
+    // (uom_conversion.py:9-26, cutoff at features.py:123).
+    Q("q29_uom_clean",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val cnt = ev.groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("cnt").desc, col("event_type").asc)
+        val mode = cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("mode_type"), col("cnt").as("mode_cnt"))
+        val tot = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_tot"))
+        ev.join(broadcast(mode), Seq("user_id"))
+          .join(broadcast(tot), Seq("user_id"))
+          .filter(col("mode_cnt").cast("double") / col("n_tot").cast("double") <= 0.25 ||
+            col("event_type") === col("mode_type"))
+          .select(col("event_id"), col("user_id"), col("event_type"))
+      },
+      Some("""WITH cnt AS (
+             |  SELECT user_id, event_type, COUNT(*) AS cnt
+             |  FROM events GROUP BY user_id, event_type),
+             |mode AS (
+             |  SELECT user_id, event_type AS mode_type, cnt AS mode_cnt FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY cnt DESC, event_type ASC) rn FROM cnt) WHERE rn = 1),
+             |tot AS (SELECT user_id, COUNT(*) AS n_tot FROM events GROUP BY user_id)
+             |SELECT event_id, events.user_id, events.event_type
+             |FROM events JOIN mode ON events.user_id = mode.user_id
+             |JOIN tot ON events.user_id = tot.user_id
+             |WHERE CAST(mode_cnt AS DOUBLE) / CAST(n_tot AS DOUBLE) <= 0.25
+             |   OR events.event_type = mode_type""".stripMargin),
+      "UOM-cleaner: majority-ratio conditional row drop (SURVEY A8, uom.py:9-26)"),
+
+    // A6: per-group max of group sums (per-admission event capacity,
+    // datagen.py:609-629) — one scalar row.
+    Q("q30_capacity",
+      (s, dir) => {
+        val g = t(s, dir, "events").groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        val perUser = g.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_events"))
+        perUser.agg(max(col("n_types")).as("max_types_per_user"),
+          max(col("n_events")).as("max_events_per_user"),
+          count(lit(1)).as("n_users"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_type, COUNT(*) AS c
+             |  FROM events GROUP BY user_id, event_type),
+             |per_user AS (
+             |  SELECT user_id, COUNT(*) AS n_types, CAST(SUM(c) AS BIGINT) AS n_events
+             |  FROM g GROUP BY user_id)
+             |SELECT MAX(n_types) AS max_types_per_user,
+             |  MAX(n_events) AS max_events_per_user,
+             |  COUNT(*) AS n_users
+             |FROM per_user""".stripMargin),
+      "per-group max of group sums (SURVEY A6, datagen.py:609-629)"),
+
+    // A9 mean-variant pivot: the reference's default pivot_table aggfunc
+    // is MEAN (datagen.py:647-649); exact via decimal sum / count.
+    Q("q31_pivot_avg",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg((sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1))))
+        .na.fill(-1.0),
+      Some("""SELECT user_id,
+             |  COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'click') AS DOUBLE)
+             |    / COUNT(*) FILTER (WHERE event_type = 'click'), -1.0) AS click,
+             |  COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'error') AS DOUBLE)
+             |    / COUNT(*) FILTER (WHERE event_type = 'error'), -1.0) AS error,
+             |  COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+             |    / COUNT(*) FILTER (WHERE event_type = 'purchase'), -1.0) AS purchase,
+             |  COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'signup') AS DOUBLE)
+             |    / COUNT(*) FILTER (WHERE event_type = 'signup'), -1.0) AS signup,
+             |  COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'view') AS DOUBLE)
+             |    / COUNT(*) FILTER (WHERE event_type = 'view'), -1.0) AS view
+             |FROM events GROUP BY user_id""".stripMargin),
+      "pivot with mean agg, exact decimal sums (SURVEY A9, datagen.py:647-649)"),
+
+    // U4: horizontal concat — per-modality wide frames joined on the key
+    // (datagen.py:779-782 MEDS‖PROC‖OUT‖CHART assembly).
+    Q("q36_wide_concat",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val w1 = ev.groupBy(col("user_id"))
+          .pivot("event_type", Seq("click", "purchase"))
+          .agg(count(lit(1))).na.fill(0L)
+          .select(col("user_id"), col("click").as("n_click"), col("purchase").as("n_purchase"))
+        val w2 = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"))
+          .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("view_value"))
+        val stats = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        w1.join(w2, Seq("user_id"), "left").join(stats, Seq("user_id"))
+          .select(col("user_id"), col("n_click"), col("n_purchase"),
+            coalesce(col("view_value"), lit(0.0)).as("view_value"), col("n_events"))
+      },
+      Some("""WITH w1 AS (
+             |  SELECT user_id,
+             |    COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+             |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+             |  FROM events GROUP BY user_id),
+             |w2 AS (
+             |  SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS view_value
+             |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+             |stats AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+             |SELECT w1.user_id, n_click, n_purchase,
+             |  COALESCE(view_value, 0.0) AS view_value, n_events
+             |FROM w1 LEFT JOIN w2 ON w1.user_id = w2.user_id
+             |JOIN stats ON w1.user_id = stats.user_id""".stripMargin),
+      "horizontal concat of wide frames (SURVEY U4, datagen.py:779-782)"),
+
     // A7: exact per-group percentile clip (outlier_removal.py semantics).
     Q("q12_percentile_clip",
       (s, dir) => {

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.functions.ColFns._
 import graft.queries.Registry.t
@@ -104,6 +105,55 @@ object Sim {
               |WHERE e.vec_id > 0
               |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 5""".stripMargin),
       "IVF-bucketed ANN: centroid probe then exact in-cell (north-star)"),
+
+    // Random-hyperplane LSH ANN: 8 deterministic pseudo-hyperplanes give a
+    // sign-bit bucket per vector; search only the query's bucket, exact
+    // cosine inside. Unlike IVF (e03) this needs NO training pass — the
+    // bucket is a pure per-row map function, so at 100 TB it's a single
+    // scan + one tiny-bucket shuffle.
+    Q("e04_lsh_ann",
+      (s, dir) => {
+        // W(i,j) = ((i*37 + j*101) mod 19) - 9 — deterministic integer
+        // hyperplane weights, identical in the DuckDB oracle.
+        def planeDot(emb: Column, j: Int): Column =
+          aggregate(
+            transform(emb, (x, i) =>
+              x.cast("double") * ((i * 37 + lit(j * 101)) % 19 - 9).cast("double")),
+            lit(0.0), (acc, x) => acc + x)
+        def bucket(emb: Column): Column =
+          (0 until 8).map(j => when(planeDot(emb, j) > 0, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _)
+        val e = t(s, dir, "embeddings").withColumn("bkt", bucket(col("embedding")))
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("bkt").as("qbkt"), col("embedding").as("qe"))
+        e.filter(col("vec_id") > 0).crossJoin(broadcast(q))
+          .filter(col("bkt") === col("qbkt"))
+          .withColumn("cos_sim", round(cosine(col("embedding"), col("qe")), 4))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(5)
+          .select(col("vec_id"), col("cos_sim"))
+      },
+      Some {
+        val sums = (0 until 8).map(j =>
+          s"  SUM(v * ((((pos - 1) * 37 + $j * 101) % 19) - 9)) AS s$j").mkString(",\n")
+        val code = (0 until 8).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        s"""WITH unnested AS (
+           |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+           |         unnest(embedding::DOUBLE[]) AS v
+           |  FROM embeddings),
+           |sums AS (SELECT vec_id,
+           |$sums
+           |FROM unnested GROUP BY vec_id),
+           |bkt AS (SELECT vec_id, CAST($code AS BIGINT) AS bkt FROM sums),
+           |q AS (SELECT bkt.bkt AS qbkt, embedding AS qe
+           |      FROM embeddings JOIN bkt USING (vec_id) WHERE vec_id = 0)
+           |SELECT e.vec_id,
+           |  ROUND(${dDot("e.embedding", "q.qe")} /
+           |    (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("q.qe", "q.qe")})), 4) AS cos_sim
+           |FROM embeddings e JOIN bkt ON e.vec_id = bkt.vec_id, q
+           |WHERE e.vec_id > 0 AND bkt.bkt = q.qbkt
+           |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 5""".stripMargin
+      },
+      "random-hyperplane LSH-bucketed ANN (north-star: similarity)"),
 
     // Multimodal-column plumbing: opaque bytes + typed metadata + a
     // clearly-fake deterministic "decode" (real decode is stubbed — media

@@ -167,6 +167,114 @@ object Temporal {
              |FROM events GROUP BY user_id""".stripMargin),
       "pivot w/ precomputed vocab (SURVEY A9,U3, datagen.py:647-649)"),
 
+    // W2 FULL impute chain: ffill → bfill → per-entity mean → 0
+    // (datagen.py:745-756 + 659-667 impute="Mean"). The mean is a single
+    // IEEE division of an exact decimal sum — bit-identical cross-engine.
+    Q("q32_impute_chain",
+      (s, dir) => {
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val wAll = Window.partitionBy(col("user_id"))
+        t(s, dir, "events")
+          .withColumn("v", when(col("event_type") =!= "error", col("value")))
+          .withColumn("ff", last(col("v"), ignoreNulls = true).over(wPrev))
+          .withColumn("bf", first(col("v"), ignoreNulls = true).over(wNext))
+          .withColumn("mean_v",
+            sum(col("v").cast("decimal(18,6)")).over(wAll).cast("double") /
+              count(col("v")).over(wAll))
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("ff"), col("bf"), col("mean_v"), lit(0.0)).as("v_imputed"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  COALESCE(
+             |    LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |    FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+             |    CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER (PARTITION BY user_id) AS DOUBLE)
+             |      / COUNT(v) OVER (PARTITION BY user_id),
+             |    0.0) AS v_imputed
+             |FROM (SELECT event_id, user_id, ts,
+             |        CASE WHEN event_type <> 'error' THEN value END AS v
+             |      FROM events)""".stripMargin),
+      "full impute chain ffill->bfill->mean->0 (SURVEY W2, datagen.py:745-756)"),
+
+    // T4: END-ALIGNED task window — keep the last include_time hours of
+    // each entity's history, shifted to t'=0 (readmission_length,
+    // datagen.py:460-520: select_time = los − include_time, drop negatives).
+    Q("q33_task_window",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+        t(s, dir, "events")
+          .withColumn("t", floorDiv(micros(col("ts")) - epoch2024, 3600L * 1000000L))
+          .withColumn("sel", max(col("t")).over(w) - lit(24L))
+          .withColumn("new_t", col("t") - col("sel"))
+          .filter(col("new_t") >= 0)
+          .select(col("event_id"), col("user_id"), col("new_t"))
+      },
+      Some("""SELECT event_id, user_id, new_t FROM (
+             |  SELECT event_id, user_id,
+             |    t - (MAX(t) OVER (PARTITION BY user_id) - 24) AS new_t
+             |  FROM (SELECT event_id, user_id,
+             |          CAST(FLOOR(epoch(ts - TIMESTAMP '2024-01-01')/3600) AS BIGINT) AS t
+             |        FROM events))
+             |WHERE new_t >= 0""".stripMargin),
+      "end-aligned task window, shift + drop negatives (SURVEY T4, datagen.py:460-520)"),
+
+    // A7 removal variant: DROP rows outside the per-group percentile band
+    // (outlier_removal.py:24-37 imputing=False path; q12 is the clip twin).
+    Q("q34_outlier_drop",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val pct = ev.groupBy(col("event_type")).agg(
+          percentile(col("value"), lit(0.05)).as("p05"),
+          percentile(col("value"), lit(0.95)).as("p95"))
+        ev.join(broadcast(pct), Seq("event_type"))
+          .filter(col("value") >= col("p05") && col("value") <= col("p95"))
+          .select(col("event_id"), col("event_type"), col("value"))
+      },
+      Some("""WITH pct AS (
+             |  SELECT event_type,
+             |    quantile_cont(value, 0.05) AS p05,
+             |    quantile_cont(value, 0.95) AS p95
+             |  FROM events GROUP BY event_type)
+             |SELECT event_id, events.event_type, value
+             |FROM events JOIN pct ON events.event_type = pct.event_type
+             |WHERE value >= p05 AND value <= p95""".stripMargin),
+      "percentile-band outlier row drop (SURVEY A7, outlier.py:24-37)"),
+
+    // As-of join (training-pipeline op the reference lacks): for each
+    // purchase, minutes since the user's most recent prior-or-equal view.
+    // Implemented WITHOUT a range join: tag both streams, one ordered
+    // window carries the last view timestamp forward — the shuffle-once,
+    // sort-once pattern that scales linearly (vs the quadratic self-join).
+    Q("q35_asof_join",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .filter(col("event_type").isin("view", "purchase"))
+          .withColumn("view_us", when(col("event_type") === "view", micros(col("ts"))))
+          .withColumn("last_view_us", last(col("view_us"), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            coalesce(floorDiv(micros(col("ts")) - col("last_view_us"), 60L * 1000000L), lit(-1L))
+              .as("mins_since_view"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  COALESCE(CAST(FLOOR(epoch(ts - last_view_ts)/60) AS BIGINT), -1) AS mins_since_view
+             |FROM (
+             |  SELECT event_id, user_id, ts, event_type,
+             |    LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+             |  FROM events WHERE event_type IN ('view', 'purchase'))
+             |WHERE event_type = 'purchase'""".stripMargin),
+      "as-of join via tagged-union ordered window (north-star temporal op)"),
+
     // Running per-entity accumulation (integer-exact across engines).
     Q("q26_running_sum",
       (s, dir) => {
