@@ -1,0 +1,157 @@
+package graft.mimic
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.ColFns
+
+/** Stage-2/3 feature extraction and cleaning — the Spark-first rewrite of
+  * feature_preproc_icu.py + icu_preprocess_util.py + uom_conversion.py +
+  * outlier_removal.py (SURVEY E2).
+  *
+  * Every extractor is one read→broadcast-join→derive→filter DAG; the
+  * reference's 10M-row chunked scans (icuutil.py:280-338) disappear —
+  * partitioned execution replaces manual out-of-core loops (SURVEY S4).
+  */
+object Features {
+
+  /** preproc_meds (icu_preprocess_util.py:155-187): inputevents ⋈ cohort
+    * on stay_id, start/stop hour offsets from intime (§2.4 floor
+    * semantics), dropna over all columns (reference `med.dropna()` drops
+    * null rate/amount rows too).
+    */
+  def preprocMeds(inputevents: DataFrame, cohort: DataFrame): DataFrame = {
+    val adm = cohort.select(col("hadm_id"), col("stay_id"), col("intime"))
+    inputevents.join(broadcast(adm), Seq("stay_id"), "inner")
+      .withColumn("start_hours_from_admit", ColFns.tdHours(col("starttime"), col("intime")))
+      .withColumn("stop_hours_from_admit", ColFns.tdHours(col("endtime"), col("intime")))
+      .na.drop()
+  }
+
+  /** preproc_proc / preproc_out (icu_preprocess_util.py:190-277): events ⋈
+    * cohort on stay_id + event_time_from_admit hour offset, dropna.
+    * `timeCol` is starttime (proc) or charttime (out).
+    */
+  def preprocEvents(events: DataFrame, cohort: DataFrame, timeCol: String): DataFrame = {
+    val adm = cohort.select(col("stay_id"), col("intime"), col("outtime"))
+    events.dropDuplicates()
+      .join(broadcast(adm), Seq("stay_id"), "inner")
+      .withColumn("event_time_from_admit", ColFns.tdHours(col(timeCol), col("intime")))
+      .na.drop()
+  }
+
+  /** preproc_chart (icu_preprocess_util.py:280-338): null valuenum dropped
+    * FIRST (per-chunk in the reference), then cohort join, offset, dedup.
+    * No chunk loop: Spark partitions the scan (SURVEY S4).
+    */
+  def preprocChart(chartevents: DataFrame, cohort: DataFrame): DataFrame = {
+    val adm = cohort.select(col("stay_id"), col("intime"))
+    chartevents.na.drop(Seq("valuenum"))
+      .join(broadcast(adm), Seq("stay_id"), "inner")
+      .withColumn("event_time_from_admit", ColFns.tdHours(col("charttime"), col("intime")))
+      .drop("charttime", "intime")
+      .na.drop()
+      .dropDuplicates()
+  }
+
+  /** preproc_icd_module diag path (icu_preprocess_util.py:341-428 via
+    * feature_preproc_icu.py:74-79): diagnoses ⋈ cohort on hadm_id, then
+    * ICD9→10 standardization. */
+  def preprocDiag(diagnoses: DataFrame, cohort: DataFrame, mapping: DataFrame): DataFrame = {
+    val scoped = diagnoses.join(
+      cohort.select(col("hadm_id"), col("stay_id")), Seq("hadm_id"), "inner")
+    Disease.standardizeIcd(mapping, scoped)
+  }
+
+  /** Diag grouping choice (feature_preproc_icu.py:245-258):
+    * "both" keeps icd_code, "convert" the ICD10 conversion,
+    * "convert_group" its 3-char root; then project + dropna. */
+  def groupDiag(diag: DataFrame, groupOption: String): DataFrame = {
+    val newCode = groupOption match {
+      case "both" => col("icd_code")
+      case "convert" => col("root_icd10_convert")
+      case "convert_group" => col("root")
+      case other => throw new IllegalArgumentException(s"invalid group_diag: $other")
+    }
+    diag.select(col("subject_id"), col("hadm_id"), col("stay_id"),
+      newCode.as("new_icd_code")).na.drop()
+  }
+
+  /** drop_wrong_uom (uom_conversion.py:9-26, cutoff 0.95 at
+    * feature_preproc_icu.py:123): per itemid, if >1 distinct UOM and the
+    * majority UOM's share of ALL rows exceeds the cutoff, keep only
+    * majority rows (null-UOM rows drop too — pandas `values !=
+    * most_frequent` is true for NaN). Pandas' first-seen tie-break is
+    * nondeterministic under parallel scan; ties break by (count desc,
+    * uom asc) — SURVEY §7.4.2, decided once and tested.
+    *
+    * One aggregation + one broadcast join: the stats side is |itemids|
+    * rows, so the event side never shuffles.
+    */
+  def dropWrongUom(df: DataFrame, cutOff: Double): DataFrame = {
+    val counts = df.filter(col("valueuom").isNotNull)
+      .groupBy(col("itemid"), col("valueuom")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("itemid"))
+      .orderBy(col("cnt").desc, col("valueuom").asc)
+    val stats = counts
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("itemid"))
+      .agg(max(when(col("rn") === 1, col("valueuom"))).as("mode_uom"),
+        max(when(col("rn") === 1, col("cnt"))).as("mode_cnt"),
+        count(lit(1)).as("n_uoms"))
+    val tot = df.groupBy(col("itemid")).agg(count(lit(1)).as("n_obs"))
+    df.join(broadcast(stats.join(tot, Seq("itemid"))), Seq("itemid"), "left")
+      .filter(col("n_uoms") <= 1 ||
+        col("mode_cnt").cast("double") / col("n_obs").cast("double") <= cutOff ||
+        col("valueuom") === col("mode_uom"))
+      .drop("mode_uom", "mode_cnt", "n_uoms", "n_obs")
+  }
+
+  /** outlier_imputation (outlier_removal.py:11-37): per-group exact
+    * percentiles (numpy linear interpolation = Spark `percentile`), then
+    *  - impute=true: sequential masked writes collapse to
+    *    min(max(v, perc_up), perc_down)
+    *  - impute=false: keep rows with perc_up <= v <= perc_down.
+    * QUIRK PRESERVED (SURVEY §7.4.6): perc_up := percentile(leftThresh),
+    * perc_down := percentile(cutOff) — the reference's tested config
+    * (thresh=5, left_thresh=95) inverts the band on purpose; we reproduce
+    * the formula, not a sanitized version.
+    */
+  def outlierImputation(
+      df: DataFrame, idCol: String, valueCol: String,
+      cutOff: Int, leftThresh: Int, impute: Boolean): DataFrame = {
+    val pct = df.groupBy(col(idCol)).agg(
+      percentile(col(valueCol), lit(leftThresh / 100.0)).as("_perc_up"),
+      percentile(col(valueCol), lit(cutOff / 100.0)).as("_perc_down"))
+    val joined = df.join(broadcast(pct), Seq(idCol))
+    val cleaned =
+      if (impute)
+        joined.withColumn(valueCol,
+          least(greatest(col(valueCol), col("_perc_up")), col("_perc_down")))
+      else
+        joined.filter(col(valueCol) >= col("_perc_up") && col(valueCol) <= col("_perc_down"))
+    cleaned.drop("_perc_up", "_perc_down")
+  }
+
+  /** generate_summary_icu per-modality summary
+    * (feature_preproc_icu.py:285-391): mean-of-per-stay-counts, optional
+    * zero-value missing count, total count — the reference's three
+    * groupbys + right-join chain folded into two aggregations on the same
+    * grouping key (SURVEY A1-A3/J8). `missingWhen` e.g. col("amount")===0.
+    */
+  def summary(df: DataFrame, codeCol: String, missingWhen: Option[Column]): DataFrame = {
+    val perStay = df.groupBy(col("stay_id"), col(codeCol))
+      .agg(count(lit(1)).as("cnt"))
+    val freq = perStay.groupBy(col(codeCol))
+      .agg(avg(col("cnt")).as("mean_frequency"))
+    val totAggs = count(lit(1)).as("total_count") +:
+      missingWhen.map(c => sum(when(c, 1L).otherwise(0L)).as("missing_count")).toSeq
+    val tot = df.groupBy(col(codeCol)).agg(totAggs.head, totAggs.tail: _*)
+    freq.join(tot, Seq(codeCol), "right").na.fill(0)
+  }
+
+  /** features_selection_icu (feature_preproc_icu.py:394-529): semi-join
+    * against the (possibly hand-edited) feature whitelist (SURVEY J9). */
+  def select(df: DataFrame, features: DataFrame, codeCol: String): DataFrame =
+    df.join(broadcast(features.select(col(codeCol))), Seq(codeCol), "left_semi")
+}

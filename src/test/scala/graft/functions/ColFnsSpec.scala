@@ -1,0 +1,63 @@
+package graft.functions
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.SparkSpec
+
+/** Property tests for the pandas-compat column helpers — the §2.4
+  * truncation semantics are the #1 silent-drift risk (SURVEY §7.4.1). */
+class ColFnsSpec extends SparkSpec {
+
+  private def hoursBetween(endS: Long, startS: Long): Long = {
+    import spark.implicits._
+    val df = Seq((new Timestamp(startS * 1000L), new Timestamp(endS * 1000L)))
+      .toDF("s", "e")
+    df.select(ColFns.tdHours(col("e"), col("s"))).head.getLong(0)
+  }
+
+  test("tdHours equals pandas day*24+hour component semantics (floor)") {
+    // pandas renders -4980s as '-1 days +22:37:00' → -24 + 22 = -2
+    assert(hoursBetween(0L, 4980L) === -2L)
+    assert(hoursBetween(4980L, 0L) === 1L)   // +1:23:00 → 1
+    assert(hoursBetween(3600L, 0L) === 1L)
+    assert(hoursBetween(-3600L, 0L) === -1L)
+    assert(hoursBetween(0L, 0L) === 0L)
+    assert(hoursBetween(-1L, 0L) === -1L)    // '-1 days +23:59:59' → -24+23
+  }
+
+  test("tdHours floor property on random offsets (batch)") {
+    val gen = Gen.chooseNum(-1000000L, 1000000L)
+    val samples = Gen.listOfN(200, gen).sample.get
+    import spark.implicits._
+    val df = samples.map(d => (new Timestamp(0L), new Timestamp(d * 1000L), d))
+      .toDF("s", "e", "d")
+    val rows = df.select(ColFns.tdHours(col("e"), col("s")).as("h"), col("d")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) === Math.floorDiv(r.getLong(1), 3600L),
+        s"offset ${r.getLong(1)}")
+    }
+  }
+
+  test("floorDiv matches Math.floorDiv incl. negatives") {
+    import spark.implicits._
+    val vals = Seq(-7L, -1L, 0L, 1L, 7L, -3600L, 3599L)
+    val df = vals.toDF("x")
+    val got = df.select(ColFns.floorDiv(col("x"), 4L)).collect().map(_.getLong(0))
+    assert(got.toSeq === vals.map(Math.floorDiv(_, 4L)))
+  }
+
+  test("tokenCount counts whitespace tokens after normalization") {
+    import spark.implicits._
+    val df = Seq("a b  c", "  ", "", "one", "x\t y").toDF("t")
+    val got = df.select(ColFns.tokenCount(col("t"))).collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(3L, 0L, 0L, 1L, 2L))
+  }
+
+  test("cosine of identical vectors is 1") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val c = df.select(ColFns.cosine(col("a"), col("b"))).head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.mimic
+
+import org.apache.spark.sql.functions._
+
+/** Dev drive harness: runs the full mivdp pipeline on the synthetic
+  * fixture tree and prints each stage — the package-boundary surface for
+  * manual verification (`sbt "Test/runMain graft.mimic.DemoMain"`). */
+object DemoMain {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.SparkSpec.session
+    val root = java.nio.file.Files.createTempDirectory("mimic_drive").toString
+    Fixtures.writeTree(spark, root)
+    val out = java.nio.file.Files.createTempDirectory("drive_out").toString
+    val pipe = Pipeline(spark, MimicSource(spark, root), s"$root/icd_mapping.txt", out)
+
+    val cohort = pipe.cohort(useIcu = true, label = "Mortality")
+    println("=== COHORT ===")
+    cohort.orderBy(col("stay_id")).show(10, truncate = false)
+
+    val feats = pipe.featureIcu(cohort)
+    val cleaned = pipe.cleanFeatures(feats)
+    println("=== CHART SUMMARY ===")
+    pipe.summaries(cleaned)("chart").orderBy(col("itemid")).show(truncate = false)
+
+    val ts = pipe.timeSeries(cohort, cleaned, task = "Mortality", imputeHow = "Mean")
+    println("=== DYNAMIC (wide MapType rows) ===")
+    ts("dynamic").orderBy(col("stay_id"), col("t")).show(5, truncate = false)
+    println("=== LABELS ===")
+    ts("labels").orderBy(col("stay_id")).show(truncate = false)
+    println("stage dirs: " + new java.io.File(out).listFiles().map(_.getName).sorted.mkString(", "))
+
+    // probes: error paths + parquet-preferred rereads
+    try pipe.cleanFeatures(feats, groupDiag = "bogus")
+    catch { case e: IllegalArgumentException => println("PROBE groupDiag bogus -> " + e.getMessage) }
+    try Cohort.extract(MimicSource(spark, root), useIcu = true, label = "Nope")
+    catch { case e: IllegalArgumentException => println("PROBE label Nope -> " + e.getMessage) }
+    MimicSource(spark, root).ingestToParquet()
+    println("PROBE ingest: patients parquet exists = " +
+      new java.io.File(s"$root/core/patients.parquet").exists())
+    println("PROBE re-read rows via parquet path = " + MimicSource(spark, root).patients.count())
+    spark.stop()
+  }
+}
