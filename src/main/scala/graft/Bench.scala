@@ -16,10 +16,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // untimed warmup: pays one-off JIT/codegen/scan-index costs so the
+    // first timed query isn't charged for them
+    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
+    catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+      // noop sink forces FULL evaluation of every output column —
+      // count() would let Catalyst prune projection-only work and
+      // under-report (a minhash query "benched" in 0.26s that actually
+      // costs 1.3s to materialize).
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable =>
         errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(500)
         System.err.println(s"[bench] FAILED $name: ${errors(name)}")
       }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.functions.ColFns._
+import graft.functions.VectorExprs.cosineFast
 import graft.queries.Registry.t
 
 /** Similarity search over the `embeddings` table (64-dim float vectors)
@@ -31,7 +32,7 @@ object Sim {
           col("vec_id").as("vec_id_b"), col("embedding").as("eb"))
         a.join(b, Seq("vec_id_a"))
           .select(col("vec_id_a"), col("vec_id_b"),
-            round(cosine(col("ea"), col("eb")), 4).as("cos_sim"))
+            round(cosineFast(col("ea"), col("eb")), 4).as("cos_sim"))
       },
       Some(s"""SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
               |  ROUND(${dDot("a.embedding", "b.embedding")} /
@@ -49,7 +50,7 @@ object Sim {
         // pair that compares equal after rounding — sub-ulp accumulation
         // drift between engines can no longer flip top-k membership.
         e.filter(col("vec_id") > 0).crossJoin(broadcast(q))
-          .withColumn("cos_sim", round(cosine(col("embedding"), col("qe")), 4))
+          .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
           .orderBy(col("cos_sim").desc, col("vec_id").asc)
           .limit(10)
           .select(col("vec_id"), col("cos_sim"))
@@ -80,7 +81,7 @@ object Sim {
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
         e.join(broadcast(best), Seq("label")).filter(col("vec_id") > 0)
           .crossJoin(broadcast(q))
-          .withColumn("cos_sim", round(cosine(col("embedding"), col("qe")), 4))
+          .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
           .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(5)
           .select(col("label"), col("vec_id"), col("cos_sim"))
       },
@@ -128,7 +129,7 @@ object Sim {
           .select(col("bkt").as("qbkt"), col("embedding").as("qe"))
         e.filter(col("vec_id") > 0).crossJoin(broadcast(q))
           .filter(col("bkt") === col("qbkt"))
-          .withColumn("cos_sim", round(cosine(col("embedding"), col("qe")), 4))
+          .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
           .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(5)
           .select(col("vec_id"), col("cos_sim"))
       },
