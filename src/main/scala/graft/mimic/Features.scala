@@ -154,4 +154,32 @@ object Features {
     * against the (possibly hand-edited) feature whitelist (SURVEY J9). */
   def select(df: DataFrame, features: DataFrame, codeCol: String): DataFrame =
     df.join(broadcast(features.select(col(codeCol))), Seq(codeCol), "left_semi")
+
+  /** pivot_cohort (icu_preprocess_util.py:431-491 — defined-but-unused
+    * API surface, SURVEY §2.10): generic long→wide pivot with optional
+    * top-K feature restriction (value_counts[:max_features], W5/J12,
+    * count-desc/code-asc deterministic ties) and a one-hot mode
+    * (`agg max(1)`) standing in for the MultiLabelBinarizer branch
+    * (:448-466). The pivot vocabulary is computed first and passed in, so
+    * the column set is deterministic (SURVEY §7.4.4).
+    */
+  def pivotCohort(df: DataFrame, indexCol: String, featureCol: String,
+      valueCol: String, maxFeatures: Option[Int] = None,
+      oneHot: Boolean = false): DataFrame = {
+    val ranked = df.groupBy(col(featureCol)).agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col(featureCol).asc)
+    val kept = maxFeatures.map(k => ranked.limit(k)).getOrElse(ranked)
+    val vocab = kept.select(col(featureCol)).collect()
+      .map(_.get(0)).toSeq.sortBy(_.toString)
+    val scoped = maxFeatures match {
+      case Some(_) => df.join(broadcast(kept.select(col(featureCol))),
+        Seq(featureCol), "left_semi")
+      case None => df
+    }
+    val agg = if (oneHot) max(lit(1)) else avg(col(valueCol))
+    scoped.groupBy(col(indexCol))
+      .pivot(featureCol, vocab.map(_.toString))
+      .agg(agg)
+      .na.fill(0)
+  }
 }

@@ -38,6 +38,18 @@ object DemoMain {
     println("PROBE ingest: patients parquet exists = " +
       new java.io.File(s"$root/core/patients.parquet").exists())
     println("PROBE re-read rows via parquet path = " + MimicSource(spark, root).patients.count())
+
+    // sinks + generic pivot surface
+    Sinks.writeSummaryTxt(Cohort.summary(cohort, Cohort.icuRoles).head, "MORTALITY", s"$out/summary.txt")
+    println("=== SUMMARY TXT ===")
+    println(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/summary.txt"))))
+    Sinks.writePerStay(ts("chart"), s"$out/per_stay")
+    println("per-stay dirs: " + new java.io.File(s"$out/per_stay").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.mkString(", "))
+    println("=== PIVOT_COHORT (top-2, wide) ===")
+    Features.pivotCohort(cleaned("chart"), "stay_id", "itemid", "valuenum",
+      maxFeatures = Some(2)).show(truncate = false)
     spark.stop()
   }
 }
