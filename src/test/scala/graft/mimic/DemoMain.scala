@@ -50,6 +50,16 @@ object DemoMain {
     println("=== PIVOT_COHORT (top-2, wide) ===")
     Features.pivotCohort(cleaned("chart"), "stay_id", "itemid", "valuenum",
       maxFeatures = Some(2)).show(truncate = false)
+
+    // typed Dataset boundary (Model)
+    {
+      import Model._
+      import spark.implicits._
+      val meds = MimicSource(spark, root).inputEventsTyped
+        .map(m => (m.orderid, (m.endtime.getTime - m.starttime.getTime) / 3600000L))
+        .collect().toMap
+      println("TYPED med durations (h): " + meds.toSeq.sortBy(_._1).mkString(", "))
+    }
     spark.stop()
   }
 }
