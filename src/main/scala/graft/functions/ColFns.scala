@@ -89,4 +89,27 @@ object ColFns {
 
   /** Cosine similarity of two vector columns (double). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  // ---------- skew handling ----------
+
+  /** Salted equi-join for skewed keys: the fact side gets a deterministic
+    * salt in [0, factor), the (small) dim side is exploded `factor`× so
+    * every (key, salt) bucket matches — a hot key's rows spread over
+    * `factor` reducers instead of one. Results are IDENTICAL to
+    * `fact.join(dim, keys)` (salting is purely physical), so the same
+    * SQL oracle applies. `saltSrc` must be a deterministic fact-side
+    * column (e.g. a row id) — rand() would break retries/resume.
+    *
+    * Prefer AQE's skew-join handling when shuffle sizes trigger it; this
+    * helper is for the planned-ahead case (known hot keys, or map-side
+    * state that AQE can't split).
+    */
+  def saltedJoin(fact: org.apache.spark.sql.DataFrame,
+      dim: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], saltSrc: Column, factor: Int): org.apache.spark.sql.DataFrame = {
+    val salted = fact.withColumn("_salt", pmod(saltSrc, lit(factor)).cast("int"))
+    val dimX = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(dimX, keys :+ "_salt").drop("_salt")
+  }
 }

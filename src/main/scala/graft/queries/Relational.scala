@@ -415,6 +415,36 @@ object Relational {
              |JOIN stats ON w1.user_id = stats.user_id""".stripMargin),
       "horizontal concat of wide frames (SURVEY U4, datagen.py:779-782)"),
 
+    // Skew-salted join (scale technique): events has only 5 distinct
+    // event_type keys — the worst-case shuffle skew. saltedJoin spreads
+    // each hot key over 8 reducers; results are IDENTICAL to the plain
+    // join (salting is physical), so the oracle is the plain SQL join.
+    Q("q37_salted_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val dim = ev.groupBy(col("event_type")).agg(count(lit(1)).as("type_cnt"))
+        graft.functions.ColFns.saltedJoin(
+            ev.select(col("event_id"), col("event_type")), dim,
+            Seq("event_type"), col("event_id"), factor = 8)
+          .select(col("event_id"), col("event_type"), col("type_cnt"))
+      },
+      Some("""WITH dim AS (
+             |  SELECT event_type, COUNT(*) AS type_cnt FROM events GROUP BY event_type)
+             |SELECT event_id, events.event_type, type_cnt
+             |FROM events JOIN dim ON events.event_type = dim.event_type""".stripMargin),
+      "salted equi-join for hot keys, result-identical to plain join (scale)"),
+
+    // A5 approximate variant (scale technique): HLL++ distinct counts for
+    // logging/stats where exact distinct would shuffle every value.
+    // No cross-engine oracle (DuckDB's sketch differs) — driver records
+    // the weaker rows-only check; the exact twin is q25_vocab.
+    Q("q38_approx_vocab",
+      (s, dir) => t(s, dir, "events").groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          count(lit(1)).as("cnt")),
+      None,
+      "approx_count_distinct (HLL++) scale variant of A5; rows-only check"),
+
     // A7: exact per-group percentile clip (outlier_removal.py semantics).
     Q("q12_percentile_clip",
       (s, dir) => {

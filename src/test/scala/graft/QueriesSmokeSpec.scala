@@ -24,7 +24,11 @@ class QueriesSmokeSpec extends SparkSpec {
   }
 
   test("every query has oracle SQL or a documented omission") {
+    // q38: approx_count_distinct sketches differ across engines — the
+    // driver records the weaker rows-only check for it by design.
+    val allowedNoOracle = Set("q38_approx_vocab")
     val missing = Registry.all.filter(_.sql.isEmpty).map(_.name)
+      .filterNot(allowedNoOracle)
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 

@@ -60,6 +60,14 @@ object DemoMain {
         .collect().toMap
       println("TYPED med durations (h): " + meds.toSeq.sortBy(_._1).mkString(", "))
     }
+
+    // SQL surface for the custom expression
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb")
+    println("SQL vec_dot self-similarity top-1: " + spark.sql(
+      "SELECT vec_id, round(vec_dot(embedding, embedding), 3) AS sq FROM emb ORDER BY sq DESC, vec_id LIMIT 1")
+      .head)
     spark.stop()
   }
 }
