@@ -275,6 +275,43 @@ object Temporal {
              |WHERE event_type = 'purchase'""".stripMargin),
       "as-of join via tagged-union ordered window (north-star temporal op)"),
 
+    // Sessionization: 30-minute-gap session windows per user — the
+    // classic lag→flag→cumsum pattern (one shuffle by user, one sort).
+    // The streaming twin (open-ended sessions via state timeout) is in
+    // graft.streaming; this batch form is oracle-checkable.
+    Q("q39_sessionize",
+      (s, dir) => {
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("prev_us", lag(micros(col("ts")), 1).over(ord))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              micros(col("ts")) - col("prev_us") > 30L * 60L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sess_no", sum(col("new_sess")).over(run))
+          .groupBy(col("user_id"), col("sess_no"))
+          .agg(count(lit(1)).as("n_events"),
+            floorDiv(max(micros(col("ts"))) - min(micros(col("ts"))), 60L * 1000000L)
+              .as("sess_minutes"))
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch(ts - lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+             |sessions AS (
+             |  SELECT user_id, ts,
+             |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no
+             |  FROM flagged)
+             |SELECT user_id, sess_no, COUNT(*) AS n_events,
+             |  CAST(FLOOR(epoch(MAX(ts) - MIN(ts))/60) AS BIGINT) AS sess_minutes
+             |FROM sessions GROUP BY user_id, sess_no""".stripMargin),
+      "session windows via lag/flag/cumsum (north-star temporal; streaming twin in graft.streaming)"),
+
     // Running per-entity accumulation (integer-exact across engines).
     Q("q26_running_sum",
       (s, dir) => {

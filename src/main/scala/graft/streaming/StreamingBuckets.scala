@@ -35,4 +35,63 @@ object StreamingBuckets {
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  // ---------- stateful sessionization (flatMapGroupsWithState) ----------
+
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessState(startUs: Long, lastUs: Long, n: Int)
+  final case class Session(user_id: Long, n_events: Int, sess_minutes: Long)
+
+  /** Streaming twin of q39_sessionize: per-user 30-min-gap sessions with
+    * custom state. Gaps seen inside a batch close sessions immediately;
+    * the open tail session closes via EVENT-TIME TIMEOUT once the
+    * watermark passes last_event + gap — so state is bounded and the
+    * operator runs forever. Batch q39 and this agree on closed sessions.
+    */
+  def sessionize(events: org.apache.spark.sql.Dataset[SessEvent],
+      gapMinutes: Int = 30, watermark: String = "1 hour")
+      : org.apache.spark.sql.Dataset[Session] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val sessStateEnc: Encoder[SessState] = Encoders.product[SessState]
+    implicit val sessionEnc: Encoder[Session] = Encoders.product[Session]
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def emit(uid: Long, st: SessState): Session =
+      Session(uid, st.n, (st.lastUs - st.startUs) / 60000000L)
+
+    def fn(uid: Long, evs: Iterator[SessEvent],
+        state: GroupState[SessState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(emit(uid, _)).iterator
+        state.remove()
+        out
+      } else {
+        val sorted = evs.map(e => e.ts.getTime * 1000L).toArray.sorted
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        sorted.foreach { us =>
+          cur match {
+            case Some(st) if us - st.lastUs <= gapUs =>
+              cur = Some(SessState(st.startUs, us, st.n + 1))
+            case Some(st) =>
+              closed ::= emit(uid, st)
+              cur = Some(SessState(us, us, 1))
+            case None =>
+              cur = Some(SessState(us, us, 1))
+          }
+        }
+        cur.foreach { st =>
+          state.update(st)
+          state.setTimeoutTimestamp(st.lastUs / 1000L + gapMinutes * 60L * 1000L)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The mergeable Aggregator must produce the same signatures as the
+  * per-row expression path (queries/Docs.scala) — same hash families,
+  * same mins — regardless of partitioning (merge associativity). */
+class MinHashAggSpec extends SparkSpec {
+
+  private def words(c: org.apache.spark.sql.Column) =
+    split(trim(regexp_replace(c, "\\s+", " ")), " ")
+  private def shingles(ws: org.apache.spark.sql.Column) =
+    when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2), i =>
+        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  test("grouped Aggregator signature == per-row expression signature") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("ws", words(col("text")))
+      .withColumn("sh", shingles(col("ws")))
+
+    // per-row expression path (the d06 shape)
+    val exprSig = docs.select(
+      col("doc_id") +: (0 until MinHashAgg.K).map(i =>
+        array_min(transform(col("sh"), x =>
+          md5(concat(lit(s"$i|"), x).cast("binary")))).as(s"mh$i")): _*)
+
+    // exploded shingles → grouped Aggregator, forced through a shuffle
+    // with several partitions so merge() actually runs
+    val aggSig = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .repartition(7)
+      .groupBy(col("doc_id"))
+      .agg(MinHashAgg.minhashCol(col("shingle")))
+
+    val joined = exprSig.join(aggSig, "doc_id")
+    val bad = joined.filter(
+      (0 until MinHashAgg.K).map(i =>
+        col(s"mh$i") =!= element_at(col("mh_sig"), i + 1)).reduce(_ || _))
+    assert(bad.count() === 0)
+    assert(joined.count() === docs.count())
+  }
+
+  test("merge handles empty partitions (null mins)") {
+    import spark.implicits._
+    val one = Seq((1L, "a b c")).toDF("doc_id", "shingle")
+    val sig = one.groupBy(col("doc_id")).agg(MinHashAgg.minhashCol(col("shingle")))
+      .head.getAs[scala.collection.Seq[String]]("mh_sig")
+    assert(sig.length === MinHashAgg.K && sig.forall(_ != null))
+  }
+}

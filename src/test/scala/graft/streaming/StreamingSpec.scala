@@ -51,6 +51,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionize: in-batch gap closes a session; timeout closes the tail") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def at(min: Long) = new Timestamp(base + min * 60000L)
+
+    val stream = MemoryStream[StreamingBuckets.SessEvent]
+    val query = StreamingBuckets.sessionize(stream.toDS(), gapMinutes = 30,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: 3 events 0/10/20 min, then a 90-min gap, then 2 events —
+      // the gap closes session 1 INSIDE the batch
+      stream.addData(Seq(0L, 10L, 20L, 110L, 115L)
+        .map(m => StreamingBuckets.SessEvent(1L, at(m))))
+      query.processAllAvailable()
+      val afterBatch1 = spark.table("sessions").as[StreamingBuckets.Session].collect()
+      assert(afterBatch1.toSeq === Seq(StreamingBuckets.Session(1L, 3, 20L)))
+
+      // much later event advances the watermark past 115+30+10 → the
+      // tail session (2 events, 5 min) closes via event-time timeout
+      stream.addData(Seq(StreamingBuckets.SessEvent(2L, at(600L))))
+      query.processAllAvailable()
+      stream.addData(Seq(StreamingBuckets.SessEvent(2L, at(610L))))
+      query.processAllAvailable()
+      val sessions = spark.table("sessions").as[StreamingBuckets.Session]
+        .collect().toSet
+      assert(sessions.contains(StreamingBuckets.Session(1L, 2, 5L)),
+        s"tail session not closed: $sessions")
+    } finally query.stop()
+  }
+
   test("dedupStream drops duplicate event_ids within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
