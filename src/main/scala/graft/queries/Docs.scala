@@ -219,6 +219,57 @@ object Docs {
       },
       "MinHash-LSH band-bucket candidate pairs (north-star: dedup)"),
 
+    // Dedup clustering: LSH candidate pairs → connected components →
+    // (doc_id, cluster_rep). The full dedup pipeline end-to-end:
+    // signature pass + band shuffle + O(diameter) label-propagation
+    // rounds. Oracle: recursive-CTE transitive closure (small graphs).
+    Q("d12_dedup_clusters",
+      (s, dir) => {
+        val sig = withShingles(s, dir).select(
+          col("doc_id") +: (0 until 8).map(i => minhash(col("sh"), i).as(s"mh$i")): _*)
+        val banded = sig.select(col("doc_id"), explode(array(
+          (0 until 4).map(b => concat(lit(s"$b:"), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)).as("band_key"))
+        val buckets = banded.groupBy(col("band_key"))
+          .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+        val pairs = buckets.select(explode(flatten(
+          transform(col("ids"), (a, i) =>
+            transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+              struct(a.as("u"), b.as("v")))))).as("p"))
+          .select(col("p.u"), col("p.v")).distinct()
+        val comps = graft.operators.ConnectedComponents.components(pairs)
+        t(s, dir, "documents").select(col("doc_id"))
+          .join(comps, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+      },
+      Some {
+        val mh = (0 until 8).map(i => s"  ${dMinhash("sh", i)} AS mh$i").mkString(",\n")
+        val bands = (0 until 4).map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || mh${2 * b + 1} AS band_key FROM sig")
+          .mkString("\n  UNION ALL ")
+        s"""WITH RECURSIVE w AS (SELECT doc_id, $dWords ws FROM documents),
+           |s AS (SELECT doc_id,
+           |  list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) sh
+           |  FROM w),
+           |sig AS (SELECT doc_id,
+           |$mh
+           |FROM s),
+           |banded AS (
+           |  $bands),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+           |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |rep AS (SELECT u AS id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u)
+           |SELECT d.doc_id, COALESCE(rep.rep, d.doc_id) AS cluster_rep
+           |FROM documents d LEFT JOIN rep ON d.doc_id = rep.id""".stripMargin
+      },
+      "dedup groups: LSH pairs -> connected components (north-star: dedup)"),
+
     // BPE-ish regex tokenization: letter runs / digit runs / punct runs —
     // the dialect-portable core of a GPT-style pre-tokenizer (north-star:
     // token counting). Java and RE2 agree on this pattern class.

@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  test("chain, clique, and singleton components converge to min labels") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), clique 10-11-12, pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("u", "v")
+    val comps = ConnectedComponents.components(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("long path needs multiple rounds and still converges") {
+    import spark.implicits._
+    val n = 30
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("u", "v")
+    val comps = ConnectedComponents.components(edges)
+    assert(comps.select(col("rep")).distinct().count() === 1)
+    assert(comps.agg(min(col("rep"))).head.getLong(0) === 1L)
+    assert(comps.count() === n)
+  }
+}
