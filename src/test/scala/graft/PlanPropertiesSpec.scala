@@ -1,0 +1,57 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import org.apache.spark.sql.DataFrame
+import graft.queries.Registry
+
+/** Scale-property regression guards: these assertions pin the PLAN, not
+  * the result — a refactor that silently drops a pushdown, un-broadcasts
+  * a dimension, or introduces a cartesian product fails here before it
+  * costs anything at cluster scale. */
+class PlanPropertiesSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df: DataFrame = Registry.queries(name)(spark, sfDir)
+    val out = new ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("q02: filters reach the parquet scan; scan reads only needed columns") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"no pushed shipdate filter:\n$p")
+    assert(!p.contains("l_comment") && !p.contains("l_returnflag"),
+      "scan reads pruned columns")
+  }
+
+  test("q03: all four dimension joins broadcast; no sort-merge join") {
+    val p = planOf("q03_join_multi")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the exchange") {
+    val p = planOf("q01_agg_sum")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no partial aggregation:\n${p.take(800)}")
+  }
+
+  test("q37: salted join shuffles on (event_type, _salt), not event_type alone") {
+    val p = planOf("q37_salted_join")
+    assert(p.contains("_salt"), s"salt column absent from plan:\n${p.take(800)}")
+  }
+
+  test("d07: no cartesian/sort-merge anywhere in the LSH pipeline") {
+    val p = planOf("d07_lsh_pairs")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q12: percentile stats side is broadcast back to events") {
+    val p = planOf("q12_percentile_clip")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"stats join not broadcast:\n${p.take(800)}")
+  }
+}
