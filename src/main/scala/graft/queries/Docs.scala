@@ -189,8 +189,15 @@ object Docs {
       (s, dir) => {
         val sig = withShingles(s, dir).select(
           col("doc_id") +: (0 until 8).map(i => minhash(col("sh"), i).as(s"mh$i")): _*)
+        // Docs with no shingles (<3 tokens, or null text) have NULL
+        // minhashes → NULL band keys. groupBy treats NULLs as EQUAL —
+        // without the isNotNull filter every shingle-less doc lands in
+        // one giant bucket and generates spurious pairs (the SQL
+        // oracle's equi-join drops NULL keys, so this also diverges
+        // cross-engine). Found by edge-case battery, kept as a guard.
         val banded = sig.select(col("doc_id"), explode(array(
           (0 until 4).map(b => concat(lit(s"$b:"), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)).as("band_key"))
+          .filter(col("band_key").isNotNull)
         val buckets = banded.groupBy(col("band_key"))
           .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
           .filter(size(col("ids")) > 1)
@@ -229,6 +236,7 @@ object Docs {
           col("doc_id") +: (0 until 8).map(i => minhash(col("sh"), i).as(s"mh$i")): _*)
         val banded = sig.select(col("doc_id"), explode(array(
           (0 until 4).map(b => concat(lit(s"$b:"), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)).as("band_key"))
+          .filter(col("band_key").isNotNull) // see d07 NULL-band guard
         val buckets = banded.groupBy(col("band_key"))
           .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
           .filter(size(col("ids")) > 1)
@@ -296,12 +304,15 @@ object Docs {
       (s, dir) => {
         val code = (x: Column) =>
           (ascii(x) * lit(256L) + ascii(substring(x, -1, 1)) * lit(16L) + length(x)).cast("long")
+        // null text → 0, matching the oracle (DuckDB's list_prepend(0,
+        // NULL) yields [0] so its fold returns 0; Spark's aggregate over
+        // a null array returns null). Edge-case battery finding.
         t(s, dir, "documents")
           .withColumn("ws", words(col("text")))
           .withColumn("codes", transform(col("ws"), x => code(x)))
           .select(col("doc_id"),
-            aggregate(col("codes"), lit(0L),
-              (acc, c) => pmod(acc * 31L + c, lit(1000000007L))).as("rhash"))
+            coalesce(aggregate(col("codes"), lit(0L),
+              (acc, c) => pmod(acc * 31L + c, lit(1000000007L))), lit(0L)).as("rhash"))
       },
       Some(s"""SELECT doc_id,
               |  list_reduce(
