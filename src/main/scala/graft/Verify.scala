@@ -32,7 +32,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // wipe stale per-query outputs: a query that fails THIS run must not
+    // leave a previous run's parquet behind to be compared as if current
+    val outRoot = new java.io.File(outDir)
+    if (outRoot.exists())
+      outRoot.listFiles().filter(_.isDirectory).foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(d)
+      }
+    outRoot.mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

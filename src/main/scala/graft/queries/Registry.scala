@@ -28,9 +28,18 @@ object Registry {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val df = s.read.parquet(s"$dir/$name.parquet")
+      // Robust to the actual physical type: NANOS reads as long under the
+      // flag (convert with exact integer math); micro/milli files read as
+      // a timestamp type directly (normalize NTZ → TIMESTAMP under the
+      // pinned UTC session zone).
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        case _ =>
+          df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
 
   lazy val all: Seq[Q] =

@@ -268,7 +268,11 @@ object Relational {
     // A3-adjacent: regexp extraction + zero/missing counting.
     Q("q18_missing_count",
       (s, dir) => {
-        val k = regexp_extract(col("props"), "(\\d+)", 1).cast("long")
+        // nullif before cast: regexp_extract yields '' on no match and
+        // Spark's default ANSI cast THROWS on '' — digit-less props must
+        // yield null, not abort the job (edge-case battery finding; the
+        // oracle's TRY_CAST is the same semantics)
+        val k = nullif(regexp_extract(col("props"), "(\\d+)", 1), lit("")).cast("long")
         t(s, dir, "events").select(col("event_type"), k.as("k"))
           .groupBy(col("event_type"))
           .agg(sum(when(col("k") === 0, 1L).otherwise(0L)).as("n_zero"),

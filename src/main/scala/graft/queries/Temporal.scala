@@ -319,13 +319,14 @@ object Temporal {
           .orderBy(col("ts").asc, col("event_id").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "events")
-          .withColumn("k", regexp_extract(col("props"), "(\\d+)", 1).cast("long"))
+          .withColumn("k", // nullif: ANSI cast('') throws — see q18
+            nullif(regexp_extract(col("props"), "(\\d+)", 1), lit("")).cast("long"))
           .select(col("event_id"), col("user_id"),
             sum(col("k")).over(w).as("running_k"),
             count(lit(1)).over(w).as("running_n"))
       },
       Some("""SELECT event_id, user_id,
-             |  CAST(SUM(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT))
+             |  CAST(SUM(TRY_CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT))
              |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_k,
              |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC

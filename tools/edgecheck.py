@@ -41,4 +41,24 @@ COPY (SELECT * FROM (VALUES
   (11, NULL, 'en', 'web', 0)
 ) t(doc_id, text, lang, source, n_chars)) TO '{OUT}/documents.parquet' (FORMAT PARQUET)
 """)
+# events edges: single-event user, identical-ts ties, digit-less props,
+# unseen event_type, values at percentile extremes, exact hour boundaries.
+# ts MUST be TIMESTAMP_NS — Registry.t reads the nanos physical type.
+con.sql(f"""
+COPY (SELECT event_id, ts::TIMESTAMP_NS AS ts, user_id, event_type,
+             value::DOUBLE AS value, props
+FROM (VALUES
+  (1, TIMESTAMP '2024-01-01 00:00:00', 100, 'click',    1.0,  '{{"k": 1}}'),
+  (2, TIMESTAMP '2024-01-02 03:00:00', 101, 'view',     2.5,  '{{"k": 2}}'),
+  (3, TIMESTAMP '2024-01-02 03:00:00', 101, 'purchase', 3.5,  '{{"k": 3}}'),
+  (4, TIMESTAMP '2024-01-02 03:00:00', 101, 'view',     4.5,  'no digits here'),
+  (5, TIMESTAMP '2024-01-03 00:00:00', 101, 'weird',    9.9,  '{{}}'),
+  (6, TIMESTAMP '2024-01-04 12:00:00', 102, 'error',    0.0,  '{{"k": 0}}'),
+  (7, TIMESTAMP '2024-01-04 12:30:00', 102, 'error',    -5.0, '{{"k": 007}}'),
+  (8, TIMESTAMP '2024-01-04 13:00:00', 102, 'click',    1000000.0, '{{"k": 99999999}}'),
+  (9, TIMESTAMP '2024-01-30 23:59:59', 103, 'signup',   0.01, '{{"k": 8}}'),
+  (10, TIMESTAMP '2024-01-01 01:00:00', 103, 'view',    7.0,  '{{"k": 9}}')
+) t(event_id, ts, user_id, event_type, value, props))
+TO '{OUT}/events.parquet' (FORMAT PARQUET)
+""")
 print(f"edge testdata written to {OUT}; run Verify + check against it")
