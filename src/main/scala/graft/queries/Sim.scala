@@ -156,6 +156,54 @@ object Sim {
       },
       "random-hyperplane LSH-bucketed ANN (north-star: similarity)"),
 
+    // Embedding near-dup pairs (threshold form): hyperplane buckets from
+    // e04, then exact cosine only WITHIN buckets — all-pairs similarity
+    // without the quadratic cross join (candidate set is per-bucket).
+    // Threshold compares the ROUNDED cosine so the cut is cross-engine
+    // stable.
+    Q("e05_embed_neardup",
+      (s, dir) => {
+        def planeDot(emb: Column, j: Int): Column =
+          aggregate(
+            transform(emb, (x, i) =>
+              x.cast("double") * ((i * 37 + lit(j * 101)) % 19 - 9).cast("double")),
+            lit(0.0), (acc, x) => acc + x)
+        def bucket(emb: Column): Column =
+          (0 until 8).map(j => when(planeDot(emb, j) > 0, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _)
+        val e = t(s, dir, "embeddings")
+          .withColumn("bkt", bucket(col("embedding")))
+        val a = e.select(col("bkt"), col("vec_id").as("vec_id_a"), col("embedding").as("ea"))
+        val b = e.select(col("bkt"), col("vec_id").as("vec_id_b"), col("embedding").as("eb"))
+        a.join(b, Seq("bkt"))
+          .filter(col("vec_id_a") < col("vec_id_b"))
+          .withColumn("cos_sim", round(cosineFast(col("ea"), col("eb")), 4))
+          .filter(col("cos_sim") >= 0.2)
+          .select(col("vec_id_a"), col("vec_id_b"), col("cos_sim"))
+      },
+      Some {
+        val sums = (0 until 8).map(j =>
+          s"  SUM(v * ((((pos - 1) * 37 + $j * 101) % 19) - 9)) AS s$j").mkString(",\n")
+        val code = (0 until 8).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        s"""WITH unnested AS (
+           |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+           |         unnest(embedding::DOUBLE[]) AS v
+           |  FROM embeddings),
+           |sums AS (SELECT vec_id,
+           |$sums
+           |FROM unnested GROUP BY vec_id),
+           |bkt AS (SELECT vec_id, CAST($code AS BIGINT) AS bkt FROM sums),
+           |e AS (SELECT embeddings.vec_id, embedding, bkt
+           |      FROM embeddings JOIN bkt ON embeddings.vec_id = bkt.vec_id)
+           |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           |  ROUND(${dDot("a.embedding", "b.embedding")} /
+           |    (sqrt(${dDot("a.embedding", "a.embedding")}) * sqrt(${dDot("b.embedding", "b.embedding")})), 4) AS cos_sim
+           |FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+           |WHERE ROUND(${dDot("a.embedding", "b.embedding")} /
+           |    (sqrt(${dDot("a.embedding", "a.embedding")}) * sqrt(${dDot("b.embedding", "b.embedding")})), 4) >= 0.2""".stripMargin
+      },
+      "embedding near-dup pairs via hyperplane buckets (north-star: dedup)"),
+
     // Multimodal-column plumbing: opaque bytes + typed metadata + a
     // clearly-fake deterministic "decode" (real decode is stubbed — media
     // libs aren't in the container; see graft.mm.Multimodal for the

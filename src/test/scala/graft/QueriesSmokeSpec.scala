@@ -10,7 +10,7 @@ class QueriesSmokeSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
   // Queries whose result can legitimately be empty at sf0.001
-  private val mayBeEmpty = Set("q05_anti_join", "d07_lsh_pairs")
+  private val mayBeEmpty = Set("q05_anti_join", "d07_lsh_pairs", "e05_embed_neardup")
 
   Registry.all.foreach { q =>
     test(s"${q.name} runs on sf0.001") {
