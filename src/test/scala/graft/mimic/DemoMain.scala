@@ -61,6 +61,13 @@ object DemoMain {
       println("TYPED med durations (h): " + meds.toSeq.sortBy(_._1).mkString(", "))
     }
 
+    // non-ICU (hospital admissions) path: hadm roles, days-only los
+    println("=== HOSP COHORT (Readmission, 30d gap) ===")
+    Cohort.extract(MimicSource(spark, root), useIcu = false,
+      label = "Readmission", time = 30)
+      .select(col("hadm_id"), col("los"), col("label"))
+      .orderBy(col("hadm_id")).show(truncate = false)
+
     // SQL surface for the custom expression
     graft.GraftExtensions.register(spark)
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
