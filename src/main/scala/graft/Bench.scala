@@ -9,9 +9,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle partitions pinned per scale factor (SURVEY 4.2): at the
+    // bench SFs every shuffle is a few MB, so fewer reducers cut task
+    // dispatch overhead; AQE coalescing handles the rest. Override with
+    // SPARK_GRAFT_SHUFFLE for larger SFs.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
