@@ -419,6 +419,23 @@ object Relational {
              |JOIN stats ON w1.user_id = stats.user_id""".stripMargin),
       "horizontal concat of wide frames (SURVEY U4, datagen.py:779-782)"),
 
+    // J5: dictionary enrichment join — code → title lookup through a
+    // broadcast dim, no aggregation (the d_icd_diagnoses shape,
+    // icuutil.py:82-88). Fact side never shuffles.
+    Q("q40_dict_join",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_linenumber") === 1)
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"), "inner")
+        .select(col("l_orderkey"), col("l_partkey"), col("p_name"),
+          substring(col("p_type"), 1, 6).as("type_head")),
+      Some("""SELECT l_orderkey, l_partkey, p_name,
+             |  SUBSTRING(p_type, 1, 6) AS type_head
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_linenumber = 1""".stripMargin),
+      "broadcast dictionary title join (SURVEY J5, icuutil.py:82-88)"),
+
     // Skew-salted join (scale technique): events has only 5 distinct
     // event_type keys — the worst-case shuffle skew. saltedJoin spreads
     // each hot key over 8 reducers; results are IDENTICAL to the plain

@@ -84,6 +84,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("MinHash sketch aggregates over a stream == batch signature") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val shingles = Seq("a b c", "b c d", "c d e", "d e f", "e f g")
+      .map(s => (1L, s))
+    val stream = MemoryStream[(Long, String)]
+    val agg = stream.toDF().toDF("doc_id", "shingle")
+      .groupBy(org.apache.spark.sql.functions.col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhashCol(
+        org.apache.spark.sql.functions.col("shingle")))
+    val query = agg.writeStream.format("memory").queryName("mh_stream")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches: the sketch must MERGE across batches
+      stream.addData(shingles.take(2))
+      query.processAllAvailable()
+      stream.addData(shingles.drop(2))
+      query.processAllAvailable()
+      val streamed = spark.table("mh_stream")
+        .head.getAs[scala.collection.Seq[String]]("mh_sig")
+      val batch = shingles.toDF("doc_id", "shingle")
+        .groupBy(org.apache.spark.sql.functions.col("doc_id"))
+        .agg(graft.functions.MinHashAgg.minhashCol(
+          org.apache.spark.sql.functions.col("shingle")))
+        .head.getAs[scala.collection.Seq[String]]("mh_sig")
+      assert(streamed === batch)
+    } finally query.stop()
+  }
+
   test("dedupStream drops duplicate event_ids within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
