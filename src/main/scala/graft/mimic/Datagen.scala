@@ -28,10 +28,13 @@ object Datagen {
     * `offsetCol` is event_time_from_admit from the features stage.
     */
   def generateEvents(events: DataFrame, adm: DataFrame, offsetCol: String = "event_time_from_admit"): DataFrame =
+    // one broadcast join does both jobs: cohort membership (non-matching
+    // rows get null los and fail the sanity filter) and the los bound —
+    // a separate left_semi would be a second full pass over the largest
+    // table for nothing
     events
       .withColumn("start_time", col(offsetCol))
       .filter(col("start_time") >= 0)
-      .join(adm.select(col("stay_id"), col("los")), Seq("stay_id"), "left_semi")
       .join(broadcast(adm.select(col("stay_id"), col("los"))), Seq("stay_id"), "left")
       .filter(col("los") - col("start_time") > 0)
       .drop("los")

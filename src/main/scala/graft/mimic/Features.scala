@@ -101,7 +101,11 @@ object Features {
         count(lit(1)).as("n_uoms"))
     val tot = df.groupBy(col("itemid")).agg(count(lit(1)).as("n_obs"))
     df.join(broadcast(stats.join(tot, Seq("itemid"))), Seq("itemid"), "left")
-      .filter(col("n_uoms") <= 1 ||
+      // n_uoms NULL = the itemid has no non-null UOM at all: the
+      // reference only drops rows when value_counts.size > 1, so an
+      // all-null-UOM itemid keeps every row (null-safe first disjunct —
+      // without it all three disjuncts are null and the rows vanish)
+      .filter(col("n_uoms").isNull || col("n_uoms") <= 1 ||
         col("mode_cnt").cast("double") / col("n_obs").cast("double") <= cutOff ||
         col("valueuom") === col("mode_uom"))
       .drop("mode_uom", "mode_cnt", "n_uoms", "n_obs")

@@ -19,11 +19,19 @@ final case class MimicSource(spark: SparkSession, root: String) {
 
   private def path(rel: String) = s"$root/$rel"
 
+  /** Existence via Hadoop's FileSystem, not java.io.File — the root may
+    * be HDFS/S3 at deployment scale, where driver-local checks are
+    * always false (would silently re-read non-splittable csv.gz). */
+  private def exists(p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
   /** Parquet dir if present (ingested), else the reference's csv.gz. */
   def table(rel: String, schema: StructType, sep: String = ","): DataFrame = {
-    val pq = new java.io.File(path(rel).stripSuffix(".csv.gz") + ".parquet")
-    if (pq.exists())
-      spark.read.schema(schema).parquet(pq.getPath)
+    val pq = path(rel).stripSuffix(".csv.gz") + ".parquet"
+    if (exists(pq))
+      spark.read.schema(schema).parquet(pq)
     else
       spark.read.schema(schema).option("header", "true").option("sep", sep)
         .csv(path(rel))
@@ -78,7 +86,7 @@ final case class MimicSource(spark: SparkSession, root: String) {
       "icu/inputevents.csv.gz" -> MimicSchemas.inputevents,
       "hosp/diagnoses_icd.csv.gz" -> MimicSchemas.diagnosesIcd)
     tables.foreach { case (rel, schema) =>
-      if (new java.io.File(path(rel)).exists())
+      if (exists(path(rel)))
         spark.read.schema(schema).option("header", "true").csv(path(rel))
           .write.mode("overwrite")
           .parquet(path(rel).stripSuffix(".csv.gz") + ".parquet")

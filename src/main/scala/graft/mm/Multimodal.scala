@@ -55,9 +55,14 @@ object Multimodal {
     * keyed by (doc_id, frame_no)) is the real shape. */
   def frameSample(df: DataFrame, everyK: Int): DataFrame =
     df.select(col("doc_id"), col("payload"))
+      // guard empty payloads: sequence(0, -1) is a DESCENDING range in
+      // Spark (two bogus frames), not empty — same edge class as the
+      // shingle guard in queries/Docs.scala
       .withColumn("frame_no",
-        explode(sequence(lit(0),
-          floor((octet_length(col("payload")) - 1) / everyK).cast("int"))))
+        explode(when(octet_length(col("payload")) > 0,
+          sequence(lit(0),
+            floor((octet_length(col("payload")) - 1) / everyK).cast("int")))
+          .otherwise(array().cast("array<int>"))))
       .withColumn("frame_byte",
         expr(s"substring(payload, frame_no * $everyK + 1, 1)"))
       .drop("payload")

@@ -74,7 +74,12 @@ object StreamingBuckets {
         sorted.foreach { us =>
           cur match {
             case Some(st) if us - st.lastUs <= gapUs =>
-              cur = Some(SessState(st.startUs, us, st.n + 1))
+              // within-watermark LATE events may precede lastUs (or even
+              // startUs): min/max keep the session envelope monotone —
+              // a regressing lastUs would shrink the duration AND set an
+              // event-time timeout behind the watermark (query abort)
+              cur = Some(SessState(math.min(st.startUs, us),
+                math.max(st.lastUs, us), st.n + 1))
             case Some(st) =>
               closed ::= emit(uid, st)
               cur = Some(SessState(us, us, 1))

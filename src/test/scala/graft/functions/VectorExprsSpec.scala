@@ -43,4 +43,15 @@ class VectorExprsSpec extends SparkSpec {
     val r = df.select(VectorExprs.vecDot(col("a"), col("b"))).head
     assert(r.isNullAt(0))
   }
+
+  test("VecDot length mismatch -> null (matches zip_with null-padding), both eval paths") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    // codegen'd path
+    val r = df.select(VectorExprs.vecDot(col("a"), col("b")).as("d"),
+      ColFns.dot(col("a"), col("b")).as("fold")).head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    // interpreted path (eval via filter on a literal-free comparison)
+    assert(df.filter(VectorExprs.vecDot(col("a"), col("b")).isNull).count() === 1)
+  }
 }

@@ -37,4 +37,11 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count() === 3)
     assert(frames.columns.toSet === Set("doc_id", "frame_no", "frame_byte"))
   }
+
+  test("frameSample yields ZERO frames for an empty payload") {
+    // sequence(0, -1) would be a descending range — guard must produce
+    // no rows, not two bogus frames
+    val frames = Multimodal.frameSample(Multimodal.withPayload(docs.filter(col("doc_id") === 2)), 4)
+    assert(frames.count() === 0)
+  }
 }

@@ -84,6 +84,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionize: within-watermark LATE event extends session without regressing state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def at(min: Long) = new Timestamp(base + min * 60000L)
+    val stream = MemoryStream[StreamingBuckets.SessEvent]
+    val query = StreamingBuckets.sessionize(stream.toDS(), gapMinutes = 30,
+        watermark = "60 minutes")
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(StreamingBuckets.SessEvent(1L, at(20L)),
+        StreamingBuckets.SessEvent(1L, at(40L))))
+      query.processAllAvailable()
+      // LATE event at minute 10 (within the 60-min watermark) must extend
+      // the open session BACKWARD, not regress lastUs / crash the query
+      stream.addData(Seq(StreamingBuckets.SessEvent(1L, at(10L))))
+      query.processAllAvailable()
+      // advance watermark far past the session to force the timeout close
+      stream.addData(Seq(StreamingBuckets.SessEvent(2L, at(500L))))
+      query.processAllAvailable()
+      stream.addData(Seq(StreamingBuckets.SessEvent(2L, at(510L))))
+      query.processAllAvailable()
+      val sessions = spark.table("late_sessions")
+        .as[StreamingBuckets.Session].collect().toSet
+      // envelope 10..40 → 3 events, 30 minutes
+      assert(sessions.contains(StreamingBuckets.Session(1L, 3, 30L)),
+        s"late-extended session wrong: $sessions")
+    } finally query.stop()
+  }
+
   test("MinHash sketch aggregates over a stream == batch signature") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
