@@ -141,6 +141,20 @@ final case class Pipeline(
       outMap.get("med").map(Datagen.wideModality(_, "rate", "med_rate"))).flatten
     if (wideParts.nonEmpty)
       outMap += "dynamic" -> write(Datagen.assemble(wideParts), "ts/dynamic")
+
+    // vocabulary sidecars (datagen.py:936-984): distinct code list per
+    // modality, written next to the time-series outputs
+    Seq("med", "chart", "proc", "out").foreach { k =>
+      outMap.get(k).foreach { df =>
+        Sinks.writeVocab(Datagen.vocab(df, "itemid"), s"$outDir/ts/vocab_$k")
+      }
+    }
+    outMap.get("cond").foreach { df =>
+      Sinks.writeVocab(
+        Datagen.vocab(df.select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.col("codes")).as("code")), "code"),
+        s"$outDir/ts/vocab_cond")
+    }
     outMap
   }
 }

@@ -136,6 +136,13 @@ object Fixtures {
       .toDF("subject_id", "hadm_id", "icd_code", "icd_version")
   }
 
+  /** ICD dictionary (d_icd_diagnoses) for the S11 title joins. */
+  def dIcdDiagnoses(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("4280", "congestive heart failure"), ("I509", "heart failure, unspecified"))
+      .toDF("icd_code", "long_title")
+  }
+
   /** Mapping with a DUPLICATE diagnosis_code row: first-in-file must win. */
   def icdMapping(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -168,6 +175,7 @@ object Fixtures {
     writeCsv(procedureevents(spark), "icu/procedureevents.csv.gz")
     writeCsv(inputevents(spark), "icu/inputevents.csv.gz")
     writeCsv(diagnosesIcd(spark), "hosp/diagnoses_icd.csv.gz")
+    writeCsv(dIcdDiagnoses(spark), "hosp/d_icd_diagnoses.csv.gz")
     // mapping TSV (uncompressed, like the reference's static file)
     val map = icdMapping(spark).drop("line_no")
     val rows = map.collect().map(_.toSeq.map(v => Option(v).map(_.toString).getOrElse("")).mkString("\t"))

@@ -49,6 +49,17 @@ class HospPathSpec extends SparkSpec {
     assert(labels(503L) === 0)
   }
 
+  test("S11: diagnoses dictionary title join (broadcast inner)") {
+    val src = MimicSource(spark, root)
+    val titled = src.diagnosesWithTitles
+      .select(col("icd_code"), col("long_title")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(titled("4280") === "congestive heart failure")
+    assert(titled("I509") === "heart failure, unspecified")
+    // codes without a dictionary entry drop (inner join) — 9999 absent
+    assert(!titled.contains("9999"))
+  }
+
   test("Tuning.apply builds a session with AQE + skew handling on") {
     // verify on the config object (a second live session would collide
     // with the shared one): builder → options land in the session conf
