@@ -195,6 +195,24 @@ object Datagen {
   def assemble(parts: Seq[DataFrame]): DataFrame =
     parts.reduce((a, b) => a.join(b, Seq("stay_id", "t"), "full_outer"))
 
+  /** Per-stay NESTED output — the reference's `dataDic[hid][mod]["signal"]
+    * = {itemid: [v_t0..v_tN]}` pickle (datagen.py:693-716, S10) as ONE
+    * Parquet row per stay: map itemid → time-ordered value array. Input
+    * must be the dense imputed grid (every (stay,item) has all T
+    * buckets), so the arrays are equal-length and position == t.
+    */
+  def perStayNested(grid: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val series = grid
+      .groupBy(col("stay_id"), col("itemid"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("t"), col(valueCol).cast("double"))))).as("_byT"))
+      // map ordered by t → values in t order
+      .withColumn("_series", map_values(col("_byT")))
+    series.groupBy(col("stay_id"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("itemid"), col("_series"))))).as(outCol))
+  }
+
   /** Vocabulary sidecars (datagen.py:936-984, A5): distinct codes. */
   def vocab(df: DataFrame, codeCol: String): DataFrame =
     df.select(col(codeCol)).distinct().orderBy(col(codeCol))

@@ -142,6 +142,15 @@ final case class Pipeline(
     if (wideParts.nonEmpty)
       outMap += "dynamic" -> write(Datagen.assemble(wideParts), "ts/dynamic")
 
+    // per-stay nested artifact (the reference's dataDic pickle, S10):
+    // one row per stay with itemid → time-ordered series, written
+    // partitioned for O(1) single-stay reads
+    outMap.get("chart").foreach { g =>
+      val nested = Datagen.perStayNested(g, "valuenum", "chart_series")
+      Sinks.writePerStay(nested, s"$outDir/ts/per_stay_chart")
+      outMap += "chart_nested" -> nested
+    }
+
     // vocabulary sidecars (datagen.py:936-984): distinct code list per
     // modality, written next to the time-series outputs
     Seq("med", "chart", "proc", "out").foreach { k =>

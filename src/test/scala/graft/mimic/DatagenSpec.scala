@@ -125,6 +125,24 @@ class DatagenSpec extends SparkSpec {
     assert(maxRows === 3L)
   }
 
+  test("perStayNested: one row per stay, itemid -> t-ordered value array") {
+    import spark.implicits._
+    val grid = Seq(
+      (11L, 700L, 0L, 1.0), (11L, 700L, 1L, 2.0), (11L, 700L, 2L, 3.0),
+      (11L, 701L, 0L, 9.0), (11L, 701L, 1L, 9.0), (11L, 701L, 2L, 9.0),
+      (12L, 700L, 0L, 4.0), (12L, 700L, 1L, 5.0), (12L, 700L, 2L, 6.0))
+      .toDF("stay_id", "itemid", "t", "valuenum")
+    val nested = Datagen.perStayNested(grid, "valuenum", "chart")
+    assert(nested.count() === 2)
+    val m11 = nested.filter(col("stay_id") === 11).head
+      .getAs[Map[Long, Seq[Double]]]("chart")
+    assert(m11(700L) === Seq(1.0, 2.0, 3.0)) // position == t
+    assert(m11(701L) === Seq(9.0, 9.0, 9.0))
+    val m12 = nested.filter(col("stay_id") === 12).head
+      .getAs[Map[Long, Seq[Double]]]("chart")
+    assert(m12(700L) === Seq(4.0, 5.0, 6.0))
+  }
+
   test("wideModality + assemble: MapType rows joined on (stay,t)") {
     import spark.implicits._
     val chart = Seq((11L, 0L, 700L, 1.5), (11L, 0L, 701L, 2.5))
