@@ -75,8 +75,11 @@ object Temporal {
     // W2 forward fill: last non-null over ordered per-user window.
     Q("q07_window_ffill",
       (s, dir) => {
+        // asc_nulls_last everywhere a ts orders a window: Spark's ASC
+        // default is NULLS FIRST, DuckDB's is NULLS LAST — a null-ts row
+        // would silently flip window frames cross-engine otherwise
         val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts").asc, col("event_id").asc)
+          .orderBy(col("ts").asc_nulls_last, col("event_id").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "events")
           .withColumn("v", when(col("event_type") =!= "error", col("value")))
@@ -95,7 +98,7 @@ object Temporal {
     Q("q27_window_bfill",
       (s, dir) => {
         val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts").asc, col("event_id").asc)
+          .orderBy(col("ts").asc_nulls_last, col("event_id").asc)
           .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         t(s, dir, "events")
           .withColumn("v", when(col("event_type") =!= "error", col("value")))
@@ -173,7 +176,7 @@ object Temporal {
     Q("q32_impute_chain",
       (s, dir) => {
         val ord = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts").asc, col("event_id").asc)
+          .orderBy(col("ts").asc_nulls_last, col("event_id").asc)
         val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         val wAll = Window.partitionBy(col("user_id"))
@@ -253,7 +256,7 @@ object Temporal {
     Q("q35_asof_join",
       (s, dir) => {
         val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts").asc, col("event_id").asc)
+          .orderBy(col("ts").asc_nulls_last, col("event_id").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "events")
           .filter(col("event_type").isin("view", "purchase"))
@@ -282,7 +285,7 @@ object Temporal {
     Q("q39_sessionize",
       (s, dir) => {
         val ord = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts").asc, col("event_id").asc)
+          .orderBy(col("ts").asc_nulls_last, col("event_id").asc)
         val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "events")
           .withColumn("prev_us", lag(micros(col("ts")), 1).over(ord))
@@ -316,7 +319,7 @@ object Temporal {
     Q("q26_running_sum",
       (s, dir) => {
         val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts").asc, col("event_id").asc)
+          .orderBy(col("ts").asc_nulls_last, col("event_id").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "events")
           .withColumn("k", // nullif: ANSI cast('') throws — see q18

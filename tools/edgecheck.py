@@ -57,7 +57,11 @@ FROM (VALUES
   (7, TIMESTAMP '2024-01-04 12:30:00', 102, 'error',    -5.0, '{{"k": 007}}'),
   (8, TIMESTAMP '2024-01-04 13:00:00', 102, 'click',    1000000.0, '{{"k": 99999999}}'),
   (9, TIMESTAMP '2024-01-30 23:59:59', 103, 'signup',   0.01, '{{"k": 8}}'),
-  (10, TIMESTAMP '2024-01-01 01:00:00', 103, 'view',    7.0,  '{{"k": 9}}')
+  (10, TIMESTAMP '2024-01-01 01:00:00', 103, 'view',    7.0,  '{{"k": 9}}'),
+  (11, NULL, 103, 'view', 3.0, '{{"k": 4}}')
+) t(event_id, ts, user_id, event_type, value, props)
+UNION ALL SELECT * FROM (VALUES
+  (12, TIMESTAMP '2024-01-05 00:00:00', 104, 'click', 2.0, '{{"k": 5}}')
 ) t(event_id, ts, user_id, event_type, value, props))
 TO '{OUT}/events.parquet' (FORMAT PARQUET)
 """)
