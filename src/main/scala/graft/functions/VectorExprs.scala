@@ -37,6 +37,9 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   // detectable null, never as a plausible prefix dot product.
   override def nullable: Boolean = true
 
+  // Null ELEMENTS also propagate to a null result (ArrayData.getFloat
+  // would silently read a null slot as 0): same as the builtin fold,
+  // where a null element nulls the product and the sum.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -45,6 +48,7 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -63,9 +67,10 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

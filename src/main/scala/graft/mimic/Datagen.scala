@@ -127,16 +127,26 @@ object Datagen {
     (a, b)
   }
 
-  /** Dense per-(stay, itemid) time grid 0..losBuckets-1 (datagen.py:651-656,
-    * J14/T5): grid only over itemids OBSERVED in that stay — the
-    * reference's per-stay pivot does exactly this, and it is what keeps
-    * the grid from exploding to |stays|×|vocab|×T at scale (SURVEY §7.4.5).
+  /** Dense time grid 0..losBuckets-1 (datagen.py:651-656, J14/T5): grid
+    * only over key tuples OBSERVED in that stay — the reference's
+    * per-stay pivot does exactly this, and it is what keeps the grid from
+    * exploding to |stays|×|vocab|×T at scale (SURVEY §7.4.5).
+    *
+    * `keys` must include every column the downstream window partitions
+    * by (meds: stay_id/itemid/orderid) — gridding on a key SUBSET would
+    * inject filler rows into a separate NULL-key partition that ffill
+    * never reaches. FULL OUTER join, not left: the reference CONCATS
+    * missing indices onto the observed frame, so observed buckets beyond
+    * range(los) (non-divisible bucket sizes) are KEPT, and losBuckets<=0
+    * (bucket > include_time) degenerates to the observed rows alone.
     */
-  def denseGrid(bucketed: DataFrame, losBuckets: Int): DataFrame = {
-    val pairs = bucketed.select(col("stay_id"), col("itemid")).distinct()
-    val grid = pairs.select(col("stay_id"), col("itemid"),
-      explode(sequence(lit(0L), lit(losBuckets - 1L))).as("t"))
-    grid.join(bucketed, Seq("stay_id", "itemid", "t"), "left")
+  def denseGrid(bucketed: DataFrame, losBuckets: Int,
+      keys: Seq[String] = Seq("stay_id", "itemid")): DataFrame = {
+    if (losBuckets <= 0) return bucketed
+    val pairs = bucketed.select(keys.map(col): _*).distinct()
+    val grid = pairs.select(keys.map(col) :+
+      explode(sequence(lit(0L), lit(losBuckets - 1L))).as("t"): _*)
+    grid.join(bucketed, keys :+ "t", "full_outer")
   }
 
   /** W2 impute chain on the dense grid: ffill → bfill → per-(stay,itemid)

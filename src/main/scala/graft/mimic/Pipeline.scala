@@ -105,8 +105,11 @@ final case class Pipeline(
     feats.get("med").foreach { f =>
       val meds = windowed(Datagen.generateMeds(f, adm), isInterval = true)
       val bucketed = Datagen.bucketMeds(meds, bucket, includeTime)
-      val grid = Datagen.denseGrid(
-        bucketed.withColumn("itemid", col("itemid")), losBuckets)
+      // grid keyed per ORDER: medSignal's ffill window partitions by
+      // (stay, itemid, orderid) — a grid keyed only (stay, itemid) would
+      // put filler rows in a NULL-orderid partition that never fills
+      val grid = Datagen.denseGrid(bucketed, losBuckets,
+        keys = Seq("stay_id", "itemid", "orderid"))
       outMap += "med" -> write(
         Datagen.medSignal(grid), "ts/med")
     }
@@ -133,12 +136,19 @@ final case class Pipeline(
       outMap += "cond" -> write(Datagen.staticConditions(scoped), "ts/cond")
     }
 
-    // wide dynamic matrix: one row per (stay, t), MapType per modality (U4)
+    // wide dynamic matrix: one row per (stay, t), MapType per modality (U4).
+    // med rates collapse per itemid FIRST (avg over concurrently-active
+    // orders — pandas pivot_table's default mean over duplicate cells);
+    // two orders of one itemid at the same t would otherwise be duplicate
+    // map keys, which map_from_entries rejects at runtime.
+    val medPerItem = outMap.get("med").map(_
+      .groupBy(col("stay_id"), col("t"), col("itemid"))
+      .agg(avg(col("rate")).as("rate")))
     val wideParts = Seq(
       outMap.get("chart").map(Datagen.wideModality(_, "valuenum", "chart")),
       outMap.get("proc").map(Datagen.wideModality(_, "present", "proc")),
       outMap.get("out").map(Datagen.wideModality(_, "present", "out")),
-      outMap.get("med").map(Datagen.wideModality(_, "rate", "med_rate"))).flatten
+      medPerItem.map(Datagen.wideModality(_, "rate", "med_rate"))).flatten
     if (wideParts.nonEmpty)
       outMap += "dynamic" -> write(Datagen.assemble(wideParts), "ts/dynamic")
 

@@ -44,6 +44,15 @@ class VectorExprsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("VecDot null ELEMENT -> null (ArrayData would read it as 0 otherwise)") {
+    import spark.implicits._
+    val df = Seq((Seq(Some(1.0f), None, Some(3.0f)), Seq(Some(1.0f), Some(2.0f), Some(3.0f))))
+      .toDF("a", "b")
+    val r = df.select(VectorExprs.vecDot(col("a"), col("b")).as("fast"),
+      ColFns.dot(col("a"), col("b")).as("fold")).head
+    assert(r.isNullAt(0) && r.isNullAt(1)) // both null — still bit-identical
+  }
+
   test("VecDot length mismatch -> null (matches zip_with null-padding), both eval paths") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")

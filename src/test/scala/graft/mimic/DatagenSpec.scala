@@ -69,21 +69,33 @@ class DatagenSpec extends SparkSpec {
     assert(out2 === 0.0)
   }
 
-  test("medSignal: active while ffilled stop_time > t, values zeroed outside") {
+  test("medSignal over the order-keyed grid: active while ffilled stop_time > t") {
     import spark.implicits._
     val b = Seq((11L, 600L, 1L, 0L, Some(2.5), Some(1.5), Some(6.0)))
       .toDF("stay_id", "itemid", "orderid", "t", "stop_time", "rate", "amount")
-    val grid = Datagen.denseGrid(
-      b.withColumnRenamed("orderid", "_o"), losBuckets = 4)
-      .withColumnRenamed("_o", "orderid")
-    // denseGrid keys on (stay,item): re-add orderid nulls for injected rows
-    val sig = Datagen.medSignal(grid.withColumn("orderid", coalesce(col("orderid"), lit(1L))))
+    // production shape: grid keyed per (stay, itemid, ORDERID) so filler
+    // rows share the ffill window partition
+    val grid = Datagen.denseGrid(b, losBuckets = 4,
+      keys = Seq("stay_id", "itemid", "orderid"))
+    val sig = Datagen.medSignal(grid)
       .orderBy(col("t"))
       .select(col("t"), col("signal"), col("rate")).collect()
     val byT = sig.map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
     assert(byT(0L) === ((1, 1.5)))  // stop 2.5 > 0
-    assert(byT(2L) === ((1, 1.5)))  // 2.5 > 2
+    assert(byT(2L) === ((1, 1.5)))  // 2.5 > 2 — FILLER row, ffilled
     assert(byT(3L) === ((0, 0.0)))  // 2.5 < 3 → inactive, zeroed
+  }
+
+  test("denseGrid keeps observed tail buckets beyond range(losBuckets)") {
+    import spark.implicits._
+    // include_time=24, bucket=5 → losBuckets=4 but events land in t=4 too;
+    // the reference CONCATS missing indices, it never drops observed rows
+    val b = Seq((11L, 700L, 4L, 9.0)).toDF("stay_id", "itemid", "t", "valuenum")
+    val grid = Datagen.denseGrid(b, losBuckets = 4)
+    assert(grid.count() === 5) // 0..3 injected + observed t=4 kept
+    assert(grid.filter(col("t") === 4 && col("valuenum") === 9.0).count() === 1)
+    // losBuckets<=0 (bucket > include_time): observed rows pass through
+    assert(Datagen.denseGrid(b, losBuckets = 0).count() === 1)
   }
 
   test("frontWindow truncates at include_time; endWindow shifts to the tail") {
