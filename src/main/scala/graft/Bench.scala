@@ -1,9 +1,13 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Observation, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. Per-query failures are recorded in an `errors`
-  * map (and stderr) instead of being silently folded into the timing —
-  * an aborted job must be visible in BENCH_r{N}.json.
+  * map (and stderr) and EXCLUDED from `value` — a time-to-failure must
+  * not enter the battery total. Each query also reports its output row
+  * count (via `observe` on the same timed action, so counting costs one
+  * scalar agg, not a re-execution): a silently-empty result can't bench
+  * as "fast".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,29 +31,42 @@ object Bench {
       .write.format("noop").mode("overwrite").save())
     catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      // noop sink forces FULL evaluation of every output column —
-      // count() would let Catalyst prune projection-only work and
-      // under-report (a minhash query "benched" in 0.26s that actually
-      // costs 1.3s to materialize). min-of-2 runs absorbs per-query
-      // planning/JIT noise.
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable =>
-          errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(500)
-          System.err.println(s"[bench] FAILED $name: ${errors(name)}")
+    val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val results = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      try {
+        // Plan built ONCE per query and reused across both timed runs —
+        // the analyzed/optimized child plan is cached on the Dataset, so
+        // run 2 measures execution, not re-planning.
+        val df = fn(spark, sfDir)
+        // noop sink forces FULL evaluation of every output column —
+        // count() alone would let Catalyst prune projection-only work and
+        // under-report (a minhash query "benched" in 0.26s that actually
+        // costs 1.3s to materialize). min-of-2 runs absorbs per-query
+        // planning/JIT noise.
+        val times = (1 to 2).map { r =>
+          val obs = Observation(s"$name-run$r")
+          val t0 = System.nanoTime()
+          df.observe(obs, count(lit(1)).as("rows"))
+            .write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          rows(name) = obs.get("rows").asInstanceOf[Number].longValue
+          dt
         }
-        (System.nanoTime() - t0) / 1e9
+        Some(name -> times.min)
+      } catch { case e: Throwable =>
+        errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(500)
+        System.err.println(s"[bench] FAILED $name: ${errors(name)}")
+        None
       }
-      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val rs = rows.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${Verify.jq(k)}:${Verify.jq(v)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

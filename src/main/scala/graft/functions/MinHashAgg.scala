@@ -31,6 +31,10 @@ object MinHashAgg {
     new Aggregator[String, Array[String], Array[String]] {
       override def zero: Array[String] = Array.fill[String](K)(null)
       override def reduce(buf: Array[String], shingle: String): Array[String] = {
+        // null shingles contribute nothing — matches the per-row path,
+        // where md5(concat(i, '|', null)) is null and array_min skips it;
+        // hashing the literal "i|null" here would silently diverge
+        if (shingle == null) return buf
         var i = 0
         while (i < K) {
           val h = md5Hex(s"$i|$shingle")

@@ -57,9 +57,14 @@ object Cohort {
         v
       }
 
+    // Disease gating differs by path: the ICU branch only applies the
+    // disease semi-join inside `if use_admn:` (cohort.py:86-88 — ICU
+    // Mortality/LOS ignore disease_label entirely); the hosp branch
+    // applies it unconditionally (cohort.py:112-115).
     val scoped = diseaseHids match {
-      case Some(h) => base.join(broadcast(h), Seq("hadm_id"), "left_semi")
-      case None => base
+      case Some(h) if !useIcu || useAdmn =>
+        base.join(broadcast(h), Seq("hadm_id"), "left_semi")
+      case _ => base
     }
 
     // patients demographics + derived yob / min_valid_year (cohort.py:116-133)

@@ -122,8 +122,11 @@ object Datagen {
     val g = bucketed.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
     val perStay = g.groupBy(col("stay_id")).agg(count(lit(1)).as("n_groups"))
     val rowsPerStay = bucketed.groupBy(col("stay_id")).agg(count(lit(1)).as("n_rows"))
-    val a = perStay.agg(max(col("n_groups"))).head.getLong(0)
-    val b = rowsPerStay.agg(max(col("n_rows"))).head.getLong(0)
+    // max() of zero rows is null — coalesce to 0 so an empty window
+    // (e.g. a cohort whose every stay was clipped away) yields capacity
+    // (0, 0) instead of an NPE at getLong
+    val a = perStay.agg(coalesce(max(col("n_groups")), lit(0L))).head.getLong(0)
+    val b = rowsPerStay.agg(coalesce(max(col("n_rows")), lit(0L))).head.getLong(0)
     (a, b)
   }
 

@@ -73,6 +73,42 @@ final case class Pipeline(
     m
   }
 
+  private def codeCol(k: String) = if (k == "diag") "new_icd_code" else "itemid"
+
+  /** Stage 3.5 — features_selection (features.py:394-529): the reference
+    * writes each modality's feature list to disk, lets the user hand-edit
+    * it (drop rows to drop features), then re-reads the possibly-edited
+    * list and semi-join-filters the modality. Split in two so the
+    * hand-edit can happen between the calls — the reference's exact
+    * workflow, with Parquet in place of its in-place CSV rewrite.
+    *
+    * `writeFeatureLists` persists the current per-modality distinct code
+    * list under `outDir/summary/<modality>_features`.
+    */
+  def writeFeatureLists(feats: Map[String, DataFrame]): Map[String, String] =
+    feats.map { case (k, df) =>
+      val p = s"$outDir/summary/${k}_features"
+      df.select(col(codeCol(k))).distinct().write.mode("overwrite").parquet(p)
+      k -> p
+    }
+
+  /** `featureSelection` re-reads whatever list is on disk NOW (it may
+    * have been edited since `writeFeatureLists`) and filters each
+    * modality through it (Features.select, J9), writing a new stage
+    * version. Modalities without a list on disk pass through unchanged —
+    * same as the reference's per-flag `select_<mod>` switches.
+    */
+  def featureSelection(feats: Map[String, DataFrame]): Map[String, DataFrame] =
+    feats.map { case (k, df) =>
+      val p = s"$outDir/summary/${k}_features"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp))
+        k -> write(Features.select(df, spark.read.parquet(p), codeCol(k)),
+          s"features/v3/$k")
+      else k -> df
+    }
+
   /** generate_summary_icu (features.py:285-391). */
   def summaries(feats: Map[String, DataFrame]): Map[String, DataFrame] =
     feats.map {

@@ -24,10 +24,17 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** @param edges two-column DataFrame (u, v), undirected interpretation.
+    * @param strict throw on non-convergence instead of returning possibly
+    *               wrong labels; when false, non-convergence is logged at
+    *               WARN (a silent wrong answer is never acceptable —
+    *               dedup on unconverged labels under-merges clusters).
     * @return (id, rep) — rep = min node id in id's component.
     */
-  def components(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def components(edges: DataFrame, maxIter: Int = 25,
+      strict: Boolean = false): DataFrame = {
     val e = edges.toDF("u", "v")
     val sym = e.union(e.select(col("v"), col("u"))).distinct()
       .localCheckpoint(true)
@@ -55,6 +62,14 @@ object ConnectedComponents {
       changed = jumped.filter(col("rep") =!= col("old")).count()
       labels = jumped.select(col("id"), col("rep"))
       i += 1
+    }
+    if (changed > 0) {
+      val msg = s"ConnectedComponents did NOT converge after $maxIter " +
+        s"rounds ($changed labels still changing) — returned components " +
+        "may be under-merged. Raise maxIter (rounds needed ~ log2(graph " +
+        "diameter))."
+      if (strict) throw new IllegalStateException(msg)
+      log.warn(msg)
     }
     labels
   }

@@ -59,6 +59,71 @@ object Docs {
 
   private val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
+  /** LSH band→bucket core shared by d07/d12: explode each signature into
+    * `nBands` band keys (2 hash rows per band), shuffle once on the band
+    * key, and collect each bucket's sorted member set.
+    *
+    * Docs with no shingles (<3 tokens, or null text) have NULL minhashes
+    * → NULL band keys. groupBy treats NULLs as EQUAL — without the
+    * isNotNull filter every shingle-less doc lands in one giant bucket
+    * and generates spurious pairs (the SQL oracle's equi-join drops NULL
+    * keys, so this also diverges cross-engine). Found by edge-case
+    * battery, kept as a guard.
+    */
+  private[graft] def lshBuckets(sig: org.apache.spark.sql.DataFrame,
+      nBands: Int = 4): org.apache.spark.sql.DataFrame = {
+    val banded = sig.select(col("doc_id"), explode(array(
+      (0 until nBands).map(b =>
+        concat(lit(s"$b:"), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)).as("band_key"))
+      .filter(col("band_key").isNotNull)
+    banded.groupBy(col("band_key"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+  }
+
+  /** All candidate pairs (a < b) within each bucket, with a hard cap on
+    * bucket size. The in-bucket pair flatten is O(|bucket|²) in ONE task,
+    * so a degenerate band key (mass-duplicated boilerplate at 100 TB)
+    * would otherwise be a single-task OOM: `maxBucket` bounds the per-row
+    * array (and the pair explosion to maxBucket²/2). Truncation is never
+    * silent — the number of docs dropped past the cap and the largest
+    * bucket seen are emitted as the observed metric
+    * `lsh_bucket_truncation` (visible to any QueryExecutionListener /
+    * the Spark UI), so a capped run is auditable. Docs beyond the cap in
+    * one band can still pair via their other bands. For dedup
+    * CLUSTERING don't use this at all — `lshStarEdges` preserves
+    * connectivity with O(|bucket|) rows and needs no cap.
+    */
+  private[graft] def lshCandidatePairs(sig: org.apache.spark.sql.DataFrame,
+      nBands: Int = 4, maxBucket: Int = 2048): org.apache.spark.sql.DataFrame = {
+    val buckets = lshBuckets(sig, nBands)
+      .observe("lsh_bucket_truncation",
+        sum(when(size(col("ids")) > maxBucket, size(col("ids")) - maxBucket)
+          .otherwise(0)).as("truncated_docs"),
+        max(size(col("ids"))).as("max_bucket"))
+      .select(slice(col("ids"), 1, maxBucket).as("ids"))
+    val pairs = buckets.select(explode(flatten(
+      transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.as("doc_id_a"), b.as("doc_id_b")))))).as("p"))
+    pairs.select(col("p.doc_id_a"), col("p.doc_id_b")).distinct()
+  }
+
+  /** Star edges (bucket-min, member) per bucket — the scale path for
+    * dedup clustering. Any two members of a bucket are connected through
+    * the bucket minimum, so connected components over star edges are
+    * IDENTICAL to components over all in-bucket pairs, at O(|bucket|)
+    * rows instead of O(|bucket|²): a million-doc boilerplate bucket emits
+    * 1M edges (one wide row exploded), not 5·10¹¹ pairs. No cap, no
+    * truncation, no lost connectivity.
+    */
+  private[graft] def lshStarEdges(sig: org.apache.spark.sql.DataFrame,
+      nBands: Int = 4): org.apache.spark.sql.DataFrame =
+    lshBuckets(sig, nBands)
+      .select(explode(transform(slice(col("ids"), lit(2), size(col("ids"))),
+        b => struct(element_at(col("ids"), 1).as("u"), b.as("v")))).as("p"))
+      .select(col("p.u"), col("p.v")).distinct()
+
   // DuckDB-side shared fragments
   private val dNorm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
   private val dWords = s"str_split($dNorm, ' ')"
@@ -181,32 +246,16 @@ object Docs {
 
     // LSH banding: 4 bands × 2 rows; candidate pairs share ≥1 band key.
     // Scale shape: ONE pass computes signatures, ONE shuffle groups by
-    // band key, pairs are generated inside each (small) bucket — no
-    // self-join, so the signature pipeline is never recomputed and a hot
-    // bucket can't quadratically explode a join (SNIPPETS: the standard
-    // minhash-LSH band→bucket→pairs layout).
+    // band key, pairs are generated inside each (small, CAPPED) bucket —
+    // no self-join, so the signature pipeline is never recomputed and a
+    // hot bucket can't quadratically explode a join (SNIPPETS: the
+    // standard minhash-LSH band→bucket→pairs layout). See
+    // `lshCandidatePairs` for the degenerate-bucket cap.
     Q("d07_lsh_pairs",
       (s, dir) => {
         val sig = withShingles(s, dir).select(
           col("doc_id") +: (0 until 8).map(i => minhash(col("sh"), i).as(s"mh$i")): _*)
-        // Docs with no shingles (<3 tokens, or null text) have NULL
-        // minhashes → NULL band keys. groupBy treats NULLs as EQUAL —
-        // without the isNotNull filter every shingle-less doc lands in
-        // one giant bucket and generates spurious pairs (the SQL
-        // oracle's equi-join drops NULL keys, so this also diverges
-        // cross-engine). Found by edge-case battery, kept as a guard.
-        val banded = sig.select(col("doc_id"), explode(array(
-          (0 until 4).map(b => concat(lit(s"$b:"), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)).as("band_key"))
-          .filter(col("band_key").isNotNull)
-        val buckets = banded.groupBy(col("band_key"))
-          .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) > 1)
-        // all ordered pairs (ids[i], ids[j]) with i < j, flattened
-        val pairs = buckets.select(explode(flatten(
-          transform(col("ids"), (a, i) =>
-            transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
-              struct(a.as("doc_id_a"), b.as("doc_id_b")))))).as("p"))
-        pairs.select(col("p.doc_id_a"), col("p.doc_id_b")).distinct()
+        lshCandidatePairs(sig)
       },
       Some {
         val mh = (0 until 8).map(i => s"  ${dMinhash("sh", i)} AS mh$i").mkString(",\n")
@@ -234,18 +283,12 @@ object Docs {
       (s, dir) => {
         val sig = withShingles(s, dir).select(
           col("doc_id") +: (0 until 8).map(i => minhash(col("sh"), i).as(s"mh$i")): _*)
-        val banded = sig.select(col("doc_id"), explode(array(
-          (0 until 4).map(b => concat(lit(s"$b:"), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)).as("band_key"))
-          .filter(col("band_key").isNotNull) // see d07 NULL-band guard
-        val buckets = banded.groupBy(col("band_key"))
-          .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) > 1)
-        val pairs = buckets.select(explode(flatten(
-          transform(col("ids"), (a, i) =>
-            transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
-              struct(a.as("u"), b.as("v")))))).as("p"))
-          .select(col("p.u"), col("p.v")).distinct()
-        val comps = graft.operators.ConnectedComponents.components(pairs)
+        // star edges, not all-pairs: components are identical (every
+        // bucket member connects through the bucket min) and a
+        // degenerate bucket costs O(n) edges instead of O(n²) — no cap
+        // needed, no connectivity lost. See `lshStarEdges`.
+        val edges = lshStarEdges(sig)
+        val comps = graft.operators.ConnectedComponents.components(edges)
         t(s, dir, "documents").select(col("doc_id"))
           .join(comps, col("doc_id") === col("id"), "left")
           .select(col("doc_id"),

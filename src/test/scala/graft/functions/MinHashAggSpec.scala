@@ -42,6 +42,27 @@ class MinHashAggSpec extends SparkSpec {
     assert(joined.count() === docs.count())
   }
 
+  test("null shingles are skipped — signature matches the per-row path") {
+    import spark.implicits._
+    // per-row path: md5(concat(i,'|',null)) is null, array_min skips it →
+    // the null shingle contributes nothing; the Aggregator must agree
+    val withNull = Seq((1L, Some("a b c")), (1L, None), (1L, Some("b c d")))
+      .toDF("doc_id", "shingle")
+    val without = Seq((1L, "a b c"), (1L, "b c d")).toDF("doc_id", "shingle")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("doc_id")).agg(MinHashAgg.minhashCol(col("shingle")))
+        .head.getAs[scala.collection.Seq[String]]("mh_sig")
+    assert(sig(withNull) === sig(without))
+  }
+
+  test("all-null input yields the empty (all-null) signature, not hashes of 'null'") {
+    import spark.implicits._
+    val allNull = Seq((1L, None: Option[String])).toDF("doc_id", "shingle")
+    val sig = allNull.groupBy(col("doc_id")).agg(MinHashAgg.minhashCol(col("shingle")))
+      .head.getAs[scala.collection.Seq[String]]("mh_sig")
+    assert(sig.length === MinHashAgg.K && sig.forall(_ == null))
+  }
+
   test("merge handles empty partitions (null mins)") {
     import spark.implicits._
     val one = Seq((1L, "a b c")).toDF("doc_id", "shingle")

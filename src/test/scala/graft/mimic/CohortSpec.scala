@@ -82,6 +82,33 @@ class CohortSpec extends SparkSpec {
     assert(v.columns.toSet.contains("insurance") && v.columns.toSet.contains("ethnicity"))
   }
 
+  test("visitPts: ICU path only applies disease filter under useAdmn (cohort.py:86-88)") {
+    val tmp = java.nio.file.Files.createTempDirectory("mimic").toString
+    Fixtures.writeTree(spark, tmp)
+    val src = MimicSource(spark, tmp)
+    import spark.implicits._
+    val hids = Seq(101L).toDF("hadm_id") // disease cohort = admission 101 only
+
+    // ICU Mortality/LOS (useAdmn=false): reference IGNORES disease_label
+    // on this branch — both adult stays survive
+    val noAdmn = Cohort.visitPts(src, Cohort.icuRoles, useIcu = true,
+      useAdmn = false, diseaseHids = Some(hids))
+      .select(col("stay_id")).collect().map(_.getLong(0)).toSet
+    assert(noAdmn.contains(11L) && noAdmn.contains(12L))
+
+    // ICU Readmission (useAdmn=true): filter applies — only hadm 101's stay
+    val admn = Cohort.visitPts(src, Cohort.icuRoles, useIcu = true,
+      useAdmn = true, diseaseHids = Some(hids))
+      .select(col("stay_id")).collect().map(_.getLong(0)).toSet
+    assert(admn.contains(11L) && !admn.contains(12L))
+
+    // hosp path applies the filter regardless of useAdmn (cohort.py:112-115)
+    val hosp = Cohort.visitPts(src, Cohort.hospRoles, useIcu = false,
+      useAdmn = false, diseaseHids = Some(hids))
+      .select(col("hadm_id")).collect().map(_.getLong(0)).toSet
+    assert(hosp === Set(101L))
+  }
+
   test("extract: ICU mortality end-to-end on fixture tree") {
     val tmp = java.nio.file.Files.createTempDirectory("mimic").toString
     Fixtures.writeTree(spark, tmp)

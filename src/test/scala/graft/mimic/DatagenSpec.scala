@@ -137,6 +137,12 @@ class DatagenSpec extends SparkSpec {
     assert(maxRows === 3L)
   }
 
+  test("capacity: empty input returns (0, 0), not NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("stay_id", "itemid", "t")
+    assert(Datagen.capacity(empty, Seq("stay_id", "itemid")) === (0L, 0L))
+  }
+
   test("perStayNested: one row per stay, itemid -> t-ordered value array") {
     import spark.implicits._
     val grid = Seq(

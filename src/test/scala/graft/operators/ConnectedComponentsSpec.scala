@@ -16,6 +16,20 @@ class ConnectedComponentsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("non-convergence at maxIter raises under strict, never silent") {
+    import spark.implicits._
+    // a 30-node path cannot converge in 1 round even with pointer jumping
+    val edges = (1 until 30).map(i => (i.toLong, (i + 1).toLong)).toDF("u", "v")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.components(edges, maxIter = 1, strict = true)
+    }
+    assert(e.getMessage.contains("did NOT converge"))
+    // non-strict: returns (possibly under-merged) labels for every node
+    // and logs a WARN instead of throwing
+    val lax = ConnectedComponents.components(edges, maxIter = 1)
+    assert(lax.count() === 30)
+  }
+
   test("long path needs multiple rounds and still converges") {
     import spark.implicits._
     val n = 30
