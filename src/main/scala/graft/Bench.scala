@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.{Observation, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions.{count, lit}
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. Per-query failures are recorded in an `errors`
@@ -8,6 +8,20 @@ import org.apache.spark.sql.functions.{count, lit}
   * count (via `observe` on the same timed action, so counting costs one
   * scalar agg, not a re-execution): a silently-empty result can't bench
   * as "fast".
+  *
+  * Timing model: each query's reported time is `construct_s + exec_s`.
+  * `construct_s` times the `fn()` call itself — for lazy plans that is
+  * just analysis (~ms), but queries with EAGER construction-time work
+  * (d12's connected-components loop runs localCheckpoint + count per
+  * round while BUILDING its result) do their real compute inside `fn()`,
+  * and it must be charged. `exec_s` is the min of two timed noop-sink
+  * materializations of the built plan (min-of-2 absorbs per-query
+  * JIT/codegen noise — legitimate amortization; the eager work is NOT
+  * re-run, so it can't hide there). Both components are reported
+  * per-query (`construct`/`exec`) so the split is auditable.
+  *
+  * The JSON line is also written to BENCH_LAST.json: a log-capture
+  * truncation on the driver side can never lose the number.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,17 +46,19 @@ object Bench {
     catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val construct = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val exec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       try {
-        // Plan built ONCE per query and reused across both timed runs —
-        // the analyzed/optimized child plan is cached on the Dataset, so
-        // run 2 measures execution, not re-planning.
-        val df = fn(spark, sfDir)
+        // fn() INSIDE a timer of its own — eager construction-time work
+        // (checkpointed iterative algorithms) is real query cost
+        val c0 = System.nanoTime()
+        val df: DataFrame = fn(spark, sfDir)
+        construct(name) = (System.nanoTime() - c0) / 1e9
         // noop sink forces FULL evaluation of every output column —
         // count() alone would let Catalyst prune projection-only work and
         // under-report (a minhash query "benched" in 0.26s that actually
-        // costs 1.3s to materialize). min-of-2 runs absorbs per-query
-        // planning/JIT noise.
+        // costs 1.3s to materialize).
         val times = (1 to 2).map { r =>
           val obs = Observation(s"$name-run$r")
           val t0 = System.nanoTime()
@@ -52,13 +68,16 @@ object Bench {
           rows(name) = obs.get("rows").asInstanceOf[Number].longValue
           dt
         }
-        Some(name -> times.min)
+        exec(name) = times.min
+        Some(name -> (construct(name) + times.min))
       } catch { case e: Throwable =>
         errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(500)
         System.err.println(s"[bench] FAILED $name: ${errors(name)}")
         None
       }
     }
+    def jmap(m: scala.collection.Map[String, Double]) =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val rs = rows.map { case (k, v) => "\"" + k + "\":" + v }
@@ -66,7 +85,12 @@ object Bench {
     val errs = errors.map { case (k, v) => s"${Verify.jq(k)}:${Verify.jq(v)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","construct_total":${construct.values.sum},"exec_total":${exec.values.sum},"queries":$qs,"construct":${jmap(construct)},"exec":${jmap(exec)},"rows":$rs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write BENCH_LAST.json: $e") }
     spark.stop()
   }
 }
