@@ -70,16 +70,30 @@ object Docs {
     * keys, so this also diverges cross-engine). Found by edge-case
     * battery, kept as a guard.
     */
-  private[graft] def lshBuckets(sig: org.apache.spark.sql.DataFrame,
-      nBands: Int = 4): org.apache.spark.sql.DataFrame = {
-    val banded = sig.select(col("doc_id"), explode(array(
+  /** (doc_id, band_key) rows — one per doc per band. */
+  private def lshBanded(sig: org.apache.spark.sql.DataFrame,
+      nBands: Int): org.apache.spark.sql.DataFrame =
+    sig.select(col("doc_id"), explode(array(
       (0 until nBands).map(b =>
         concat(lit(s"$b:"), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)).as("band_key"))
-      .filter(col("band_key").isNotNull)
-    banded.groupBy(col("band_key"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-  }
+      .filter(col("band_key").isNotNull && col("doc_id").isNotNull)
+
+  /** Buckets as (band_key, ids ≤ maxBucket sorted asc, n = TRUE size).
+    * The aggregation buffer is a bounded K-smallest heap
+    * ([[graft.functions.SmallestKAgg]]), O(maxBucket) at map side,
+    * merge, and final — a degenerate band key (hundreds of millions of
+    * boilerplate dups at 100 TB) can no longer OOM the one task that
+    * owns it, and map-side partial agg ships at most K ids per key.
+    * Equivalent to the old sort_array(collect_set)+slice for every
+    * bucket under the cap; `n` keeps truncation observable above it.
+    */
+  private[graft] def lshBuckets(sig: org.apache.spark.sql.DataFrame,
+      nBands: Int = 4, maxBucket: Int = 2048): org.apache.spark.sql.DataFrame =
+    lshBanded(sig, nBands)
+      .groupBy(col("band_key"))
+      .agg(graft.functions.SmallestKAgg.smallestK(maxBucket)(col("doc_id")).as("b"))
+      .select(col("band_key"), col("b.ids").as("ids"), col("b.n").as("n"))
+      .filter(col("n") > 1)
 
   /** All candidate pairs (a < b) within each bucket, with a hard cap on
     * bucket size. The in-bucket pair flatten is O(|bucket|²) in ONE task,
@@ -96,12 +110,12 @@ object Docs {
     */
   private[graft] def lshCandidatePairs(sig: org.apache.spark.sql.DataFrame,
       nBands: Int = 4, maxBucket: Int = 2048): org.apache.spark.sql.DataFrame = {
-    val buckets = lshBuckets(sig, nBands)
+    val buckets = lshBuckets(sig, nBands, maxBucket)
       .observe("lsh_bucket_truncation",
-        sum(when(size(col("ids")) > maxBucket, size(col("ids")) - maxBucket)
-          .otherwise(0)).as("truncated_docs"),
-        max(size(col("ids"))).as("max_bucket"))
-      .select(slice(col("ids"), 1, maxBucket).as("ids"))
+        sum(when(col("n") > maxBucket, col("n") - maxBucket)
+          .otherwise(0L)).as("truncated_docs"),
+        max(col("n")).as("max_bucket"))
+      .select(col("ids"))
     val pairs = buckets.select(explode(flatten(
       transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
@@ -114,15 +128,28 @@ object Docs {
     * the bucket minimum, so connected components over star edges are
     * IDENTICAL to components over all in-bucket pairs, at O(|bucket|)
     * rows instead of O(|bucket|²): a million-doc boilerplate bucket emits
-    * 1M edges (one wide row exploded), not 5·10¹¹ pairs. No cap, no
-    * truncation, no lost connectivity.
+    * 1M edges, not 5·10¹¹ pairs. No cap, no truncation, no lost
+    * connectivity.
+    *
+    * Shape: scalar min/count agg per band key, then join the minima back
+    * to the banded rows — NO per-bucket array is ever buffered anywhere
+    * (the r4 version still collect_set'ed the whole bucket into one
+    * aggregation-buffer row before exploding; a degenerate bucket OOM'd
+    * that task). Both agg and probe consume the SAME
+    * repartition(band_key) exchange, so Spark's ReuseExchange computes
+    * the minhash pipeline once; the join streams, and a skewed band key
+    * is splittable by AQE skew-join — per-task memory is O(1).
     */
   private[graft] def lshStarEdges(sig: org.apache.spark.sql.DataFrame,
-      nBands: Int = 4): org.apache.spark.sql.DataFrame =
-    lshBuckets(sig, nBands)
-      .select(explode(transform(slice(col("ids"), lit(2), size(col("ids"))),
-        b => struct(element_at(col("ids"), 1).as("u"), b.as("v")))).as("p"))
-      .select(col("p.u"), col("p.v")).distinct()
+      nBands: Int = 4): org.apache.spark.sql.DataFrame = {
+    val banded = lshBanded(sig, nBands).repartition(col("band_key"))
+    val minima = banded.groupBy(col("band_key"))
+      .agg(min(col("doc_id")).as("u"), count(lit(1)).as("bn"))
+      .filter(col("bn") > 1)
+    banded.join(minima, "band_key")
+      .filter(col("u") =!= col("doc_id"))
+      .select(col("u"), col("doc_id").as("v")).distinct()
+  }
 
   // DuckDB-side shared fragments
   private val dNorm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
