@@ -61,6 +61,14 @@ object SmallestKAgg {
 
   private def insert(buf: Buf, k: Int, x: Long): Unit = {
     if (buf.size < k) {
+      if (buf.size == buf.heap.length) {
+        // grow ×2 up to k: the overwhelmingly common bucket is tiny, so
+        // allocating the full k-slot heap per group (16 KB at k=2048)
+        // would dominate the aggregation in alloc churn
+        val grown = new Array[Long](math.min(k, math.max(4, buf.heap.length * 2)))
+        System.arraycopy(buf.heap, 0, grown, 0, buf.size)
+        buf.heap = grown
+      }
       buf.heap(buf.size) = x
       buf.size += 1
       siftUp(buf.heap, buf.size - 1)
@@ -72,7 +80,7 @@ object SmallestKAgg {
 
   def agg(k: Int): Aggregator[Long, Buf, Result] =
     new Aggregator[Long, Buf, Result] {
-      override def zero: Buf = Buf(new Array[Long](k), 0, 0L)
+      override def zero: Buf = Buf(new Array[Long](0), 0, 0L)
       override def reduce(buf: Buf, x: Long): Buf = {
         buf.n += 1
         insert(buf, k, x)

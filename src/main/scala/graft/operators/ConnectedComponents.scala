@@ -53,13 +53,20 @@ object ConnectedComponents {
         .select(col("id"), col("l.rep").as("old"),
           least(col("l.rep"), coalesce(col("n.nrep"), col("l.rep"))).as("rep"))
       // (2) pointer jumping: rep := rep's rep
+      val obs = org.apache.spark.sql.Observation()
       val jumped = stepped.alias("a")
         .join(stepped.select(col("id").as("rid"), col("rep").as("rrep")).alias("b"),
           col("a.rep") === col("b.rid"), "left")
         .select(col("a.id").as("id"), col("a.old").as("old"),
           coalesce(col("b.rrep"), col("a.rep")).as("rep"))
+        // convergence count rides the checkpoint job as an observed
+        // metric — one job per round, not two (the separate count()
+        // re-launched a job per round; at cluster scale that is a full
+        // extra scheduling round-trip per iteration)
+        .observe(obs, coalesce(sum(when(col("rep") =!= col("old"), 1L)
+          .otherwise(0L)), lit(0L)).as("changed"))
         .localCheckpoint(true)
-      changed = jumped.filter(col("rep") =!= col("old")).count()
+      changed = obs.get("changed").asInstanceOf[Number].longValue
       labels = jumped.select(col("id"), col("rep"))
       i += 1
     }

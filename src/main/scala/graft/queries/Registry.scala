@@ -25,7 +25,17 @@ object Registry {
     * DuckDB reads the same column as TIMESTAMP_NS and truncates to µs
     * on cast, so both engines agree.
     */
+  // Session-scoped catalog: resolving a table (file listing + footer
+  // schema read + relation analysis) costs tens of ms per spark.read —
+  // re-paying it on every query construction is what a catalog exists
+  // to avoid. DataFrames are immutable, so reuse across queries is safe.
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def t(s: SparkSession, dir: String, name: String): DataFrame =
+    tableCache.computeIfAbsent((s, dir, name), _ => tUncached(s, dir, name))
+
+  private def tUncached(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = s.read.parquet(s"$dir/$name.parquet")

@@ -20,9 +20,10 @@ import graft.queries.Registry.t
 object Relational {
 
   /** Exact, order-independent sum of a ≤4-decimal double column,
-    * returned as double. */
+    * returned as double (overflow-safe split-long sum — see
+    * [[graft.functions.ColFns.exactSumAsDouble]]). */
   private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast("decimal(18,6)")).cast("double")
+    graft.functions.ColFns.exactSumAsDouble(c)
 
   val qs: Seq[Q] = Seq(
 

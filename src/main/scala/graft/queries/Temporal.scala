@@ -36,7 +36,7 @@ object Temporal {
         .withColumn("t_bucket", floorDiv(unix_micros(col("ts")) - epoch2024, 3600L * 1000000L))
         .groupBy(col("event_type"), col("t_bucket"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value")),
+          graft.functions.ColFns.exactSumAsDouble(col("value")).as("sum_value")),
       Some("""SELECT event_type,
              |  CAST(FLOOR(epoch(ts - TIMESTAMP '2024-01-01')/3600) AS BIGINT) AS t_bucket,
              |  COUNT(*) AS n_events,
