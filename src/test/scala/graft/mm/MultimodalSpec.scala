@@ -31,6 +31,33 @@ class MultimodalSpec extends SparkSpec {
     assert(metas(1L).sha.length === 64)
   }
 
+  test("decodeImage parses real PNG/JPEG/GIF headers for pixel dimensions") {
+    import spark.implicits._
+    // a genuine, complete 1x1 transparent PNG (signature+IHDR+IDAT+IEND)
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    // minimal JPEG: SOI, APP0 (2-byte body), SOF0 with height=2/width=3
+    // (1 component), EOI — exercises the marker walk past a skipped segment
+    val jpeg = Array[Int](
+      0xff, 0xd8, // SOI
+      0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46, // APP0, len 4
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x02, 0x00, 0x03, 0x01, 0x01, 0x11, 0x00, // SOF0
+      0xff, 0xd9 // EOI
+    ).map(_.toByte)
+    // GIF89a logical screen 7x5 (little-endian)
+    val gif = ("GIF89a".getBytes("US-ASCII") ++
+      Array[Int](0x07, 0x00, 0x05, 0x00, 0x00, 0x00, 0x00).map(_.toByte))
+    val junk = "not an image at all".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, jpeg), (3L, gif), (4L, junk))
+      .toDF("doc_id", "payload")
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+    val m = Multimodal.decodeImage(df).collect().map(x => x.doc_id -> x).toMap
+    assert(m(1L).ok && m(1L).format === "png" && m(1L).width === 1 && m(1L).height === 1)
+    assert(m(2L).ok && m(2L).format === "jpeg" && m(2L).width === 3 && m(2L).height === 2)
+    assert(m(3L).ok && m(3L).format === "gif" && m(3L).width === 7 && m(3L).height === 5)
+    assert(!m(4L).ok && m(4L).err === "unknown container")
+  }
+
   test("frameSample explodes one row per sampled byte") {
     val frames = Multimodal.frameSample(Multimodal.withPayload(docs.filter(col("doc_id") === 1)), 4)
     // 11 bytes, every 4th → frames at 0,4,8 → (11-1)/4 = 2 → 0..2 = 3 rows
