@@ -238,11 +238,33 @@ object Temporal {
           .filter(col("value") >= col("p05") && col("value") <= col("p95"))
           .select(col("event_id"), col("event_type"), col("value"))
       },
-      Some("""WITH pct AS (
+      // The oracle spells out linear interpolation (lo + frac*(hi-lo))
+      // instead of quantile_cont: DuckDB's quantile_cont computes
+      // (1-f)*lo + f*hi, which carries float dirt even when lo == hi
+      // (observed: 2.5200000000000005 vs Spark's exact 2.52 on a tie
+      // run at sf1) — and a raw >= cutoff filter flips entire tie
+      // groups on that 1-ulp difference. Writing the interpolation
+      // explicitly makes both engines evaluate the same IEEE
+      // expression, so the query is exact at every scale, not just
+      // where ties are absent.
+      Some("""WITH ord AS (
+             |  SELECT event_type, value,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events WHERE value IS NOT NULL),
+             |bounds AS (
              |  SELECT event_type,
-             |    quantile_cont(value, 0.05) AS p05,
-             |    quantile_cont(value, 0.95) AS p95
-             |  FROM events GROUP BY event_type)
+             |    MAX(CASE WHEN rn = CAST(FLOOR(0.05*(n-1)) AS BIGINT) THEN value END) AS lo05,
+             |    MAX(CASE WHEN rn = CAST(CEIL(0.05*(n-1)) AS BIGINT) THEN value END) AS hi05,
+             |    MAX(CASE WHEN rn = CAST(FLOOR(0.95*(n-1)) AS BIGINT) THEN value END) AS lo95,
+             |    MAX(CASE WHEN rn = CAST(CEIL(0.95*(n-1)) AS BIGINT) THEN value END) AS hi95,
+             |    MAX(0.05*(n-1) - FLOOR(0.05*(n-1))) AS f05,
+             |    MAX(0.95*(n-1) - FLOOR(0.95*(n-1))) AS f95
+             |  FROM ord GROUP BY event_type),
+             |pct AS (
+             |  SELECT event_type, lo05 + f05*(hi05-lo05) AS p05,
+             |    lo95 + f95*(hi95-lo95) AS p95
+             |  FROM bounds)
              |SELECT event_id, events.event_type, value
              |FROM events JOIN pct ON events.event_type = pct.event_type
              |WHERE value >= p05 AND value <= p95""".stripMargin),
