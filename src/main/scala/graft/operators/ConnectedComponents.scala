@@ -33,13 +33,42 @@ object ConnectedComponents {
     *               dedup on unconverged labels under-merges clusters).
     * @return (id, rep) — rep = min node id in id's component.
     */
+  /** @param dedupeEdges skip the symmetrize-distinct when the caller
+    *        guarantees distinct input edges (e.g. LSH star edges, which
+    *        end in their own distinct): every downstream use is a
+    *        min-aggregation, so duplicate edges are harmless to the
+    *        RESULT — the flag only trades one up-front shuffle of the
+    *        biggest intermediate against re-joining duplicates each
+    *        round. Keep true for edge lists of unknown provenance.
+    * @param localThreshold when the symmetrized edge list has at most
+    *        this many rows (and Long node ids), run a linear-time
+    *        union-find in ONE executor task instead of the iterative
+    *        loop. After LSH star reduction the edge count is bounded by
+    *        the number of near-duplicate docs, which is often orders of
+    *        magnitude below the corpus size — and each distributed round
+    *        costs several shuffles plus a driver barrier, so below the
+    *        threshold one task is strictly faster. Default 4M edges
+    *        (~64 MB of pairs — comfortably one task); pass 0 to force
+    *        the distributed loop. The 100 TB path (billions of edges)
+    *        still takes the O(log diameter) pointer-jumping loop.
+    */
   def components(edges: DataFrame, maxIter: Int = 25,
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false, dedupeEdges: Boolean = true,
+      localThreshold: Long = 4L << 20): DataFrame = {
     val e = edges.toDF("u", "v")
-    val sym = e.union(e.select(col("v"), col("u"))).distinct()
+    val symRaw = e.union(e.select(col("v"), col("u")))
+    val sym = (if (dedupeEdges) symRaw.distinct() else symRaw)
       .localCheckpoint(true)
-    var labels = sym.select(col("u").as("id")).distinct()
-      .withColumn("rep", col("id"))
+    val allLong = sym.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    // count() on the eager checkpoint is a cached-metadata scan, not a
+    // recompute — cheap enough to gate on.
+    if (allLong && sym.count() <= localThreshold) return componentsLocal(sym)
+    // Fused round 0: initializing rep to min(id, min neighbor) is
+    // exactly the first propagation step, for ONE shuffle (groupBy) and
+    // no join — one fewer full loop round on typical LSH star graphs.
+    var labels = sym.groupBy(col("u").as("id"))
+      .agg(least(min(col("v")), col("u")).as("rep"))
       .localCheckpoint(true)
     var changed = 1L
     var i = 0
@@ -79,5 +108,34 @@ object ConnectedComponents {
       log.warn(msg)
     }
     labels
+  }
+
+  /** Single-task union-find over a symmetrized edge list that fits one
+    * executor task. Path-compressed, union-by-min (the root of every
+    * tree is the min id of its set by induction, so `rep` matches the
+    * distributed loop's min-label semantics exactly). Runs on an
+    * executor via mapPartitions — the driver never sees the edges.
+    */
+  private def componentsLocal(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    sym.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      it.foreach { case (u, v) =>
+        if (!parent.contains(u)) parent(u) = u
+        if (!parent.contains(v)) parent(v) = v
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+      }
+      // materialize keys first: find() mutates values mid-iteration
+      parent.keys.toArray.iterator.map(x => (x, find(x)))
+    }.toDF("id", "rep")
   }
 }

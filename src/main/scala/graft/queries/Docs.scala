@@ -67,7 +67,7 @@ object Docs {
   def dedupClustersFast(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val sig = minhashSignaturesFast(s, dir)
-    val comps = graft.operators.ConnectedComponents.components(lshStarEdges(sig))
+    val comps = graft.operators.ConnectedComponents.components(lshStarEdges(sig), dedupeEdges = false)
     t(s, dir, "documents").select(col("doc_id"))
       .join(comps, col("doc_id") === col("id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
@@ -344,7 +344,7 @@ object Docs {
         // degenerate bucket costs O(n) edges instead of O(n²) — no cap
         // needed, no connectivity lost. See `lshStarEdges`.
         val edges = lshStarEdges(sig)
-        val comps = graft.operators.ConnectedComponents.components(edges)
+        val comps = graft.operators.ConnectedComponents.components(edges, dedupeEdges = false)
         t(s, dir, "documents").select(col("doc_id"))
           .join(comps, col("doc_id") === col("id"), "left")
           .select(col("doc_id"),

@@ -21,12 +21,14 @@ class ConnectedComponentsSpec extends SparkSpec {
     // a 30-node path cannot converge in 1 round even with pointer jumping
     val edges = (1 until 30).map(i => (i.toLong, (i + 1).toLong)).toDF("u", "v")
     val e = intercept[IllegalStateException] {
-      ConnectedComponents.components(edges, maxIter = 1, strict = true)
+      ConnectedComponents.components(edges, maxIter = 1, strict = true,
+        localThreshold = 0)
     }
     assert(e.getMessage.contains("did NOT converge"))
     // non-strict: returns (possibly under-merged) labels for every node
     // and logs a WARN instead of throwing
-    val lax = ConnectedComponents.components(edges, maxIter = 1)
+    val lax = ConnectedComponents.components(edges, maxIter = 1,
+      localThreshold = 0)
     assert(lax.count() === 30)
   }
 
@@ -34,9 +36,25 @@ class ConnectedComponentsSpec extends SparkSpec {
     import spark.implicits._
     val n = 30
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("u", "v")
-    val comps = ConnectedComponents.components(edges)
+    val comps = ConnectedComponents.components(edges, localThreshold = 0)
     assert(comps.select(col("rep")).distinct().count() === 1)
     assert(comps.agg(min(col("rep"))).head.getLong(0) === 1L)
     assert(comps.count() === n)
+  }
+
+  test("single-task union-find fast path equals the distributed loop") {
+    import spark.implicits._
+    // pseudo-random graph: chains, merges, and self-contained cliques
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 400).map { _ =>
+      val a = rnd.nextInt(120).toLong; val b = rnd.nextInt(120).toLong
+      (a, b)
+    }.toDF("u", "v")
+    val fast = ConnectedComponents.components(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = ConnectedComponents.components(edges, localThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === loop)
+    assert(fast.nonEmpty)
   }
 }
