@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions.{count, lit}
   * Timing model: each query's reported time is `construct_s + exec_s`.
   * `construct_s` times the `fn()` call itself — for lazy plans that is
   * just analysis (~ms), but queries with EAGER construction-time work
-  * (d12's connected-components loop runs localCheckpoint + count per
-  * round while BUILDING its result) do their real compute inside `fn()`,
-  * and it must be charged. `exec_s` is the min of two timed noop-sink
-  * materializations of the built plan (min-of-2 absorbs per-query
-  * JIT/codegen noise — legitimate amortization; the eager work is NOT
-  * re-run, so it can't hide there). Both components are reported
+  * (d12's connected-components pipeline runs localCheckpoint + its
+  * union-find while BUILDING its result) do their real compute inside
+  * `fn()`, and it must be charged. Both components are min-of-2: fn()
+  * is BUILT twice (the second build re-runs all eager work from
+  * scratch — nothing escapes the timer; min absorbs single-shot
+  * GC/JIT noise, which measured ±1.5 s on the eager pipeline), and
+  * `exec_s` is the min of two timed noop-sink materializations of the
+  * last build. A System.gc() before each query keeps one query's
+  * garbage from billing the next. Both components are reported
   * per-query (`construct`/`exec`) so the split is auditable.
   *
   * The JSON line is also written to BENCH_LAST.json: a log-capture
@@ -52,10 +55,16 @@ object Bench {
     val results = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       try {
         // fn() INSIDE a timer of its own — eager construction-time work
-        // (checkpointed iterative algorithms) is real query cost
-        val c0 = System.nanoTime()
-        val df: DataFrame = fn(spark, sfDir)
-        construct(name) = (System.nanoTime() - c0) / 1e9
+        // (checkpointed iterative algorithms) is real query cost. Built
+        // twice, min taken: the second build repeats every eager step,
+        // so nothing is amortized away — only noise.
+        System.gc()
+        var df: DataFrame = null
+        construct(name) = (1 to 2).map { _ =>
+          val c0 = System.nanoTime()
+          df = fn(spark, sfDir)
+          (System.nanoTime() - c0) / 1e9
+        }.min
         // noop sink forces FULL evaluation of every output column —
         // count() alone would let Catalyst prune projection-only work and
         // under-report (a minhash query "benched" in 0.26s that actually

@@ -31,18 +31,34 @@ object Docs {
         concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash value i over a shingle/token array: min of md5("i|" + x).
-    * md5 is identical across engines; the "i|" prefix gives k independent
-    * hash families.
+  /** Modulus for the Carter-Wegman hash families (prime, > 2^29). */
+  private val MhP = 1000000007L
+
+  /** Per-shingle base hashes for the Carter-Wegman family construction:
+    * ONE md5 per shingle, split into two 32-bit halves (h1, h2); family
+    * i is then (h1 + i·h2) mod p. 8 families for one digest instead of
+    * 8 digests per shingle — the md5 is ~all of the signature cost, so
+    * this is a near-8× cut on the dominant dedup primitive (measured
+    * d06 1.36 s → 0.5 s at sf0.1). Standard universal-hashing trick
+    * (Carter–Wegman; Broder's minwise-family construction); md5 and the
+    * hex→int split are identical in DuckDB, so the oracle computes the
+    * same signatures.
     *
-    * PERF: `arr` MUST be a bound attribute (a real column), never an
-    * inline expression tree — a free-variable expression inside a
-    * higher-order-function lambda is re-evaluated PER ELEMENT, which
-    * turned the whole-document tokenization quadratic (199 s at sf0.1;
-    * 1.3 s once bound). See `withShingles`.
+    * PERF: the inner transform materializes each md5 ONCE; h1/h2 read
+    * the LAMBDA variable (bound), never a free expression tree — a free
+    * variable inside a higher-order-function lambda is re-evaluated PER
+    * ELEMENT, which turned whole-document tokenization quadratic
+    * (199 s at sf0.1; 1.3 s once bound). See `withShingles`.
     */
-  private def minhash(arr: Column, i: Int): Column =
-    array_min(transform(arr, x => md5(concat(lit(s"$i|"), x).cast("binary"))))
+  private def cwHashes(sh: Column): Column =
+    transform(transform(sh, x => md5(x.cast("binary"))), m =>
+      struct(conv(substring(m, 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(m, 9, 8), 16, 10).cast("long").as("h2")))
+
+  /** MinHash value of family i over the precomputed (h1, h2) array. */
+  private def minhash(hh: Column, i: Int): Column =
+    array_min(transform(hh, h =>
+      pmod(h.getField("h1") + h.getField("h2") * lit(i.toLong), lit(MhP))))
 
   /** PRODUCTION minhash family i: xxhash64 seeded by the family index —
     * measured 2.3× faster than the md5 families (BENCH_NOTES), kept OUT
@@ -85,6 +101,7 @@ object Docs {
       .repartition(col("doc_id"))
       .withColumn("ws", words(col("text")))
       .withColumn("sh", shingles(col("ws")))
+      .withColumn("hh", cwHashes(col("sh")))
 
   private val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
@@ -183,8 +200,14 @@ object Docs {
   // DuckDB-side shared fragments
   private val dNorm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
   private val dWords = s"str_split($dNorm, ' ')"
-  private def dMinhash(arr: String, i: Int) =
-    s"list_min(list_transform($arr, x -> md5('$i|' || x)))"
+  /** DuckDB twin of `cwHashes`: per-shingle (h1, h2) struct list. */
+  private val dHh = "list_transform(sh, x -> " +
+    "{'h1': CAST('0x'||substring(md5(x),1,8) AS BIGINT), " +
+    "'h2': CAST('0x'||substring(md5(x),9,8) AS BIGINT)})"
+
+  /** DuckDB twin of `minhash`: family i min over the hh column. */
+  private def dMinhash(i: Int) =
+    s"list_min(list_transform(hh, h -> (h.h1 + $i * h.h2) % 1000000007))"
 
   val qs: Seq[Q] = Seq(
 
@@ -285,18 +308,19 @@ object Docs {
     // MinHash signature (8 hash families over word 3-gram shingles).
     Q("d06_minhash_sig",
       (s, dir) => {
-        val cols = col("doc_id") +: (0 until 8).map(i => minhash(col("sh"), i).as(s"mh$i"))
+        val cols = col("doc_id") +: (0 until 8).map(i => minhash(col("hh"), i).as(s"mh$i"))
         withShingles(s, dir).select(cols: _*)
       },
       Some {
-        val mh = (0 until 8).map(i => s"  ${dMinhash("sh", i)} AS mh$i").mkString(",\n")
+        val mh = (0 until 8).map(i => s"  ${dMinhash(i)} AS mh$i").mkString(",\n")
         s"""WITH w AS (SELECT doc_id, $dWords ws FROM documents),
            |s AS (SELECT doc_id,
            |  list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) sh
-           |  FROM w)
+           |  FROM w),
+           |h AS (SELECT doc_id, $dHh hh FROM s)
            |SELECT doc_id,
            |$mh
-           |FROM s""".stripMargin
+           |FROM h""".stripMargin
       },
       "MinHash signatures over 3-gram shingles (north-star: dedup)"),
 
@@ -310,20 +334,21 @@ object Docs {
     Q("d07_lsh_pairs",
       (s, dir) => {
         val sig = withShingles(s, dir).select(
-          col("doc_id") +: (0 until 8).map(i => minhash(col("sh"), i).as(s"mh$i")): _*)
+          col("doc_id") +: (0 until 8).map(i => minhash(col("hh"), i).as(s"mh$i")): _*)
         lshCandidatePairs(sig)
       },
       Some {
-        val mh = (0 until 8).map(i => s"  ${dMinhash("sh", i)} AS mh$i").mkString(",\n")
+        val mh = (0 until 8).map(i => s"  ${dMinhash(i)} AS mh$i").mkString(",\n")
         val bands = (0 until 4).map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || mh${2 * b + 1} AS band_key FROM sig")
           .mkString("\n  UNION ALL ")
         s"""WITH w AS (SELECT doc_id, $dWords ws FROM documents),
            |s AS (SELECT doc_id,
            |  list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) sh
            |  FROM w),
+           |h AS (SELECT doc_id, $dHh hh FROM s),
            |sig AS (SELECT doc_id,
            |$mh
-           |FROM s),
+           |FROM h),
            |banded AS (
            |  $bands)
            |SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
@@ -338,7 +363,7 @@ object Docs {
     Q("d12_dedup_clusters",
       (s, dir) => {
         val sig = withShingles(s, dir).select(
-          col("doc_id") +: (0 until 8).map(i => minhash(col("sh"), i).as(s"mh$i")): _*)
+          col("doc_id") +: (0 until 8).map(i => minhash(col("hh"), i).as(s"mh$i")): _*)
         // star edges, not all-pairs: components are identical (every
         // bucket member connects through the bucket min) and a
         // degenerate bucket costs O(n) edges instead of O(n²) — no cap
@@ -351,16 +376,17 @@ object Docs {
             coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
       },
       Some {
-        val mh = (0 until 8).map(i => s"  ${dMinhash("sh", i)} AS mh$i").mkString(",\n")
+        val mh = (0 until 8).map(i => s"  ${dMinhash(i)} AS mh$i").mkString(",\n")
         val bands = (0 until 4).map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || mh${2 * b + 1} AS band_key FROM sig")
           .mkString("\n  UNION ALL ")
         s"""WITH RECURSIVE w AS (SELECT doc_id, $dWords ws FROM documents),
            |s AS (SELECT doc_id,
            |  list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) sh
            |  FROM w),
+           |h AS (SELECT doc_id, $dHh hh FROM s),
            |sig AS (SELECT doc_id,
            |$mh
-           |FROM s),
+           |FROM h),
            |banded AS (
            |  $bands),
            |pairs AS (

@@ -21,11 +21,17 @@ class MinHashAggSpec extends SparkSpec {
       .withColumn("ws", words(col("text")))
       .withColumn("sh", shingles(col("ws")))
 
-    // per-row expression path (the d06 shape)
-    val exprSig = docs.select(
+    // per-row expression path (the d06 shape): one md5 per shingle,
+    // Carter-Wegman families over its two 32-bit halves
+    val hashed = docs.withColumn("hh",
+      transform(transform(col("sh"), x => md5(x.cast("binary"))), m =>
+        struct(conv(substring(m, 1, 8), 16, 10).cast("long").as("h1"),
+          conv(substring(m, 9, 8), 16, 10).cast("long").as("h2"))))
+    val exprSig = hashed.select(
       col("doc_id") +: (0 until MinHashAgg.K).map(i =>
-        array_min(transform(col("sh"), x =>
-          md5(concat(lit(s"$i|"), x).cast("binary")))).as(s"mh$i")): _*)
+        array_min(transform(col("hh"), h =>
+          pmod(h.getField("h1") + h.getField("h2") * lit(i.toLong),
+            lit(1000000007L)))).as(s"mh$i")): _*)
 
     // exploded shingles → grouped Aggregator, forced through a shuffle
     // with several partitions so merge() actually runs
@@ -44,14 +50,14 @@ class MinHashAggSpec extends SparkSpec {
 
   test("null shingles are skipped — signature matches the per-row path") {
     import spark.implicits._
-    // per-row path: md5(concat(i,'|',null)) is null, array_min skips it →
+    // per-row path: md5(null) is null so every family value is null →
     // the null shingle contributes nothing; the Aggregator must agree
     val withNull = Seq((1L, Some("a b c")), (1L, None), (1L, Some("b c d")))
       .toDF("doc_id", "shingle")
     val without = Seq((1L, "a b c"), (1L, "b c d")).toDF("doc_id", "shingle")
     def sig(df: org.apache.spark.sql.DataFrame) =
       df.groupBy(col("doc_id")).agg(MinHashAgg.minhashCol(col("shingle")))
-        .head.getAs[scala.collection.Seq[String]]("mh_sig")
+        .head.getAs[scala.collection.Seq[java.lang.Long]]("mh_sig")
     assert(sig(withNull) === sig(without))
   }
 
@@ -59,7 +65,7 @@ class MinHashAggSpec extends SparkSpec {
     import spark.implicits._
     val allNull = Seq((1L, None: Option[String])).toDF("doc_id", "shingle")
     val sig = allNull.groupBy(col("doc_id")).agg(MinHashAgg.minhashCol(col("shingle")))
-      .head.getAs[scala.collection.Seq[String]]("mh_sig")
+      .head.getAs[scala.collection.Seq[java.lang.Long]]("mh_sig")
     assert(sig.length === MinHashAgg.K && sig.forall(_ == null))
   }
 
@@ -67,7 +73,7 @@ class MinHashAggSpec extends SparkSpec {
     import spark.implicits._
     val one = Seq((1L, "a b c")).toDF("doc_id", "shingle")
     val sig = one.groupBy(col("doc_id")).agg(MinHashAgg.minhashCol(col("shingle")))
-      .head.getAs[scala.collection.Seq[String]]("mh_sig")
+      .head.getAs[scala.collection.Seq[java.lang.Long]]("mh_sig")
     assert(sig.length === MinHashAgg.K && sig.forall(_ != null))
   }
 }

@@ -134,12 +134,12 @@ class StreamingSpec extends SparkSpec {
       stream.addData(shingles.drop(2))
       query.processAllAvailable()
       val streamed = spark.table("mh_stream")
-        .head.getAs[scala.collection.Seq[String]]("mh_sig")
+        .head.getAs[scala.collection.Seq[java.lang.Long]]("mh_sig")
       val batch = shingles.toDF("doc_id", "shingle")
         .groupBy(org.apache.spark.sql.functions.col("doc_id"))
         .agg(graft.functions.MinHashAgg.minhashCol(
           org.apache.spark.sql.functions.col("shingle")))
-        .head.getAs[scala.collection.Seq[String]]("mh_sig")
+        .head.getAs[scala.collection.Seq[java.lang.Long]]("mh_sig")
       assert(streamed === batch)
     } finally query.stop()
   }
