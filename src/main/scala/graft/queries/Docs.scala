@@ -34,31 +34,26 @@ object Docs {
   /** Modulus for the Carter-Wegman hash families (prime, > 2^29). */
   private val MhP = 1000000007L
 
-  /** Per-shingle base hashes for the Carter-Wegman family construction:
-    * ONE md5 per shingle, split into two 32-bit halves (h1, h2); family
-    * i is then (h1 + i·h2) mod p. 8 families for one digest instead of
-    * 8 digests per shingle — the md5 is ~all of the signature cost, so
-    * this is a near-8× cut on the dominant dedup primitive (measured
-    * d06 1.36 s → 0.5 s at sf0.1). Standard universal-hashing trick
-    * (Carter–Wegman; Broder's minwise-family construction); md5 and the
-    * hex→int split are identical in DuckDB, so the oracle computes the
-    * same signatures.
+  /** The signature definition: ONE md5 per shingle, split into two
+    * 32-bit halves (h1, h2); family i is (h1 + i·h2) mod p — 8 families
+    * for one digest instead of 8 digests per shingle (standard
+    * Carter–Wegman / Broder minwise-family construction). The md5 and
+    * the hex→int split are identical in DuckDB, so the oracle (dHh /
+    * dMinhash below) computes the same signatures.
     *
-    * PERF: the inner transform materializes each md5 ONCE; h1/h2 read
-    * the LAMBDA variable (bound), never a free expression tree — a free
-    * variable inside a higher-order-function lambda is re-evaluated PER
-    * ELEMENT, which turned whole-document tokenization quadratic
-    * (199 s at sf0.1; 1.3 s once bound). See `withShingles`.
+    * Computed by the codegen'd [[graft.functions.MinHashSig]]
+    * expression: all 8 family minima in one pass over the array, no hex
+    * string round-trip, no interpreted higher-order-function lambdas
+    * (measured d06 1.36 s → 0.25 s at sf0.1 across the two steps).
+    *
+    * PERF (historical, still load-bearing for the remaining HOFs in
+    * this file): a free-variable expression tree inside a
+    * higher-order-function lambda is re-evaluated PER ELEMENT, which
+    * turned whole-document tokenization quadratic (199 s at sf0.1;
+    * 1.3 s once bound to a real column). See `withShingles`.
     */
-  private def cwHashes(sh: Column): Column =
-    transform(transform(sh, x => md5(x.cast("binary"))), m =>
-      struct(conv(substring(m, 1, 8), 16, 10).cast("long").as("h1"),
-        conv(substring(m, 9, 8), 16, 10).cast("long").as("h2")))
-
-  /** MinHash value of family i over the precomputed (h1, h2) array. */
-  private def minhash(hh: Column, i: Int): Column =
-    array_min(transform(hh, h =>
-      pmod(h.getField("h1") + h.getField("h2") * lit(i.toLong), lit(MhP))))
+  private def minhash(mh: Column, i: Int): Column =
+    element_at(mh, i + 1)
 
   /** PRODUCTION minhash family i: xxhash64 seeded by the family index —
     * measured 2.3× faster than the md5 families (BENCH_NOTES), kept OUT
@@ -101,7 +96,7 @@ object Docs {
       .repartition(col("doc_id"))
       .withColumn("ws", words(col("text")))
       .withColumn("sh", shingles(col("ws")))
-      .withColumn("hh", cwHashes(col("sh")))
+      .withColumn("mh", graft.functions.MinHashExprs.minHashSig(col("sh")))
 
   private val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
@@ -308,7 +303,7 @@ object Docs {
     // MinHash signature (8 hash families over word 3-gram shingles).
     Q("d06_minhash_sig",
       (s, dir) => {
-        val cols = col("doc_id") +: (0 until 8).map(i => minhash(col("hh"), i).as(s"mh$i"))
+        val cols = col("doc_id") +: (0 until 8).map(i => minhash(col("mh"), i).as(s"mh$i"))
         withShingles(s, dir).select(cols: _*)
       },
       Some {
@@ -334,7 +329,7 @@ object Docs {
     Q("d07_lsh_pairs",
       (s, dir) => {
         val sig = withShingles(s, dir).select(
-          col("doc_id") +: (0 until 8).map(i => minhash(col("hh"), i).as(s"mh$i")): _*)
+          col("doc_id") +: (0 until 8).map(i => minhash(col("mh"), i).as(s"mh$i")): _*)
         lshCandidatePairs(sig)
       },
       Some {
@@ -363,7 +358,7 @@ object Docs {
     Q("d12_dedup_clusters",
       (s, dir) => {
         val sig = withShingles(s, dir).select(
-          col("doc_id") +: (0 until 8).map(i => minhash(col("hh"), i).as(s"mh$i")): _*)
+          col("doc_id") +: (0 until 8).map(i => minhash(col("mh"), i).as(s"mh$i")): _*)
         // star edges, not all-pairs: components are identical (every
         // bucket member connects through the bucket min) and a
         // degenerate bucket costs O(n) edges instead of O(n²) — no cap

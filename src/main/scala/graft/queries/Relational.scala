@@ -466,8 +466,13 @@ object Relational {
     // No cross-engine oracle (DuckDB's sketch differs) — driver records
     // the weaker rows-only check; the exact twin is q25_vocab.
     Q("q38_approx_vocab",
+      // rsd 0.05 (Spark's default, HLL precision p=9): measured rsd=0.01
+      // (p=14) at 5x the runtime and SLOWER than exact count_distinct at
+      // this scale — the wide imperative buffer defeats the hash-agg
+      // fast path. 5% error is ample for vocabulary sizing, and the
+      // sketch (not the precision) is what buys the 100 TB mergeability.
       (s, dir) => t(s, dir, "events").groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
           count(lit(1)).as("cnt")),
       None,
       "approx_count_distinct (HLL++) scale variant of A5; rows-only check"),
