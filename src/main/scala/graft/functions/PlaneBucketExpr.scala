@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** Native Catalyst expression for the hyperplane-LSH bucket code
+  * (queries/Sim.scala e04/e05): 8 signed-random-projection planes with
+  * deterministic integer weights W(i,j) = ((i*37 + j*101) mod 19) - 9,
+  * bucket bit j set iff the plane-j dot product is positive.
+  *
+  * The pure-builtin formulation runs 8 planeDots per row, each an
+  * interpreted transform+aggregate pass over the embedding — 16 array
+  * walks with per-element boxing, paid on BOTH sides of the bucket
+  * join. This expression accumulates all 8 sums in ONE pass, each in
+  * the same left-to-right order with the same float→double widening,
+  * so the result is bit-identical.
+  *
+  * Null semantics match the builtin exactly: a null element nulls every
+  * plane sum (the lambda product is null and the fold propagates), and
+  * `when(s > 0, bit).otherwise(0)` then maps every plane to 0 — so a
+  * null ELEMENT or a null ARRAY both yield bucket code 0, never null.
+  */
+case class PlaneBucketCode(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "plane_bucket_code"
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"plane_bucket_code requires array<float> input, got ${t.sql}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else PlaneBucketCode.compute(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        long ${ev.value} = ${c.isNull} ? 0L :
+          graft.functions.PlaneBucketCode.compute(${c.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneBucketCode =
+    copy(child = newChild)
+}
+
+object PlaneBucketCode {
+
+  val Planes = 8
+
+  /** One pass: s_j += x_i * (((i*37 + j*101) % 19) - 9), then bit j iff
+    * s_j > 0. Returns 0 on any null element (see class doc). */
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val sums = new Array[Double](Planes)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return 0L
+      val x = arr.getFloat(i).toDouble
+      var j = 0
+      while (j < Planes) {
+        sums(j) += x * (((i * 37 + j * 101) % 19) - 9).toDouble
+        j += 1
+      }
+      i += 1
+    }
+    var code = 0L
+    var j = 0
+    while (j < Planes) {
+      // Spark SQL orders NaN greater than every value, so the builtin's
+      // `when(s > 0, bit)` fires for a NaN sum; Java's > does not.
+      if (sums(j) > 0 || java.lang.Double.isNaN(sums(j))) code |= (1L << j)
+      j += 1
+    }
+    code
+  }
+}
+
+object PlaneBucketExpr {
+  /** Column wrapper over [[PlaneBucketCode]] (array<float> embedding →
+    * long bucket code). */
+  def planeBucketCode(embedding: Column): Column =
+    GraftShim.column(PlaneBucketCode(GraftShim.expression(embedding)))
+}

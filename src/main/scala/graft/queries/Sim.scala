@@ -115,16 +115,12 @@ object Sim {
     Q("e04_lsh_ann",
       (s, dir) => {
         // W(i,j) = ((i*37 + j*101) mod 19) - 9 — deterministic integer
-        // hyperplane weights, identical in the DuckDB oracle.
-        def planeDot(emb: Column, j: Int): Column =
-          aggregate(
-            transform(emb, (x, i) =>
-              x.cast("double") * ((i * 37 + lit(j * 101)) % 19 - 9).cast("double")),
-            lit(0.0), (acc, x) => acc + x)
-        def bucket(emb: Column): Column =
-          (0 until 8).map(j => when(planeDot(emb, j) > 0, lit(1L << j)).otherwise(lit(0L)))
-            .reduce(_ + _)
-        val e = t(s, dir, "embeddings").withColumn("bkt", bucket(col("embedding")))
+        // hyperplane weights, identical in the DuckDB oracle. All 8
+        // plane sums in one codegen'd pass (PlaneBucketCode); the
+        // interpreted 16-array-walk HOF formulation it replaced is
+        // spec-checked bit-identical in PlaneBucketSpec.
+        val e = t(s, dir, "embeddings")
+          .withColumn("bkt", graft.functions.PlaneBucketExpr.planeBucketCode(col("embedding")))
         val q = e.filter(col("vec_id") === 0)
           .select(col("bkt").as("qbkt"), col("embedding").as("qe"))
         e.filter(col("vec_id") > 0).crossJoin(broadcast(q))
@@ -163,16 +159,8 @@ object Sim {
     // stable.
     Q("e05_embed_neardup",
       (s, dir) => {
-        def planeDot(emb: Column, j: Int): Column =
-          aggregate(
-            transform(emb, (x, i) =>
-              x.cast("double") * ((i * 37 + lit(j * 101)) % 19 - 9).cast("double")),
-            lit(0.0), (acc, x) => acc + x)
-        def bucket(emb: Column): Column =
-          (0 until 8).map(j => when(planeDot(emb, j) > 0, lit(1L << j)).otherwise(lit(0L)))
-            .reduce(_ + _)
         val e = t(s, dir, "embeddings")
-          .withColumn("bkt", bucket(col("embedding")))
+          .withColumn("bkt", graft.functions.PlaneBucketExpr.planeBucketCode(col("embedding")))
         val a = e.select(col("bkt"), col("vec_id").as("vec_id_a"), col("embedding").as("ea"))
         val b = e.select(col("bkt"), col("vec_id").as("vec_id_b"), col("embedding").as("eb"))
         a.join(b, Seq("bkt"))
