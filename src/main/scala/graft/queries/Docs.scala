@@ -444,18 +444,18 @@ object Docs {
 
     // SimHash: 16 sign-sum dimensions from md5 hex chars of distinct tokens.
     Q("d08_simhash",
-      (s, dir) => {
-        val toks = t(s, dir, "documents")
-          .repartition(col("doc_id"))
-          .select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
-          .withColumn("m", md5(col("tok").cast("binary")))
-        val sums = (0 until 16).map(j =>
-          sum(when(substring(col("m"), j + 1, 1).isin(hexHigh: _*), 1).otherwise(-1)).as(s"s$j"))
-        val agg = toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-        val code = (0 until 16).map(j =>
-          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-        agg.select(col("doc_id"), code.cast("long").as("simhash"))
-      },
+      // The whole sketch is a per-row MAP via the codegen'd SimHash16
+      // expression (one md5 per token, 16 vote counters in one loop) —
+      // no explode, no per-doc groupBy shuffle. The isNotNull filter
+      // mirrors the builtin explode, which emitted no row for a doc
+      // with no tokens; equivalence incl. that case is spec-checked in
+      // SimHashSpec. At 100 TB this shape is scan-parallel with zero
+      // shuffle, vs. a token-explode shuffle ~20x the corpus size.
+      (s, dir) => t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          graft.functions.SimHashExpr.simHash16(tokenSet(col("text"))).as("simhash"))
+        .filter(col("simhash").isNotNull),
       Some {
         val hexIn = hexHigh.map(h => s"'$h'").mkString(",")
         val sums = (0 until 16).map(j =>

@@ -183,8 +183,17 @@ object Relational {
         // zero-tax), so the second lineitem pass and the freq-tot join
         // of the naive 3-branch formulation are pure waste — measured
         // ~2x at sf0.1, and at 100 TB it halves the scan volume.
+        // The explicit repartition on l_partkey makes BOTH aggregation
+        // levels run co-located after ONE exchange (hash(partkey)
+        // satisfies the (partkey, orderkey) clustering too), and spreads
+        // the per-pair hash build across cores — the testdata parquet is
+        // a single row group, so without it the whole 600k-group partial
+        // aggregation runs inside the one scan task. Measured 2x at
+        // sf0.1; at cluster scale it is the same single-shuffle plan.
         val li = t(s, dir, "lineitem")
-        li.groupBy(col("l_partkey"), col("l_orderkey"))
+        li.select(col("l_partkey"), col("l_orderkey"), col("l_tax"))
+          .repartition(col("l_partkey"))
+          .groupBy(col("l_partkey"), col("l_orderkey"))
           .agg(count(lit(1)).as("cnt"),
             sum(when(col("l_tax") === 0, 1L).otherwise(0L)).as("zt"))
           .groupBy(col("l_partkey"))

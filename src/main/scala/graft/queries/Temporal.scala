@@ -18,7 +18,12 @@ object Temporal {
     // §2.4: pandas-Timedelta hour truncation — floor(total_seconds/3600),
     // exercised on BOTH signs (half the lineitems ship before orderdate).
     Q("q21_td_hours",
+      // repartition spreads the broadcast-join probe + timedelta math
+      // across cores (single-row-group testdata scans are one task);
+      // output is integer-exact, so row order is free to change.
       (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .repartition(col("l_orderkey"))
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_linenumber"),
           tdHours(col("l_shipdate"), col("o_orderdate")).as("ship_hours_from_order"),
@@ -119,6 +124,7 @@ object Temporal {
       (s, dir) => {
         val o = t(s, dir, "orders")
         val a = o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+          .repartition(col("o_custkey")) // see q21 — parallel range probe, integer label
         val b = o.select(col("o_custkey").as("b_custkey"), col("o_orderdate").as("b_orderdate"))
         val pos = a.join(b,
             col("o_custkey") === col("b_custkey") &&
@@ -142,6 +148,8 @@ object Temporal {
     Q("q23_interval_clip",
       (s, dir) => {
         val j = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+          .repartition(col("l_orderkey")) // see q21 — parallel probe, integer-exact output
           .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         val hi = col("o_orderdate") + expr("INTERVAL 30 DAYS")
         j.select(col("l_orderkey"), col("l_linenumber"),
