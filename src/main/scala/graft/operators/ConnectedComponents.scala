@@ -55,7 +55,13 @@ object ConnectedComponents {
   def components(edges: DataFrame, maxIter: Int = 25,
       strict: Boolean = false, dedupeEdges: Boolean = true,
       localThreshold: Long = 4L << 20): DataFrame = {
-    val e = edges.toDF("u", "v")
+    // Materialize the edge list ONCE before symmetrizing: the union
+    // references `e` twice, and without this the entire upstream
+    // pipeline (for LSH star edges: signatures + banding + bucket join)
+    // is evaluated per branch — measured ~2x the d12 construction cost.
+    // One extra checkpoint of the (small, post-reduction) edge list is
+    // the cluster-scale trade too.
+    val e = edges.toDF("u", "v").localCheckpoint(true)
     val symRaw = e.union(e.select(col("v"), col("u")))
     val sym = (if (dedupeEdges) symRaw.distinct() else symRaw)
       .localCheckpoint(true)
