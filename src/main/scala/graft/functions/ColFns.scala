@@ -121,6 +121,45 @@ object ColFns {
   /** Cosine similarity of two vector columns (double). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
 
+  // ---------- exact percentiles at scale ----------
+
+  /** Per-group exact linear-interpolation percentiles via window ranks
+    * instead of Spark's `percentile` aggregate. Semantically identical
+    * (lo + frac·(hi-lo) over the sorted non-null values — the same
+    * explicit IEEE expression the DuckDB oracles spell out), but the
+    * aggregate buffers EVERY value of a group in one in-memory map
+    * (an OOM at 100 TB group sizes, and a serial bottleneck even at
+    * sf0.1), while this formulation is a partition-parallel sort that
+    * spills. Groups with no non-null value are absent from the result —
+    * left-join and treat null bounds as pass-through, which is exactly
+    * what `least`/`greatest`'s null-skipping does.
+    *
+    * @param ps (outputColumn, fraction) pairs, e.g. Seq("p05" -> 0.05).
+    */
+  def percentilesByKey(df: org.apache.spark.sql.DataFrame, key: String,
+      value: String, ps: Seq[(String, Double)]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = df.filter(col(value).isNotNull)
+      .select(col(key), col(value))
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy(col(key)).orderBy(col(value)))
+          .cast("long") - 1)
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(key))))
+    val aggs = ps.flatMap { case (name, p) =>
+      val pos = lit(p) * (col("_n") - 1).cast("double")
+      Seq(
+        max(when(col("_rn") === floor(pos), col(value))).as(s"_lo_$name"),
+        max(when(col("_rn") === ceil(pos), col(value))).as(s"_hi_$name"),
+        max(pos - floor(pos).cast("double")).as(s"_f_$name"))
+    }
+    val outs = ps.map { case (name, _) =>
+      (col(s"_lo_$name") + col(s"_f_$name") * (col(s"_hi_$name") - col(s"_lo_$name")))
+        .as(name)
+    }
+    ord.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+      .select(col(key) +: outs: _*)
+  }
+
   // ---------- skew handling ----------
 
   /** Salted equi-join for skewed keys: the fact side gets a deterministic

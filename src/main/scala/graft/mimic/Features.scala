@@ -112,10 +112,16 @@ object Features {
   }
 
   /** outlier_imputation (outlier_removal.py:11-37): per-group exact
-    * percentiles (numpy linear interpolation = Spark `percentile`), then
+    * percentiles (numpy 'linear' interpolation lo + f·(hi-lo), computed
+    * by the window-rank [[graft.functions.ColFns.percentilesByKey]] —
+    * Spark's `percentile` aggregate buffers every group value in one
+    * in-memory map, an OOM at 100 TB itemid group sizes), then
     *  - impute=true: sequential masked writes collapse to
     *    min(max(v, perc_up), perc_down)
     *  - impute=false: keep rows with perc_up <= v <= perc_down.
+    * The left join preserves all-null groups: null bounds pass values
+    * through under least/greatest and drop rows under the filter,
+    * matching the aggregate's null-bound behavior.
     * QUIRK PRESERVED (SURVEY §7.4.6): perc_up := percentile(leftThresh),
     * perc_down := percentile(cutOff) — the reference's tested config
     * (thresh=5, left_thresh=95) inverts the band on purpose; we reproduce
@@ -124,10 +130,9 @@ object Features {
   def outlierImputation(
       df: DataFrame, idCol: String, valueCol: String,
       cutOff: Int, leftThresh: Int, impute: Boolean): DataFrame = {
-    val pct = df.groupBy(col(idCol)).agg(
-      percentile(col(valueCol), lit(leftThresh / 100.0)).as("_perc_up"),
-      percentile(col(valueCol), lit(cutOff / 100.0)).as("_perc_down"))
-    val joined = df.join(broadcast(pct), Seq(idCol))
+    val pct = graft.functions.ColFns.percentilesByKey(df, idCol, valueCol,
+      Seq("_perc_up" -> leftThresh / 100.0, "_perc_down" -> cutOff / 100.0))
+    val joined = df.join(broadcast(pct), Seq(idCol), "left")
     val cleaned =
       if (impute)
         joined.withColumn(valueCol,

@@ -69,7 +69,9 @@ object Relational {
       (s, dir) => {
         val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
         val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
-        li.join(o, col("l_orderkey") === col("o_orderkey"))
+        li.select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+          .repartition(col("l_orderkey")) // see q21 — parallel probe; dsum is order-exact
+          .join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -489,11 +491,21 @@ object Relational {
     // A7: exact per-group percentile clip (outlier_removal.py semantics).
     Q("q12_percentile_clip",
       (s, dir) => {
+        // Window-rank percentiles (ColFns.percentilesByKey), not the
+        // `percentile` aggregate: the aggregate buffers every group
+        // value in one in-memory map — a serial bottleneck here and an
+        // OOM at 100 TB group sizes — while the rank formulation is a
+        // partition-parallel spillable sort computing the SAME explicit
+        // interpolation the oracle spells out. One event_type exchange
+        // feeds both the window and the probe side. The left join +
+        // least/greatest null-skipping keeps all-null groups behaving
+        // like the aggregate's null bounds (clip = identity).
         val ev = t(s, dir, "events")
-        val pct = ev.groupBy(col("event_type")).agg(
-          percentile(col("value"), lit(0.05)).as("p05"),
-          percentile(col("value"), lit(0.95)).as("p95"))
-        ev.join(broadcast(pct), Seq("event_type"))
+          .select(col("event_id"), col("event_type"), col("value"))
+          .repartition(col("event_type"))
+        val pct = graft.functions.ColFns.percentilesByKey(
+          ev, "event_type", "value", Seq("p05" -> 0.05, "p95" -> 0.95))
+        ev.join(broadcast(pct), Seq("event_type"), "left")
           .select(col("event_id"), col("event_type"),
             round(least(greatest(col("value"), col("p05")), col("p95")), 6).as("clipped"))
       },

@@ -238,11 +238,15 @@ object Temporal {
     // (outlier_removal.py:24-37 imputing=False path; q12 is the clip twin).
     Q("q34_outlier_drop",
       (s, dir) => {
+        // Window-rank percentiles + shared event_type exchange — see
+        // q12. A null bound (all-null group) nulls the comparison and
+        // drops the row, exactly as the aggregate's null bounds did.
         val ev = t(s, dir, "events")
-        val pct = ev.groupBy(col("event_type")).agg(
-          percentile(col("value"), lit(0.05)).as("p05"),
-          percentile(col("value"), lit(0.95)).as("p95"))
-        ev.join(broadcast(pct), Seq("event_type"))
+          .select(col("event_id"), col("event_type"), col("value"))
+          .repartition(col("event_type"))
+        val pct = graft.functions.ColFns.percentilesByKey(
+          ev, "event_type", "value", Seq("p05" -> 0.05, "p95" -> 0.95))
+        ev.join(broadcast(pct), Seq("event_type"), "left")
           .filter(col("value") >= col("p05") && col("value") <= col("p95"))
           .select(col("event_id"), col("event_type"), col("value"))
       },

@@ -23,6 +23,25 @@ class GraftExtensionsSpec extends SparkSpec {
       ex.getMessage.toLowerCase.contains("vec_dot"))
   }
 
+  test("sketch expressions resolve in spark.sql") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((Seq("a b c", "b c d"), Seq(1.0f, -2.0f, 3.0f)))
+      .toDF("sh", "emb").createOrReplaceTempView("graft_ext_sketch_v")
+    val r = spark.sql(
+      """SELECT minhash_sig(sh) AS mh, simhash16(sh) AS sim,
+        |       plane_bucket_code(emb) AS bkt
+        |FROM graft_ext_sketch_v""".stripMargin).head
+    assert(r.getAs[scala.collection.Seq[Long]]("mh").length ===
+      graft.functions.MinHashSig.K)
+    // cross-check against the DataFrame-side wrappers
+    val df = spark.table("graft_ext_sketch_v").select(
+      graft.functions.SimHashExpr.simHash16(col("sh")).as("sim"),
+      graft.functions.PlaneBucketExpr.planeBucketCode(col("emb")).as("bkt")).head
+    assert(r.getLong(1) === df.getLong(0))
+    assert(r.getLong(2) === df.getLong(1))
+  }
+
   test("saltedJoin equals plain join exactly") {
     import spark.implicits._
     val fact = (0 until 1000).map(i => (i.toLong, s"k${i % 3}")).toDF("id", "k")
