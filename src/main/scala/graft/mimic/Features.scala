@@ -203,15 +203,27 @@ object Features {
     * (`max(lit(1))`, the :461-466 pivot_table np.max). The vocabulary
     * collect is bounded by maxFeatures — same justification as
     * `pivotCohort`.
+    *
+    * Parsing: ast.literal_eval accepts labels containing apostrophes
+    * (Python reprs them double-quoted: `["Alzheimer's"]`), so a naive
+    * '→" swap yields invalid JSON and from_json silently nulls the row.
+    * Instead we strip the outer `[` `]` plus the first/last quote, then
+    * split on the quote-comma-quote element boundary `['"]\s*,\s*['"]` —
+    * interior apostrophes and commas survive, and split never returns
+    * null on non-null input, so no row can vanish silently. (A label
+    * containing the literal three-char sequence quote-comma-quote would
+    * still mis-split — not representable in the reference's ICD vocab.)
     */
   def pivotCohortMlb(df: DataFrame, indexCols: Seq[String], listCol: String,
       maxFeatures: Option[Int] = None): DataFrame = {
     val long = df.na.drop(Seq(listCol))
-      .withColumn("_label", explode(array_distinct(from_json(
-        regexp_replace(col(listCol), "'", "\""),
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.StringType)))))
-      .withColumn("_label", trim(col("_label")))
+      .withColumn("_label", explode(array_distinct(transform(
+        split(
+          regexp_replace(
+            regexp_replace(trim(col(listCol)), "^\\[\\s*['\"]?", ""),
+            "['\"]?\\s*\\]$", ""),
+          "['\"]\\s*,\\s*['\"]"),
+        x => trim(x)))))
       .filter(length(col("_label")) > 0)
       .select((indexCols.map(col) :+ col("_label")): _*)
     val ranked = long.groupBy(col("_label")).agg(count(lit(1)).as("_cnt"))

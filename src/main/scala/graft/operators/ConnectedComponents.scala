@@ -126,22 +126,93 @@ object ConnectedComponents {
     val spark = sym.sparkSession
     import spark.implicits._
     sym.as[(Long, Long)].coalesce(1).mapPartitions { it =>
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      // Primitive open-addressing long→long map, not a boxed HashMap:
+      // at the 4M-edge threshold (up to ~8M nodes) boxed entries cost
+      // several hundred MB in one task; two flat long arrays cost
+      // 16 B/slot (~256 MB only at full 8M nodes ×50% load, typically
+      // far less) with zero per-entry object headers or GC pressure.
+      val parent = new LongLongMap(1 << 16)
       def find(x: Long): Long = {
         var r = x
         while (parent(r) != r) r = parent(r)
         var c = x
-        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        while (parent(c) != r) { val n = parent(c); parent.put(c, r); c = n }
         r
       }
       it.foreach { case (u, v) =>
-        if (!parent.contains(u)) parent(u) = u
-        if (!parent.contains(v)) parent(v) = v
+        parent.putIfAbsent(u, u)
+        parent.putIfAbsent(v, v)
         val ru = find(u); val rv = find(v)
-        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+        if (ru != rv) { if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv) }
       }
       // materialize keys first: find() mutates values mid-iteration
-      parent.keys.toArray.iterator.map(x => (x, find(x)))
+      parent.keysArray.iterator.map(x => (x, find(x)))
     }.toDF("id", "rep")
+  }
+
+  /** Minimal open-addressing long→long hash map (linear probing,
+    * power-of-two capacity, ≤50% load). Long.MinValue is the empty-slot
+    * sentinel; the one key equal to the sentinel is carried in a
+    * dedicated side slot so arbitrary 64-bit ids remain valid.
+    * Serializable: constructed inside the task closure.
+    */
+  private final class LongLongMap(initialCapacity: Int) extends Serializable {
+    private var hasMin = false
+    private var minVal = 0L
+    private var cap = Integer.highestOneBit(math.max(initialCapacity, 16) * 2 - 1)
+    private var mask = cap - 1
+    private var keys = Array.fill[Long](cap)(Long.MinValue)
+    private var vals = new Array[Long](cap)
+    private var n = 0
+
+    private def slot(k: Long): Int = {
+      // finalizer-style mix so sequential ids spread across slots
+      var h = k * -7046029254386353131L
+      h ^= h >>> 32
+      var i = h.toInt & mask
+      while (keys(i) != Long.MinValue && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+
+    def apply(k: Long): Long =
+      if (k == Long.MinValue) minVal else vals(slot(k))
+
+    def put(k: Long, v: Long): Unit =
+      if (k == Long.MinValue) { hasMin = true; minVal = v }
+      else {
+        val i = slot(k)
+        if (keys(i) == Long.MinValue) { keys(i) = k; n += 1; growIfNeeded() }
+        vals(i) = v
+      }
+
+    def putIfAbsent(k: Long, v: Long): Unit =
+      if (k == Long.MinValue) { if (!hasMin) { hasMin = true; minVal = v } }
+      else {
+        val i = slot(k)
+        if (keys(i) == Long.MinValue) { keys(i) = k; vals(i) = v; n += 1; growIfNeeded() }
+      }
+
+    private def growIfNeeded(): Unit = if (n * 2 > cap) {
+      val ok = keys; val ov = vals
+      cap <<= 1; mask = cap - 1; n = 0
+      keys = Array.fill[Long](cap)(Long.MinValue)
+      vals = new Array[Long](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != Long.MinValue) { put(ok(i), ov(i)) }
+        i += 1
+      }
+    }
+
+    def keysArray: Array[Long] = {
+      val out = new Array[Long](n + (if (hasMin) 1 else 0))
+      var i = 0; var j = 0
+      while (i < keys.length) {
+        if (keys(i) != Long.MinValue) { out(j) = keys(i); j += 1 }
+        i += 1
+      }
+      if (hasMin) out(j) = Long.MinValue
+      out
+    }
   }
 }

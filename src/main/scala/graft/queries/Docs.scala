@@ -116,7 +116,11 @@ object Docs {
       nBands: Int): org.apache.spark.sql.DataFrame =
     sig.select(col("doc_id"), explode(array(
       (0 until nBands).map(b =>
-        concat(lit(s"$b:"), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)).as("band_key"))
+        // ':' delimiter between the two minhash values: they are
+        // variable-width decimal longs, so bare concatenation aliases
+        // distinct pairs — (1,23) and (12,3) both give "123" — and
+        // spuriously buckets unrelated docs.
+        concat(lit(s"$b:"), col(s"mh${2 * b}"), lit(":"), col(s"mh${2 * b + 1}"))): _*)).as("band_key"))
       .filter(col("band_key").isNotNull && col("doc_id").isNotNull)
 
   /** Buckets as (band_key, ids ≤ maxBucket sorted asc, n = TRUE size).
@@ -334,7 +338,7 @@ object Docs {
       },
       Some {
         val mh = (0 until 8).map(i => s"  ${dMinhash(i)} AS mh$i").mkString(",\n")
-        val bands = (0 until 4).map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || mh${2 * b + 1} AS band_key FROM sig")
+        val bands = (0 until 4).map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || ':' || mh${2 * b + 1} AS band_key FROM sig")
           .mkString("\n  UNION ALL ")
         s"""WITH w AS (SELECT doc_id, $dWords ws FROM documents),
            |s AS (SELECT doc_id,
@@ -372,7 +376,7 @@ object Docs {
       },
       Some {
         val mh = (0 until 8).map(i => s"  ${dMinhash(i)} AS mh$i").mkString(",\n")
-        val bands = (0 until 4).map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || mh${2 * b + 1} AS band_key FROM sig")
+        val bands = (0 until 4).map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || ':' || mh${2 * b + 1} AS band_key FROM sig")
           .mkString("\n  UNION ALL ")
         s"""WITH RECURSIVE w AS (SELECT doc_id, $dWords ws FROM documents),
            |s AS (SELECT doc_id,

@@ -28,12 +28,31 @@ object Registry {
   // Session-scoped catalog: resolving a table (file listing + footer
   // schema read + relation analysis) costs tens of ms per spark.read —
   // re-paying it on every query construction is what a catalog exists
-  // to avoid. DataFrames are immutable, so reuse across queries is safe.
+  // to avoid. DataFrames are immutable, so reuse across queries is safe
+  // AS LONG AS the underlying files are not rewritten: the cached plan
+  // pins its file-listing snapshot. Callers that rewrite parquet under
+  // a cached dir mid-session must call `invalidate(dir)` (or
+  // `invalidate()` for everything). Entries whose session has stopped
+  // are purged opportunistically on each lookup, so a long-lived JVM
+  // cycling many sessions does not grow the map unboundedly.
   private val tableCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
+  /** Drop every cached table under `dir` (all sessions). Call after
+    * rewriting the parquet files in that directory. */
+  def invalidate(dir: String): Unit =
+    tableCache.keySet.removeIf(k => k._2 == dir)
+
+  /** Drop the whole catalog cache. */
+  def invalidate(): Unit = tableCache.clear()
+
+  private def purgeStopped(): Unit =
+    tableCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    purgeStopped()
     tableCache.computeIfAbsent((s, dir, name), _ => tUncached(s, dir, name))
+  }
 
   private def tUncached(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {

@@ -132,4 +132,23 @@ class FeaturesSpec extends SparkSpec {
     // row 2 survives via 'b' even though its 'c' was cut
     assert(top2.filter(col("subject_id") === 2L).count() === 1L)
   }
+
+  test("pivotCohortMlb: apostrophes and commas inside labels parse like ast.literal_eval") {
+    import spark.implicits._
+    // Python reprs apostrophe-bearing strings double-quoted — the old
+    // '→" swap turned these into invalid JSON and silently dropped the
+    // row; interior commas must not split either. Empty list → no rows.
+    val df = Seq(
+      (1L, 0L, """["Alzheimer's disease", 'Sepsis, unspecified']"""),
+      (2L, 1L, "['Sepsis, unspecified']"),
+      (3L, 0L, "[]")
+    ).toDF("subject_id", "label", "codes")
+    val wide = Features.pivotCohortMlb(df, Seq("subject_id", "label"), "codes")
+    assert(wide.columns.toSeq ===
+      Seq("subject_id", "label", "Alzheimer's disease", "Sepsis, unspecified"))
+    val rows = wide.collect().map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3))).toMap
+    assert(rows(1L) === ((1, 1)))
+    assert(rows(2L) === ((0, 1)))
+    assert(!rows.contains(3L)) // empty list → zero exploded labels
+  }
 }

@@ -57,4 +57,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(fast === loop)
     assert(fast.nonEmpty)
   }
+
+  test("union-find primitive map: growth past initial capacity and extreme ids") {
+    import spark.implicits._
+    // >64k distinct nodes forces several LongLongMap doublings; the
+    // Long.MinValue / MaxValue ids exercise the sentinel side-slot.
+    val chain = (0L until 70000L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val extremes = Seq((Long.MinValue, 0L), (Long.MaxValue, 69999L))
+    val comps = ConnectedComponents.components((chain ++ extremes).toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size === 70002)
+    // everything connects through the chain; min id is Long.MinValue
+    assert(comps.values.forall(_ == Long.MinValue))
+  }
 }

@@ -45,7 +45,7 @@ class LshBoundedSpec extends SparkSpec {
     // reference pairs: plain banded self-join (the DuckDB oracle's shape)
     val banded = s.select(col("doc_id"), explode(array(
       (0 until 4).map(b =>
-        concat(lit(s"$b:"), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)).as("band_key"))
+        concat(lit(s"$b:"), col(s"mh${2 * b}"), lit(":"), col(s"mh${2 * b + 1}"))): _*)).as("band_key"))
     val expected = banded.as("a")
       .join(banded.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
@@ -60,6 +60,21 @@ class LshBoundedSpec extends SparkSpec {
     val viaPairs = ConnectedComponents.components(
       got.toDF("u", "v")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaStar === viaPairs)
+  }
+
+  test("band keys delimit the two minhash values — no decimal aliasing") {
+    import spark.implicits._
+    // Without a delimiter, mh=(1,23) and mh=(12,3) both produce band
+    // key "b:123" and the docs spuriously bucket together (ADVICE r5).
+    val rows = Seq(
+      (0L, "1", "23"),
+      (1L, "12", "3"))
+    val base = rows.toDF("doc_id", "a", "b")
+    val s = (0 until 4).foldLeft(base)((d, i) =>
+      d.withColumn(s"mh${2 * i}", col("a")).withColumn(s"mh${2 * i + 1}", col("b")))
+      .drop("a", "b")
+    assert(Docs.lshCandidatePairs(s, nBands = 4).count() === 0L)
+    assert(Docs.lshStarEdges(s, nBands = 4).count() === 0L)
   }
 
   test("star edges compute the banded exchange once (ReuseExchange)") {
