@@ -402,6 +402,82 @@ object Docs {
       },
       "dedup groups: LSH pairs -> connected components (north-star: dedup)"),
 
+    // FLAGSHIP COMPOSITE: the canonical LLM corpus-cleanup pipeline in
+    // one query — language gate → minimum-length quality gate → exact
+    // dedup (keep min doc_id per byte-identical text) → near-dup dedup
+    // (MinHash-LSH star edges → connected components, keep each
+    // cluster's min id). Stage order is the 100 TB order: the narrow,
+    // codegen'd filters run first so every later shuffle moves only
+    // survivors; exact dedup is ONE exchange (window min over
+    // md5(text)); the LSH band shuffle and CC run on the doubly-deduped
+    // remainder. Docs with null text fall out of the gate naturally in
+    // both engines (null comparisons are never TRUE).
+    Q("d13_corpus_clean",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .repartition(col("doc_id"))
+          .withColumn("ws", words(col("text")))
+        def cnt(w: String*) = size(filter(col("ws"), x => x.isin(w: _*))).cast("long")
+        val s1 = cnt("the", "a")
+        val s2 = cnt("data", "spark", "stream")
+        val s3 = cnt("join", "merge", "hash")
+        val gated = base.withColumn("n_tokens", size(col("ws")).cast("long"))
+          .filter(s1 >= s2 && s1 >= s3 && col("n_tokens") >= 10)
+        val exact = gated.withColumn("_keep",
+            min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(md5(col("text").cast("binary")))))
+          .filter(col("doc_id") === col("_keep"))
+        val shingled = exact
+          .withColumn("sh", shingles(col("ws")))
+          .withColumn("mh", graft.functions.MinHashExprs.minHashSig(col("sh")))
+        val sig = shingled.select(
+          col("doc_id") +: (0 until 8).map(i => minhash(col("mh"), i).as(s"mh$i")): _*)
+        val comps = graft.operators.ConnectedComponents.components(
+          lshStarEdges(sig), dedupeEdges = false)
+        exact.select(col("doc_id"), col("n_tokens"))
+          .join(comps, col("doc_id") === col("id"), "left")
+          .filter(col("rep").isNull || col("rep") === col("doc_id"))
+          .select(col("doc_id"), col("n_tokens"))
+      },
+      Some {
+        val mh = (0 until 8).map(i => s"  ${dMinhash(i)} AS mh$i").mkString(",\n")
+        val bands = (0 until 4).map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || ':' || mh${2 * b + 1} AS band_key FROM sig")
+          .mkString("\n  UNION ALL ")
+        s"""WITH RECURSIVE w AS (SELECT doc_id, text, $dWords ws FROM documents),
+           |gate AS (
+           |  SELECT doc_id, text, ws, CAST(len(ws) AS BIGINT) AS n_tokens FROM w
+           |  WHERE len(list_filter(ws, x -> x IN ('the','a'))) >= len(list_filter(ws, x -> x IN ('data','spark','stream')))
+           |    AND len(list_filter(ws, x -> x IN ('the','a'))) >= len(list_filter(ws, x -> x IN ('join','merge','hash')))
+           |    AND len(ws) >= 10),
+           |exact AS (
+           |  SELECT doc_id, ws, n_tokens FROM (
+           |    SELECT doc_id, ws, n_tokens,
+           |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+           |    FROM gate) WHERE doc_id = keep_id),
+           |s AS (SELECT doc_id, n_tokens,
+           |  list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) sh
+           |  FROM exact),
+           |h AS (SELECT doc_id, n_tokens, $dHh hh FROM s),
+           |sig AS (SELECT doc_id, n_tokens,
+           |$mh
+           |FROM h),
+           |banded AS (
+           |  $bands),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+           |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |rep AS (SELECT u AS id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u)
+           |SELECT sig.doc_id, sig.n_tokens
+           |FROM sig LEFT JOIN rep ON sig.doc_id = rep.id
+           |WHERE rep.rep IS NULL OR rep.rep = sig.doc_id""".stripMargin
+      },
+      "corpus cleanup end-to-end: lang+quality gate -> exact dedup -> LSH near-dup dedup (north-star flagship)"),
+
     // BPE-ish regex tokenization: letter runs / digit runs / punct runs —
     // the dialect-portable core of a GPT-style pre-tokenizer (north-star:
     // token counting). Java and RE2 agree on this pattern class.
