@@ -192,6 +192,55 @@ object Sim {
       },
       "embedding near-dup pairs via hyperplane buckets (north-star: dedup)"),
 
+    // KNN JOIN: top-3 nearest neighbors for EVERY vector — the
+    // batch-similarity workload behind "find near neighbors for the
+    // whole corpus" (semantic dedup, retrieval eval). Candidates come
+    // from the hyperplane bucket (e04's per-row map code), so the join
+    // is per-bucket, never all-pairs; one exchange on bkt feeds the
+    // self-join, one on vec_id feeds the rank. Ranking uses the ROUNDED
+    // cosine (with nbr_id tiebreak) so ordering is cross-engine stable.
+    Q("e06_knn_join",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .withColumn("bkt", graft.functions.PlaneBucketExpr.planeBucketCode(col("embedding")))
+          .repartition(col("bkt"))
+        val a = e.select(col("bkt"), col("vec_id"), col("embedding"))
+        val b = e.select(col("bkt"), col("vec_id").as("nbr_id"), col("embedding").as("ne"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("nbr_id").asc)
+        a.join(b, Seq("bkt"))
+          .filter(col("vec_id") =!= col("nbr_id"))
+          .withColumn("cos_sim", round(cosineFast(col("embedding"), col("ne")), 4))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("vec_id"), col("nbr_id"), col("cos_sim"), col("rk"))
+      },
+      Some {
+        val sums = (0 until 8).map(j =>
+          s"  SUM(v * ((((pos - 1) * 37 + $j * 101) % 19) - 9)) AS s$j").mkString(",\n")
+        val code = (0 until 8).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        s"""WITH unnested AS (
+           |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+           |         unnest(embedding::DOUBLE[]) AS v
+           |  FROM embeddings),
+           |sums AS (SELECT vec_id,
+           |$sums
+           |FROM unnested GROUP BY vec_id),
+           |bkt AS (SELECT vec_id, CAST($code AS BIGINT) AS bkt FROM sums),
+           |e AS (SELECT embeddings.vec_id, embedding, bkt
+           |      FROM embeddings JOIN bkt ON embeddings.vec_id = bkt.vec_id),
+           |pairs AS (
+           |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+           |    ROUND(${dDot("a.embedding", "b.embedding")} /
+           |      (sqrt(${dDot("a.embedding", "a.embedding")}) * sqrt(${dDot("b.embedding", "b.embedding")})), 4) AS cos_sim
+           |  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id)
+           |SELECT vec_id, nbr_id, cos_sim, CAST(rk AS BIGINT) AS rk FROM (
+           |  SELECT vec_id, nbr_id, cos_sim,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id ASC) AS rk
+           |  FROM pairs) WHERE rk <= 3""".stripMargin
+      },
+      "bucketed KNN join: top-3 neighbors per vector (north-star: similarity)"),
+
     // Multimodal-column plumbing: opaque bytes + typed metadata + a
     // clearly-fake deterministic "decode" (real decode is stubbed — media
     // libs aren't in the container; see graft.mm.Multimodal for the
