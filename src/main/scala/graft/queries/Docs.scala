@@ -25,7 +25,7 @@ object Docs {
     * INVALID_INDEX_OF_ZERO; the DuckDB oracle's `range(1, len-1)` yields
     * an empty list for the same input, so short docs → empty shingle set.
     */
-  private def shingles(ws: Column): Column =
+  private[graft] def shingles(ws: Column): Column =
     when(size(ws) >= 3,
       transform(sequence(lit(1), size(ws) - 2), i =>
         concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))

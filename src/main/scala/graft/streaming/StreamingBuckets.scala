@@ -36,6 +36,32 @@ object StreamingBuckets {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Streaming NEAR-dup filter — the streaming twin of the d12/d13
+    * MinHash dedup: a doc whose full 8-family signature was already
+    * seen inside the watermark horizon is dropped. The signature is a
+    * stateless per-row map (same codegen'd MinHashSig as the batch
+    * path), so the only state is dropDuplicates' seen-signature set,
+    * which the watermark bounds — the operator runs forever at 100 TB
+    * ingest. Docs too short to shingle (<3 tokens, or null text) get a
+    * per-doc unique key so they pass through un-deduped rather than
+    * all colliding on the empty signature.
+    *
+    * Signature-equality is the band-free special case of LSH (docs
+    * agreeing on ALL 8 families); banded candidate generation needs a
+    * post-shuffle join, which streaming defers to the batch compactor.
+    */
+  def nearDedupStream(docs: DataFrame, watermark: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("ws", split(graft.functions.ColFns.normWs(col("text")), " "))
+      .withColumn("sh", graft.queries.Docs.shingles(col("ws")))
+      .withColumn("mh", graft.functions.MinHashExprs.minHashSig(col("sh")))
+      .withColumn("sig",
+        when(size(col("sh")) >= 1, concat_ws(":", col("mh").cast("array<string>")))
+          .otherwise(concat(lit("uniq:"), col("doc_id").cast("string"))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("sig"))
+      .drop("ws", "sh", "mh", "sig")
+
   // ---------- stateful sessionization (flatMapGroupsWithState) ----------
 
   final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)

@@ -54,4 +54,18 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       s"stats join not broadcast:\n${p.take(800)}")
   }
+
+  test("d13: corpus-clean composite has no cartesian product") {
+    val p = planOf("d13_corpus_clean")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("e06: KNN self-join reuses one bucket exchange; no cartesian") {
+    val df = Registry.queries("e06_knn_join")(spark, sfDir)
+    df.collect() // AQE exchange reuse is only visible on the EXECUTED plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("ReusedExchange"),
+      "both sides of the bucket self-join must share the repartition(bkt) exchange")
+  }
 }

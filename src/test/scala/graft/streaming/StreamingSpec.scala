@@ -9,6 +9,7 @@ import graft.SparkSpec
   * produce identical results on a stream (micro-batched via MemoryStream)
   * and on the equivalent batch DataFrame. */
 case class StreamEv(event_id: Long, ts: Timestamp, event_type: String, value: Double)
+case class StreamDoc(doc_id: Long, text: String, ts: Timestamp)
 
 class StreamingSpec extends SparkSpec {
   private type Ev = StreamEv
@@ -141,6 +142,33 @@ class StreamingSpec extends SparkSpec {
           org.apache.spark.sql.functions.col("shingle")))
         .head.getAs[scala.collection.Seq[java.lang.Long]]("mh_sig")
       assert(streamed === batch)
+    } finally query.stop()
+  }
+
+  test("nearDedupStream: same-signature docs collapse; shingle-less docs all pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = System.currentTimeMillis()
+    def at(min: Long) = new Timestamp(base + min * 60000L)
+    val stream = MemoryStream[StreamDoc]
+    val query = StreamingBuckets.nearDedupStream(stream.toDF())
+      .writeStream.format("memory").queryName("neardedup")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        StreamDoc(1L, "the quick brown fox jumps over the lazy dog", at(0)),
+        StreamDoc(3L, "completely different text about spark partitions here", at(1))))
+      query.processAllAvailable()
+      stream.addData(Seq(
+        // identical text in a LATER batch → identical signature → dropped
+        StreamDoc(2L, "the quick brown fox jumps over the lazy dog", at(2)),
+        // <3 tokens → no shingles → unique key → BOTH survive
+        StreamDoc(4L, "hi there", at(3)),
+        StreamDoc(5L, "hi there", at(4))))
+      query.processAllAvailable()
+      val kept = spark.table("neardedup").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept === Seq(1L, 3L, 4L, 5L))
     } finally query.stop()
   }
 
