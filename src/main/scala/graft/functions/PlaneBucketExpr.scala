@@ -25,7 +25,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * `when(s > 0, bit).otherwise(0)` then maps every plane to 0 — so a
   * null ELEMENT or a null ARRAY both yield bucket code 0, never null.
   */
-case class PlaneBucketCode(child: Expression) extends UnaryExpression {
+/** @param planes number of hyperplanes (bucket bits). The default 8 is
+  *        pinned by the e04/e05/e06 DuckDB oracles; the production KNN
+  *        path raises it with corpus density (Sim.planesFor) — the
+  *        weight formula W(i,j) depends only on (i, j), so a larger
+  *        plane count REFINES the 8-plane buckets exactly:
+  *        code_p == code_q & ((1<<p)-1) for p <= q (spec-checked).
+  */
+case class PlaneBucketCode(child: Expression, planes: Int = PlaneBucketCode.Planes)
+    extends UnaryExpression {
+
+  require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "plane_bucket_code"
@@ -39,7 +49,7 @@ case class PlaneBucketCode(child: Expression) extends UnaryExpression {
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) 0L else PlaneBucketCode.compute(v.asInstanceOf[ArrayData])
+    if (v == null) 0L else PlaneBucketCode.compute(v.asInstanceOf[ArrayData], planes)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -48,7 +58,7 @@ case class PlaneBucketCode(child: Expression) extends UnaryExpression {
       code = code"""
         ${c.code}
         long ${ev.value} = ${c.isNull} ? 0L :
-          graft.functions.PlaneBucketCode.compute(${c.value});
+          graft.functions.PlaneBucketCode.compute(${c.value}, $planes);
       """,
       isNull = FalseLiteral)
   }
@@ -63,15 +73,15 @@ object PlaneBucketCode {
 
   /** One pass: s_j += x_i * (((i*37 + j*101) % 19) - 9), then bit j iff
     * s_j > 0. Returns 0 on any null element (see class doc). */
-  def compute(arr: ArrayData): Long = {
+  def compute(arr: ArrayData, planes: Int): Long = {
     val n = arr.numElements()
-    val sums = new Array[Double](Planes)
+    val sums = new Array[Double](planes)
     var i = 0
     while (i < n) {
       if (arr.isNullAt(i)) return 0L
       val x = arr.getFloat(i).toDouble
       var j = 0
-      while (j < Planes) {
+      while (j < planes) {
         sums(j) += x * (((i * 37 + j * 101) % 19) - 9).toDouble
         j += 1
       }
@@ -79,7 +89,7 @@ object PlaneBucketCode {
     }
     var code = 0L
     var j = 0
-    while (j < Planes) {
+    while (j < planes) {
       // Spark SQL orders NaN greater than every value, so the builtin's
       // `when(s > 0, bit)` fires for a NaN sum; Java's > does not.
       if (sums(j) > 0 || java.lang.Double.isNaN(sums(j))) code |= (1L << j)
@@ -94,4 +104,9 @@ object PlaneBucketExpr {
     * long bucket code). */
   def planeBucketCode(embedding: Column): Column =
     GraftShim.column(PlaneBucketCode(GraftShim.expression(embedding)))
+
+  /** Scale variant: explicit plane count (more planes → finer buckets →
+    * less in-bucket quadratic work as corpus density grows). */
+  def planeBucketCode(embedding: Column, planes: Int): Column =
+    GraftShim.column(PlaneBucketCode(GraftShim.expression(embedding), planes))
 }

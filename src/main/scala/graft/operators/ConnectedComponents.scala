@@ -47,10 +47,13 @@ object ConnectedComponents {
     *        the number of near-duplicate docs, which is often orders of
     *        magnitude below the corpus size — and each distributed round
     *        costs several shuffles plus a driver barrier, so below the
-    *        threshold one task is strictly faster. Default 4M edges
-    *        (~64 MB of pairs — comfortably one task); pass 0 to force
-    *        the distributed loop. The 100 TB path (billions of edges)
-    *        still takes the O(log diameter) pointer-jumping loop.
+    *        threshold one task is strictly faster. Default 4M edges:
+    *        ~64 MB for the edge pairs in flight plus ≤256 MB for the
+    *        primitive open-addressing parent map at the worst-case 8M
+    *        distinct nodes (16 B/slot at ≤50% load, flat long arrays —
+    *        no boxed-entry overhead); pass 0 to force the distributed
+    *        loop. The 100 TB path (billions of edges) still takes the
+    *        O(log diameter) pointer-jumping loop.
     */
   def components(edges: DataFrame, maxIter: Int = 25,
       strict: Boolean = false, dedupeEdges: Boolean = true,

