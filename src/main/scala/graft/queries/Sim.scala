@@ -60,6 +60,48 @@ object Sim {
       .select(col("vec_id"), col("nbr_id"), col("cos_sim"), col("rk"))
   }
 
+  /** OR-amplified KNN join — the recall knob. Single-probe bucketing
+    * (knnJoinFast) has gap-dependent recall: on organic uniform
+    * embeddings, measured recall@3 at sf0.1 is only ~7% with one
+    * 8-plane family (true neighbors are barely closer than random, so
+    * they rarely share all 8 sign bits). The standard LSH AND-OR
+    * construction fixes this: L independent 8-plane families (computed
+    * as ONE 8L-plane pass, bit-sliced — planes are independent by
+    * construction), candidates = union over families of same-bucket
+    * pairs, then exact-cosine rank. Measured recall@3 at sf0.1 (300
+    * query sample vs brute-force truth, RecallProbe): 0.07/0.11/0.18/
+    * 0.23 for L=1/2/4/7 — families correlate through the shared
+    * embedding, so gains are sub-independent but monotone. Work stays
+    * linear in L (one explode + one (family, code) shuffle), never
+    * all-pairs.
+    */
+  def knnJoinOr(s: org.apache.spark.sql.SparkSession, dir: String,
+      families: Int = 4, planesPerFamily: Int = 8, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    val total = families * planesPerFamily
+    require(total <= 62, s"families*planesPerFamily must be <= 62, got $total")
+    val mask = (1L << planesPerFamily) - 1
+    val e = t(s, dir, "embeddings").withColumn("code",
+      graft.functions.PlaneBucketExpr.planeBucketCode(col("embedding"), total))
+    val withFam = e.select(col("vec_id"), col("embedding"),
+      explode(array((0 until families).map(f =>
+        concat_ws(":", lit(f),
+          shiftrightunsigned(col("code"), f * planesPerFamily)
+            .bitwiseAND(lit(mask)))): _*)).as("fc"))
+      .repartition(col("fc"))
+    val a = withFam.select(col("fc"), col("vec_id"), col("embedding"))
+    val b = withFam.select(col("fc"), col("vec_id").as("nbr_id"), col("embedding").as("ne"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("nbr_id").asc)
+    a.join(b, Seq("fc"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"), col("embedding"), col("ne"))
+      .dropDuplicates("vec_id", "nbr_id")
+      .withColumn("cos_sim", round(cosineFast(col("embedding"), col("ne")), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("cos_sim"), col("rk"))
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Pairwise cosine on consecutive ids: the embedding near-dup primitive.
