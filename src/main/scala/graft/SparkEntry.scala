@@ -12,9 +12,11 @@ import graft.queries.Registry
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * 4-way join + grouped agg (SURVEY J1-J3/A1). */
+    * The corpus-cleanup composite (d13): lang gate → quality gate →
+    * exact dedup → MinHash-LSH near-dup dedup — the engine's
+    * end-to-end showcase (SURVEY round-6 table). */
   def entry(spark: SparkSession): DataFrame =
-    Registry.queries("q03_join_multi")(spark, "/root/testdata/sf0.001")
+    Registry.queries("d13_corpus_clean")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -237,7 +237,10 @@ object Sim {
     // e04, then exact cosine only WITHIN buckets — all-pairs similarity
     // without the quadratic cross join (candidate set is per-bucket).
     // Threshold compares the ROUNDED cosine so the cut is cross-engine
-    // stable.
+    // stable. The 8-plane geometry is oracle-pinned; at scale the same
+    // density rule as the KNN join applies — rebuild with
+    // planeBucketCode(embedding, planesFor(n)) to keep in-bucket work
+    // constant (BENCH_NOTES sf10 section).
     Q("e05_embed_neardup",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
