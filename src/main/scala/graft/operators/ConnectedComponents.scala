@@ -159,7 +159,7 @@ object ConnectedComponents {
     * dedicated side slot so arbitrary 64-bit ids remain valid.
     * Serializable: constructed inside the task closure.
     */
-  private final class LongLongMap(initialCapacity: Int) extends Serializable {
+  private[graft] final class LongLongMap(initialCapacity: Int) extends Serializable {
     private var hasMin = false
     private var minVal = 0L
     private var cap = Integer.highestOneBit(math.max(initialCapacity, 16) * 2 - 1)
@@ -184,8 +184,11 @@ object ConnectedComponents {
       if (k == Long.MinValue) { hasMin = true; minVal = v }
       else {
         val i = slot(k)
-        if (keys(i) == Long.MinValue) { keys(i) = k; n += 1; growIfNeeded() }
-        vals(i) = v
+        // write the value BEFORE any growth: growIfNeeded swaps the
+        // arrays, so index i is stale afterwards (found by
+        // LongLongMapSpec's reference-map property test)
+        if (keys(i) == Long.MinValue) { keys(i) = k; vals(i) = v; n += 1; growIfNeeded() }
+        else vals(i) = v
       }
 
     def putIfAbsent(k: Long, v: Long): Unit =

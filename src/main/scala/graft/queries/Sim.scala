@@ -188,6 +188,52 @@ object Sim {
               |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 5""".stripMargin),
       "IVF-bucketed ANN: centroid probe then exact in-cell (north-star)"),
 
+    // Multi-probe IVF (nprobe=2): the standard recall lever for IVF —
+    // scan the TWO nearest cells, exact top-5 across their union. Same
+    // tiny-broadcast centroid table as e03; work scales with nprobe,
+    // never with corpus size. Cell ranking uses the ROUNDED centroid
+    // dot (6 dp) so the 2nd/3rd-cell boundary is cross-engine stable.
+    Q("e07_ann_ivf_probe2",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qd = e.filter(col("vec_id") === 0)
+          .select(posexplode(asDoubles(col("embedding")))).toDF("pos", "qv")
+        val cent = e.select(col("label"), posexplode(asDoubles(col("embedding"))))
+          .toDF("label", "pos", "v")
+          .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("c"))
+        val best = cent.join(broadcast(qd), Seq("pos"))
+          .groupBy(col("label")).agg(round(sum(col("c") * col("qv")), 6).as("dot"))
+          .orderBy(col("dot").desc, col("label").asc).limit(2)
+          .select(col("label"))
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        e.join(broadcast(best), Seq("label")).filter(col("vec_id") > 0)
+          .crossJoin(broadcast(q))
+          .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(5)
+          .select(col("label"), col("vec_id"), col("cos_sim"))
+      },
+      Some(s"""WITH qd AS (
+              |  SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding::DOUBLE[]) AS qv
+              |  FROM embeddings WHERE vec_id = 0),
+              |cent AS (
+              |  SELECT label, pos, AVG(v) AS c FROM (
+              |    SELECT label, generate_subscripts(embedding, 1) AS pos,
+              |           unnest(embedding::DOUBLE[]) AS v
+              |    FROM embeddings) GROUP BY label, pos),
+              |best AS (
+              |  SELECT label FROM (
+              |    SELECT cent.label, ROUND(SUM(c * qv), 6) AS dot
+              |    FROM cent JOIN qd USING (pos) GROUP BY cent.label)
+              |  ORDER BY dot DESC, label ASC LIMIT 2),
+              |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+              |SELECT e.label, e.vec_id,
+              |  ROUND(${dDot("e.embedding", "q.qe")} /
+              |    (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("q.qe", "q.qe")})), 4) AS cos_sim
+              |FROM embeddings e JOIN best ON e.label = best.label, q
+              |WHERE e.vec_id > 0
+              |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 5""".stripMargin),
+      "multi-probe IVF ANN (nprobe=2): recall lever, work scales with nprobe (north-star)"),
+
     // Random-hyperplane LSH ANN: 8 deterministic pseudo-hyperplanes give a
     // sign-bit bucket per vector; search only the query's bucket, exact
     // cosine inside. Unlike IVF (e03) this needs NO training pass — the
