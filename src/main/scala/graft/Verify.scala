@@ -23,7 +23,12 @@ object Verify {
   } + "\""
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    // optional 3rd+ args: restrict to named queries (dev spot-checks at
+    // scales where the full battery dump is impractical); the driver's
+    // 2-arg call keeps the full battery.
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,8 +49,10 @@ object Verify {
         rm(d)
       }
     outRoot.mkdirs()
+    val selected = if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -55,6 +62,7 @@ object Verify {
       }
     }
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors.map { case (k, v) => s"${jq(k)}: ${jq(v)}" }
@@ -64,6 +72,6 @@ object Verify {
     if (errors.nonEmpty)
       // Loud but non-fatal: the driver must still oracle-compare the
       // queries that DID succeed; errors.json carries the failures.
-      System.err.println(s"[verify] ${errors.size}/${SparkEntry.queries.size} queries FAILED: ${errors.keys.mkString(", ")}")
+      System.err.println(s"[verify] ${errors.size}/${selected.size} queries FAILED: ${errors.keys.mkString(", ")}")
   }
 }

@@ -55,10 +55,10 @@ object Relational {
           (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order")),
       Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+             |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+             |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
              |  COUNT(*) AS count_order
              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
              |GROUP BY l_returnflag, l_linestatus""".stripMargin),
@@ -80,7 +80,7 @@ object Relational {
             count(lit(1)).as("n_items"))
       },
       Some("""SELECT r_name, n_name,
-             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
              |  COUNT(*) AS n_items
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
@@ -253,7 +253,7 @@ object Relational {
       Some("""SELECT COUNT(*) AS n_orders,
              |  COUNT(DISTINCT o_custkey) AS n_customers,
              |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value
              |FROM orders""".stripMargin),
       "scalar summary aggregates (SURVEY A10,S8)"),
 
@@ -390,15 +390,15 @@ object Relational {
         .agg((sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1))))
         .na.fill(-1.0),
       Some("""SELECT user_id,
-             |  COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'click') AS DOUBLE)
+             |  COALESCE(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'click') AS VARCHAR) AS DOUBLE)
              |    / COUNT(*) FILTER (WHERE event_type = 'click'), -1.0) AS click,
-             |  COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'error') AS DOUBLE)
+             |  COALESCE(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'error') AS VARCHAR) AS DOUBLE)
              |    / COUNT(*) FILTER (WHERE event_type = 'error'), -1.0) AS error,
-             |  COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+             |  COALESCE(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase') AS VARCHAR) AS DOUBLE)
              |    / COUNT(*) FILTER (WHERE event_type = 'purchase'), -1.0) AS purchase,
-             |  COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'signup') AS DOUBLE)
+             |  COALESCE(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'signup') AS VARCHAR) AS DOUBLE)
              |    / COUNT(*) FILTER (WHERE event_type = 'signup'), -1.0) AS signup,
-             |  COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'view') AS DOUBLE)
+             |  COALESCE(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'view') AS VARCHAR) AS DOUBLE)
              |    / COUNT(*) FILTER (WHERE event_type = 'view'), -1.0) AS view
              |FROM events GROUP BY user_id""".stripMargin),
       "pivot with mean agg, exact decimal sums (SURVEY A9, datagen.py:647-649)"),
@@ -427,7 +427,7 @@ object Relational {
              |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
              |  FROM events GROUP BY user_id),
              |w2 AS (
-             |  SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS view_value
+             |  SELECT user_id, CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS view_value
              |  FROM events WHERE event_type = 'view' GROUP BY user_id),
              |stats AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
              |SELECT w1.user_id, n_click, n_purchase,

@@ -45,7 +45,7 @@ object Temporal {
       Some("""SELECT event_type,
              |  CAST(FLOOR(epoch(ts - TIMESTAMP '2024-01-01')/3600) AS BIGINT) AS t_bucket,
              |  COUNT(*) AS n_events,
-             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2""".stripMargin),
       "tumbling-window agg via floor-div bucket (SURVEY T1, datagen.py:537-604)"),
 
@@ -204,7 +204,7 @@ object Temporal {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
              |    FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
              |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
-             |    CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER (PARTITION BY user_id) AS DOUBLE)
+             |    CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER (PARTITION BY user_id) AS VARCHAR) AS DOUBLE)
              |      / COUNT(v) OVER (PARTITION BY user_id),
              |    0.0) AS v_imputed
              |FROM (SELECT event_id, user_id, ts,
