@@ -32,4 +32,37 @@ class FileStreamSpec extends SparkSpec {
       assert(s === batchEvents.count())
     } finally query.stop()
   }
+
+  test("readStream over documents parquet -> nearDedupStream keeps one doc per signature") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_docs").toString
+    val docs = graft.queries.Registry.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"),
+        // synthesize an arrival timestamp (documents has none)
+        to_timestamp(lit("2026-01-01 00:00:00")).as("ts"))
+    docs.write.mode("overwrite").parquet(dir)
+
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    val query = StreamingBuckets.nearDedupStream(streamed)
+      .writeStream.format("memory").queryName("file_neardedup")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val kept = spark.table("file_neardedup").count()
+      // batch twin: distinct signature count (shingle-less docs are each
+      // their own key) — the streaming filter must keep exactly one per key
+      val ws = split(graft.functions.ColFns.normWs(col("text")), " ")
+      val batchKeys = spark.read.parquet(dir)
+        .withColumn("ws", ws)
+        .withColumn("sh", graft.queries.Docs.shingles(col("ws")))
+        .withColumn("mh", graft.functions.MinHashExprs.minHashSig(col("sh")))
+        .withColumn("sig",
+          when(size(col("sh")) >= 1, concat_ws(":", col("mh").cast("array<string>")))
+            .otherwise(concat(lit("uniq:"), col("doc_id").cast("string"))))
+        .select("sig").distinct().count()
+      assert(kept === batchKeys)
+      assert(kept > 0 && kept <= docs.count())
+    } finally query.stop()
+  }
 }
