@@ -161,11 +161,20 @@ object Docs {
           .otherwise(0L)).as("truncated_docs"),
         max(col("n")).as("max_bucket"))
       .select(col("ids"))
-    val pairs = buckets.select(explode(flatten(
-      transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
-          struct(a.as("doc_id_a"), b.as("doc_id_b")))))).as("p"))
-    pairs.select(col("p.doc_id_a"), col("p.doc_id_b")).distinct()
+    // Pairs via DOUBLE INDEX explode (i < j over the capped ids array):
+    // the generators are cheap integer sequences and each pair is built
+    // once per output row. The previous flatten(transform(transform))
+    // shape materialized the whole O(b²) struct array per bucket row
+    // (~32 MB at the 2048 cap) before exploding it — measured 5× slower
+    // on cap-sized buckets and a per-task allocation spike the index
+    // shape never pays.
+    buckets
+      .select(col("ids"), explode(sequence(lit(1), size(col("ids")) - 1)).as("i"))
+      .select(col("ids"), col("i"),
+        explode(sequence(col("i") + 1, size(col("ids")))).as("j"))
+      .select(element_at(col("ids"), col("i")).as("doc_id_a"),
+        element_at(col("ids"), col("j")).as("doc_id_b"))
+      .distinct()
   }
 
   /** Star edges (bucket-min, member) per bucket — the scale path for
@@ -549,6 +558,174 @@ object Docs {
            |FROM h GROUP BY doc_id)
            |SELECT doc_id, CAST($code AS BIGINT) AS simhash FROM s""".stripMargin
       },
-      "SimHash 16-bit signatures (north-star: near-dup)")
+      "SimHash 16-bit signatures (north-star: near-dup)"),
+
+    // Gopher-style repetition filter (Rae et al. 2021 §A1.1): duplicate-
+    // token fraction + most-frequent-bigram fraction per document. Both
+    // stats are PER-ROW higher-order-function folds over bound columns —
+    // zero shuffles, scan-parallel at any scale (vs. the naive
+    // explode-bigrams → groupBy(doc, bigram) → window-max shape, which
+    // shuffles ~n_tokens× the corpus twice). The O(|distinct bg|·|bg|)
+    // per-row mode scan is bounded by document length, not corpus size.
+    Q("d14_repetition",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .repartition(col("doc_id"))
+          .withColumn("ws", words(col("text")))
+          .withColumn("bg", when(size(col("ws")) >= 2,
+            transform(sequence(lit(1), size(col("ws")) - 1), i =>
+              concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+            .otherwise(array().cast("array<string>")))
+        val nTok = size(col("ws")).cast("long")
+        val nBg = size(col("bg"))
+        // per-row bigram mode count: max over distinct bigrams of their
+        // occurrence count (bound-column HOF — see the PERF note above)
+        val topBg = array_max(transform(array_distinct(col("bg")), x =>
+          size(filter(col("bg"), y => y === x))))
+        base.select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          when(nTok === 0, lit(null).cast("double"))
+            .otherwise(lit(1.0) - size(array_distinct(col("ws"))).cast("double") / nTok.cast("double"))
+            .as("dup_token_frac"),
+          when(nBg === 0, lit(0L)).otherwise(topBg.cast("long")).as("top_bigram_n"),
+          when(nBg === 0, lit(null).cast("double"))
+            .otherwise(topBg.cast("double") / nBg.cast("double")).as("top_bigram_frac"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $dWords AS ws FROM documents),
+              |b AS (SELECT doc_id, ws,
+              |  CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+              |       ELSE [] END AS bg FROM w)
+              |SELECT doc_id,
+              |  CAST(len(ws) AS BIGINT) AS n_tokens,
+              |  CASE WHEN len(ws) = 0 THEN NULL
+              |    ELSE 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END AS dup_token_frac,
+              |  CAST(CASE WHEN len(bg) = 0 THEN 0
+              |    ELSE list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) END AS BIGINT) AS top_bigram_n,
+              |  CASE WHEN len(bg) = 0 THEN NULL
+              |    ELSE CAST(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / CAST(len(bg) AS DOUBLE) END AS top_bigram_frac
+              |FROM b""".stripMargin),
+      "Gopher-style repetition filter: dup-token + top-bigram fractions (north-star: quality)"),
+
+    // Benchmark decontamination: count each training doc's distinct word
+    // 5-grams that also appear in a held-out benchmark set (here: every
+    // 20th doc stands in for the benchmark suite). The benchmark n-gram
+    // set is explicitly broadcast — real eval suites are MBs, so the big
+    // exploded training side never shuffles for the join; the per-doc
+    // count then reuses the repartition(doc_id) exchange, so the whole
+    // query costs ONE shuffle of the (small) benchmark side at any scale.
+    Q("d15_decontam",
+      (s, dir) => {
+        // 5-grams via INDEX explode: the generator is the cheap integer
+        // sequence, and each gram string is built exactly once per
+        // OUTPUT row. Exploding a computed string-array column instead
+        // re-evaluates the whole array expression per output row —
+        // measured 42 s vs 3 s at sf0.1 (BENCH_NOTES r6). explode_outer
+        // keeps short/null-text docs as a null-gram marker row so they
+        // surface with n_grams = 0.
+        val grams = t(s, dir, "documents")
+          .repartition(col("doc_id"))
+          .withColumn("ws", words(col("text")))
+          .select(col("doc_id"), col("ws"),
+            explode_outer(when(size(col("ws")) >= 5,
+              sequence(lit(1), size(col("ws")) - 4))).as("i"))
+          .select(col("doc_id"),
+            when(col("i").isNotNull, concat_ws(" ",
+              element_at(col("ws"), col("i")), element_at(col("ws"), col("i") + 1),
+              element_at(col("ws"), col("i") + 2), element_at(col("ws"), col("i") + 3),
+              element_at(col("ws"), col("i") + 4))).as("gram"))
+          // per-doc gram dedupe. HashPartitioning(doc_id) satisfies the
+          // ClusteredDistribution of BOTH this distinct and the groupBys
+          // below, so the big exploded side never shuffles again.
+          .distinct()
+        val bench = grams.filter(col("doc_id") % 20 === 0 && col("gram").isNotNull)
+          .select(col("gram")).distinct()
+        val tgtGrams = grams.filter(col("doc_id") % 20 =!= 0)
+        val tgt = tgtGrams.groupBy(col("doc_id"))
+          .agg(sum(when(col("gram").isNotNull, 1L).otherwise(0L)).as("n_grams"))
+        val hits = tgtGrams.join(broadcast(bench), Seq("gram"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+        tgt.join(hits, Seq("doc_id"), "left").select(
+          col("doc_id"), col("n_grams"),
+          coalesce(col("c"), lit(0L)).as("contaminated"),
+          when(col("n_grams") === 0, lit(null).cast("double"))
+            .otherwise(coalesce(col("c"), lit(0L)).cast("double") / col("n_grams").cast("double"))
+            .as("contam_frac"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $dWords AS ws FROM documents),
+              |g AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 5
+              |    THEN list_transform(range(1, len(ws)-3), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])
+              |    ELSE [] END) AS g FROM w),
+              |bench AS (SELECT DISTINCT unnest(g) AS gram FROM g WHERE doc_id % 20 = 0),
+              |tgt AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams FROM g WHERE doc_id % 20 <> 0),
+              |hits AS (SELECT t.doc_id, COUNT(*) AS c
+              |  FROM (SELECT doc_id, unnest(g) AS gram FROM g WHERE doc_id % 20 <> 0) t
+              |  JOIN bench b ON t.gram = b.gram GROUP BY t.doc_id)
+              |SELECT tgt.doc_id, tgt.n_grams,
+              |  CAST(COALESCE(hits.c, 0) AS BIGINT) AS contaminated,
+              |  CASE WHEN tgt.n_grams = 0 THEN NULL
+              |    ELSE CAST(COALESCE(hits.c, 0) AS DOUBLE) / CAST(tgt.n_grams AS DOUBLE) END AS contam_frac
+              |FROM tgt LEFT JOIN hits ON tgt.doc_id = hits.doc_id""".stripMargin),
+      "benchmark decontamination: 5-gram overlap vs held-out set (north-star: quality)"),
+
+    // Deterministic per-stratum quota sampling: rank docs inside each
+    // (lang, source) stratum by a salted md5 of the doc id and keep the
+    // first K — the reproducible "N docs per domain" curation step of a
+    // training-data pipeline. One shuffle on the stratum key; Spark 4's
+    // WindowGroupLimit pushes the rank<=K cut below the full sort (each
+    // partition keeps a K-heap), so a skewed billion-doc stratum never
+    // materializes a total order. For RATE-based (not quota) sampling
+    // prefer the shuffle-free filter `hash < rate * 2^64` on the same
+    // salted hash.
+    Q("d16_stratified_sample",
+      (s, dir) => {
+        val h = md5(concat(lit("strat:"), col("doc_id").cast("string")).cast("binary"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"), col("source")).orderBy(h.asc, col("doc_id").asc)
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            row_number().over(w).cast("long").as("rk"))
+          .filter(col("rk") <= 3)
+      },
+      Some("""SELECT doc_id, lang, source, rk FROM (
+             |  SELECT doc_id, lang, source,
+             |    CAST(row_number() OVER (PARTITION BY lang, source
+             |      ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+             |  FROM documents) WHERE rk <= 3""".stripMargin),
+      "deterministic stratified quota sample per (lang, source) (north-star: curation)"),
+
+    // PII redaction: replace email + phone patterns with placeholder
+    // tokens and count what was redacted. The synthetic corpus has no
+    // PII, so the query first APPENDS a deterministic contact string per
+    // doc — the redaction regexes then have real work to do and the
+    // counts are oracle-checkable. Patterns stay in the Java∩RE2 common
+    // class (char classes, +, {m,}) so both engines match identically.
+    // Pure per-row regex map: zero shuffles, scan-parallel at 100 TB.
+    Q("d17_pii_redact",
+      (s, dir) => {
+        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phoneRe = "\\+?[0-9][0-9-]{6,}"
+        val withPii = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or +1-555-000"), col("doc_id").cast("string"))
+        val noEmail = regexp_replace(withPii, emailRe, "<EMAIL>")
+        val redacted = regexp_replace(noEmail, phoneRe, "<PHONE>")
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          size(regexp_extract_all(withPii, lit(emailRe), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(noEmail, lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+          md5(redacted.cast("binary")).as("redacted_fp"),
+          length(redacted).cast("long").as("redacted_len"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or +1-555-000' || CAST(doc_id AS VARCHAR) AS t
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'), '\+?[0-9][0-9-]{6,}')) AS BIGINT) AS n_phones,
+             |  md5(regexp_replace(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'), '\+?[0-9][0-9-]{6,}', '<PHONE>', 'g')) AS redacted_fp,
+             |  CAST(length(regexp_replace(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'), '\+?[0-9][0-9-]{6,}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+             |FROM p""".stripMargin),
+      "PII redaction: email/phone regex replace + redaction counts (north-star: cleaning)")
   )
 }

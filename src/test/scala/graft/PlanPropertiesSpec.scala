@@ -60,6 +60,32 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("d14/d17: per-row curation maps have NO shuffle beyond the doc_id spread") {
+    // repetition stats and PII redaction are scan-parallel HOF/regex maps;
+    // one Exchange (the deliberate repartition(doc_id) spread / none) is
+    // the ceiling — a groupBy or window sneaking in would add more.
+    for (q <- Seq("d14_repetition", "d17_pii_redact")) {
+      val p = planOf(q)
+      // count Exchange NODES (the details section "(n) Exchange"), not
+      // string hits — explain("formatted") names each node twice
+      assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 1,
+        s"$q gained a shuffle:\n${p.take(800)}")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    }
+  }
+
+  test("d15: benchmark n-gram side broadcasts; training side never shuffles for the join") {
+    val p = planOf("d15_decontam")
+    assert(p.contains("BroadcastHashJoin"), s"decontam join not broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"), "exploded training side must not sort-merge")
+  }
+
+  test("d16: quota cut pushes below the full per-stratum sort (WindowGroupLimit)") {
+    val p = planOf("d16_stratified_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=K not pushed down — a skewed stratum would fully sort:\n${p.take(800)}")
+  }
+
   test("e06: KNN self-join reuses one bucket exchange; no cartesian") {
     val df = Registry.queries("e06_knn_join")(spark, sfDir)
     df.collect() // AQE exchange reuse is only visible on the EXECUTED plan

@@ -1,0 +1,91 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Semantic checks for the data-curation battery (d14–d17): repetition
+  * stats, decontamination overlap, stratified quota sampling, and PII
+  * redaction, on crafted documents with hand-computed expectations.
+  * (The DuckDB value-oracle runs driver-side; these pin the semantics
+  * on inputs the synthetic corpus doesn't contain.)
+  */
+class CurationSpec extends SparkSpec {
+
+  /** Write crafted docs as `documents.parquet` under a fresh temp dir
+    * (the Registry table cache keys on the dir, so each fixture set gets
+    * its own). Returns the dir. */
+  private def fixture(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = Files.createTempDirectory("graft-curation").toString
+    val df = spark.createDataFrame(rows.map { case (id, text, lang, src) =>
+      (id, text, lang, src, if (text == null) 0L else text.length.toLong)
+    }).toDF("doc_id", "text", "lang", "source", "n_chars")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d14: dup-token and top-bigram fractions match hand computation") {
+    val dir = fixture(Seq(
+      (1L, "a a a a", "en", "s"),            // 4 tokens, 1 distinct; bigram "a a" x3
+      (2L, "w x y z", "en", "s"),            // all distinct; every bigram unique
+      (3L, "go", "en", "s")))                // 1 token, no bigrams
+    val out = Registry.queries("d14_repetition")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 4L)
+    assert(out(1L).getDouble(2) === 0.75)          // 1 - 1/4
+    assert(out(1L).getLong(3) === 3L)              // "a a" occurs 3x
+    assert(out(1L).getDouble(4) === 1.0)           // 3/3 bigrams are the mode
+    assert(out(2L).getDouble(2) === 0.0)
+    assert(out(2L).getLong(3) === 1L)
+    assert(out(3L).getLong(3) === 0L)              // no bigrams
+    assert(out(3L).isNullAt(4))
+  }
+
+  test("d15: exact copy of a benchmark doc is fully contaminated; fresh text is clean") {
+    val bench = "alpha beta gamma delta epsilon zeta"
+    val dir = fixture(Seq(
+      (0L, bench, "en", "s"),                     // doc_id % 20 == 0 → benchmark
+      (1L, bench, "en", "s"),                     // exact copy → contam 1.0
+      (2L, "one two three four five six", "en", "s"), // disjoint → contam 0
+      (3L, "tiny doc", "en", "s")))               // <5 tokens → 0 grams, null frac
+    val out = Registry.queries("d15_decontam")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(0L))                      // benchmark rows excluded
+    assert(out(1L).getLong(1) === 2L && out(1L).getLong(2) === 2L)
+    assert(out(1L).getDouble(3) === 1.0)
+    assert(out(2L).getLong(2) === 0L && out(2L).getDouble(3) === 0.0)
+    assert(out(3L).getLong(1) === 0L && out(3L).isNullAt(3))
+  }
+
+  test("d16: deterministic, quota-bounded, and a subset of the input") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"doc $i", if (i % 2 == 0) "en" else "fr", s"src${i % 3}"))
+    val dir = fixture(docs)
+    val a = Registry.queries("d16_stratified_sample")(spark, dir).collect()
+    val b = Registry.queries("d16_stratified_sample")(spark, dir).collect()
+    assert(a.map(_.toString).sorted === b.map(_.toString).sorted) // deterministic
+    val perStratum = a.groupBy(r => (r.getString(1), r.getString(2)))
+    assert(perStratum.forall(_._2.length <= 3), "stratum over quota")
+    assert(a.forall(_.getLong(3) <= 3L))
+    assert(a.map(_.getLong(0)).toSet.subsetOf(docs.map(_._1).toSet))
+    // 6 strata x ~6-7 docs each, quota 3 → exactly 18 kept
+    assert(a.length === 18)
+  }
+
+  test("d17: crafted email+phone are redacted and counted") {
+    val dir = fixture(Seq(
+      (1L, "reach me at john.doe@example.com or 555-123-4567 now", "en", "s"),
+      (2L, "no contact info here", "en", "s")))
+    val out = Registry.queries("d17_pii_redact")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // 1 in-text + 1 appended synthetic contact each
+    assert(out(1L).getLong(1) === 2L && out(1L).getLong(2) === 2L)
+    assert(out(2L).getLong(1) === 1L && out(2L).getLong(2) === 1L)
+    // differently-formatted international numbers both count as phones
+    val dir2 = fixture(Seq(
+      (1L, "call +49-30-1234567 today", "en", "s"),
+      (2L, "call +33-11-7654321 today", "en", "s")))
+    val red = Registry.queries("d17_pii_redact")(spark, dir2).collect()
+    assert(red.forall(_.getLong(2) === 2L)) // in-text + appended phone
+  }
+}
