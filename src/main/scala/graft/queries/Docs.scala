@@ -572,23 +572,22 @@ object Docs {
         val base = t(s, dir, "documents")
           .repartition(col("doc_id"))
           .withColumn("ws", words(col("text")))
-          .withColumn("bg", when(size(col("ws")) >= 2,
-            transform(sequence(lit(1), size(col("ws")) - 1), i =>
-              concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
-            .otherwise(array().cast("array<string>")))
         val nTok = size(col("ws")).cast("long")
-        val nBg = size(col("bg"))
-        // per-row bigram mode count: max over distinct bigrams of their
-        // occurrence count (bound-column HOF — see the PERF note above)
-        val topBg = array_max(transform(array_distinct(col("bg")), x =>
-          size(filter(col("bg"), y => y === x))))
+        // null/short ws → 0 bigrams (the when's otherwise catches null)
+        val nBg = when(size(col("ws")) >= 2, size(col("ws")) - 1).otherwise(lit(0))
+        // per-row bigram mode count via the codegen'd one-pass expression
+        // — the builtin twin (array_max over filter-per-distinct-bigram)
+        // is O(|bg|²) interpreted HOF evals per row and made d14 the
+        // heaviest query in the battery; equivalence is spec-checked in
+        // RepetitionExprsSpec.
+        val topBg = graft.functions.RepetitionExprs.topAdjacentPairCount(col("ws"))
         base.select(
           col("doc_id"),
           nTok.as("n_tokens"),
           when(nTok === 0, lit(null).cast("double"))
             .otherwise(lit(1.0) - size(array_distinct(col("ws"))).cast("double") / nTok.cast("double"))
             .as("dup_token_frac"),
-          when(nBg === 0, lit(0L)).otherwise(topBg.cast("long")).as("top_bigram_n"),
+          when(nBg === 0, lit(0L)).otherwise(topBg).as("top_bigram_n"),
           when(nBg === 0, lit(null).cast("double"))
             .otherwise(topBg.cast("double") / nBg.cast("double")).as("top_bigram_frac"))
       },
