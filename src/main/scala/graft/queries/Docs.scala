@@ -725,6 +725,47 @@ object Docs {
              |  md5(regexp_replace(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'), '\+?[0-9][0-9-]{6,}', '<PHONE>', 'g')) AS redacted_fp,
              |  CAST(length(regexp_replace(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'), '\+?[0-9][0-9-]{6,}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
              |FROM p""".stripMargin),
-      "PII redaction: email/phone regex replace + redaction counts (north-star: cleaning)")
+      "PII redaction: email/phone regex replace + redaction counts (north-star: cleaning)"),
+
+    // TF-IDF top terms per document. Shuffle shape: ONE doc_id spread +
+    // ONE term-keyed shuffle for the document-frequency table; the df
+    // table is then broadcast back (post min-df pruning a real vocab fits
+    // an executor; if it doesn't, AQE falls back to a shuffled join by
+    // dropping the hint), so tf, the tf-idf score, and the per-doc top-3
+    // window all stay on the doc_id partitioning — WindowGroupLimit
+    // bounds the rank cut. explode(split(...)) is the SAFE generator
+    // shape (codegen'd array, measured no re-eval tax — BENCH_NOTES
+    // explode discipline).
+    Q("d18_tfidf",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = docs.repartition(col("doc_id"))
+          .select(col("doc_id"), explode(words(col("text"))).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+        tf.join(broadcast(df), Seq("term"))
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf", round(col("tf") *
+            log(col("n").cast("double") / col("df").cast("double")), 4))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("term"), col("tfidf"), col("rk"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($dWords) AS term FROM documents),
+              |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+              |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+              |n AS (SELECT COUNT(*) AS n FROM documents),
+              |scored AS (SELECT tf.doc_id, tf.term,
+              |  ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)), 4) AS tfidf
+              |  FROM tf JOIN df USING (term), n)
+              |SELECT doc_id, term, tfidf, rk FROM (
+              |  SELECT doc_id, term, tfidf,
+              |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rk
+              |  FROM scored) WHERE rk <= 3""".stripMargin),
+      "TF-IDF top-3 terms per doc: corpus df + idf weighting (north-star: text analysis)")
   )
 }

@@ -371,6 +371,76 @@ object Sim {
       },
       "bucketed KNN join: top-3 neighbors per vector (north-star: similarity)"),
 
+    // K-means Lloyd step (north-star: embedding clustering/curation).
+    // The model (per-label-seeded mean centroids, K×dim values) is
+    // COLLECTED to the driver, rounded to 6 dp, and re-emitted as a
+    // float-array literal: at any scale the model is tiny while the
+    // corpus is not, so ASSIGNMENT is a scan-parallel fold over the
+    // in-plan model — no explode, no per-vector shuffle; the only
+    // shuffles are the two aggregations (centroid seed + centroid
+    // update), both map-side combinable. Argmin key: score =
+    // c·c − 2·e·c (same ordering as squared euclidean distance — e·e is
+    // constant per vector), computed by the codegen'd VecDot in the
+    // exact sequential order of the DuckDB twin's list_inner_product,
+    // rounded to 6 dp; ties go to the smaller label via the fold's
+    // first-wins over the label-sorted model.
+    Q("e08_kmeans_step",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+        val centRows = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+          .groupBy(col("label"), col("pos"))
+          .agg(round(avg(col("vf").cast("double")), 6).as("c"))
+          .collect()
+        val model: Seq[(Int, Array[Float])] = centRows
+          .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+          .map { case (l, rs) =>
+            l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toArray }
+        val centLit = array(model.map { case (l, arr) =>
+          // c·c on the driver with the same left-to-right fold the
+          // oracle's list_inner_product(cvec, cvec) uses
+          val cc = arr.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+          struct(lit(l).as("cl"),
+            array(arr.map(lit(_)): _*).as("c"),
+            lit(cc).as("cc")) }: _*)
+        val init = struct(lit(Double.PositiveInfinity).as("s"), lit(Int.MaxValue).as("cl"))
+        val best = aggregate(centLit, init, (acc, ct) => {
+          val sc = round(ct.getField("cc") - lit(2.0) *
+            graft.functions.VectorExprs.vecDot(col("embedding"), ct.getField("c")), 6)
+          when(sc < acc.getField("s"),
+            struct(sc.as("s"), ct.getField("cl").as("cl"))).otherwise(acc)
+        })
+        e.select(col("vec_id"), col("embedding"), best.getField("cl").as("cluster"))
+          .select(col("cluster").cast("long").as("cluster"),
+            posexplode(col("embedding")).as(Seq("pos0", "vf")))
+          .withColumn("pos", (col("pos0") + 1).cast("long"))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(round(avg(col("vf").cast("double")), 4).as("c_new"),
+            count(lit(1)).as("n_members"))
+      },
+      Some("""WITH centl AS (SELECT label, pos, CAST(ROUND(AVG(v), 6) AS FLOAT) AS c FROM (
+             |    SELECT label, generate_subscripts(embedding, 1) AS pos,
+             |           unnest(embedding::DOUBLE[]) AS v
+             |    FROM embeddings WHERE embedding IS NOT NULL) GROUP BY label, pos),
+             |cent AS (SELECT label, list(c ORDER BY pos) AS cvec FROM centl GROUP BY label),
+             |scored AS (SELECT e.vec_id, c.label,
+             |    ROUND(list_inner_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[])
+             |      - 2 * list_inner_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[]), 6) AS s
+             |  FROM embeddings e, cent c WHERE e.embedding IS NOT NULL),
+             |assign AS (SELECT vec_id, label AS cluster FROM (
+             |  SELECT vec_id, label,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY s ASC, label ASC) AS rn
+             |  FROM scored) WHERE rn = 1)
+             |SELECT CAST(a.cluster AS BIGINT) AS cluster, CAST(ev.pos AS BIGINT) AS pos,
+             |  ROUND(AVG(ev.v), 4) AS c_new, CAST(COUNT(*) AS BIGINT) AS n_members
+             |FROM assign a JOIN (
+             |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             |         unnest(embedding::DOUBLE[]) AS v
+             |  FROM embeddings WHERE embedding IS NOT NULL) ev
+             |  ON a.vec_id = ev.vec_id
+             |GROUP BY a.cluster, ev.pos""".stripMargin),
+      "k-means Lloyd step: broadcast-model assignment + centroid update (north-star: clustering)"),
+
     // Multimodal-column plumbing: opaque bytes + typed metadata + a
     // clearly-fake deterministic "decode" (real decode is stubbed — media
     // libs aren't in the container; see graft.mm.Multimodal for the

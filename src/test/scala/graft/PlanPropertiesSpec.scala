@@ -86,6 +86,30 @@ class PlanPropertiesSpec extends SparkSpec {
       s"rank<=K not pushed down — a skewed stratum would fully sort:\n${p.take(800)}")
   }
 
+  test("d18: df table broadcasts back; top-3 cut pushes below the per-doc sort") {
+    val p = planOf("d18_tfidf")
+    assert(p.contains("BroadcastHashJoin"), s"df join not broadcast:\n${p.take(800)}")
+    assert(p.contains("WindowGroupLimit"), "rank<=3 not pushed down")
+    assert(!p.contains("SortMergeJoin"))
+    // the tf side and the df branch share the toks pipeline: the doc_id
+    // spread must compute ONCE (runtime reuse; the static plan prints
+    // both branches), and the big side must not reshuffle after the
+    // broadcast joins — the window sorts within the existing partitioning
+    val df = Registry.queries("d18_tfidf")(spark, sfDir)
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    assert(ep.contains("ReusedExchange"),
+      "df branch must reuse the doc_id spread exchange")
+  }
+
+  test("e08: assignment is a scan-parallel fold — one shuffle (centroid update), no joins") {
+    val p = planOf("e08_kmeans_step")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"), "assignment must not join")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 1,
+      s"kmeans step gained a shuffle:\n${p.take(800)}")
+  }
+
   test("e06: KNN self-join reuses one bucket exchange; no cartesian") {
     val df = Registry.queries("e06_knn_join")(spark, sfDir)
     df.collect() // AQE exchange reuse is only visible on the EXECUTED plan

@@ -1,0 +1,80 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Semantic checks for d18 (TF-IDF) and e08 (k-means Lloyd step) on
+  * crafted inputs with hand-computed expectations. */
+class ClusteringSpec extends SparkSpec {
+
+  test("d18: tf-idf values and top-3 ranks match hand computation") {
+    val dir = Files.createTempDirectory("graft-tfidf").toString
+    import spark.implicits._
+    Seq(
+      (1L, "apple apple banana", "en", "s", 18L),
+      (2L, "banana cherry", "en", "s", 13L),
+      (3L, "cherry apple dates", "en", "s", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = Registry.queries("d18_tfidf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    // N=3; df: apple 2, banana 2, cherry 2, dates 1
+    val ln15 = math.log(3.0 / 2.0)
+    val ln3 = math.log(3.0)
+    assert(out((1L, "apple")) === ((BigDecimal(2 * ln15).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, 1L)))
+    assert(out((1L, "banana"))._2 === 2L)
+    // doc 3: dates (ln 3 ~ 1.0986) outranks apple/cherry (ln 1.5 ~ 0.4055)
+    assert(out((3L, "dates")) === ((BigDecimal(ln3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, 1L)))
+    assert(out.keys.count(_._1 == 1L) === 2) // doc 1 has only 2 distinct terms
+  }
+
+  test("e08: reassignment, membership counts, and centroid update match hand computation") {
+    val dir = Files.createTempDirectory("graft-kmeans").toString
+    import spark.implicits._
+    // label-0 seeds near the origin, label-1 seeds near (1,1); vec 5 is
+    // LABELED 0 but sits next to cluster 1 and must flip.
+    Seq(
+      (1L, Seq(0.0f, 0.0f), 0),
+      (2L, Seq(0.2f, 0.0f), 0),
+      (3L, Seq(1.0f, 1.0f), 1),
+      (4L, Seq(0.8f, 1.0f), 1),
+      (5L, Seq(0.9f, 1.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val rows = Registry.queries("e08_kmeans_step")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    // cluster 0 keeps vecs 1,2; cluster 1 gains vec 5
+    assert(rows((0L, 1L))._2 === 2L && rows((1L, 1L))._2 === 3L)
+    assert(rows((0L, 1L))._1 === 0.1)        // (0 + 0.2) / 2
+    assert(rows((0L, 2L))._1 === 0.0)
+    assert(rows((1L, 1L))._1 === 0.9)        // (1 + 0.8 + 0.9) / 3
+    assert(rows((1L, 2L))._1 === BigDecimal((1.0 + 1.0 + 1.1f.toDouble) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("e08: broadcast-model fold assignment equals the long-format argmin") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Registry.t(spark, dir, "embeddings")
+    // reference: long-format explode + join + window argmin on the SAME
+    // rounded centroids
+    val ev = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .withColumn("v", col("vf").cast("double"))
+    val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("vf").cast("double")), 6).as("c"))
+    val dist = ev.join(cent, Seq("pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d").asc, col("label").asc)
+    val ref = dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val got = Registry.queries("e08_kmeans_step")(spark, dir)
+      .filter(col("pos") === 1)
+      .select(col("cluster"), col("n_members"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ref, s"fold assignment diverges from long-format argmin: $got vs $ref")
+  }
+}
