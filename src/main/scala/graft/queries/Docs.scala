@@ -430,20 +430,46 @@ object Docs {
         val s1 = cnt("the", "a")
         val s2 = cnt("data", "spark", "stream")
         val s3 = cnt("join", "merge", "hash")
-        val gated = base.withColumn("n_tokens", size(col("ws")).cast("long"))
-          .filter(s1 >= s2 && s1 >= s3 && col("n_tokens") >= 10)
+        // stage 1: lang gate + min length + repetition gate (dup-token
+        // fraction, the cheap Gopher-style cut — d14's full stats)
+        val nTok = size(col("ws")).cast("long")
+        val dupFrac = lit(1.0) -
+          size(array_distinct(col("ws"))).cast("double") / nTok.cast("double")
+        val gated = base.withColumn("n_tokens", nTok)
+          .filter(s1 >= s2 && s1 >= s3 && col("n_tokens") >= 10 && dupFrac <= 0.6)
+        // stage 2: exact dedup (keep min doc_id per text hash)
         val exact = gated.withColumn("_keep",
             min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
               .partitionBy(md5(col("text").cast("binary")))))
           .filter(col("doc_id") === col("_keep"))
-        val shingled = exact
+        // stage 3: benchmark decontamination (d15's semantics in-line):
+        // drop held-out benchmark docs and any survivor sharing a 5-gram
+        // with them. Index-explode shape (BENCH_NOTES explode
+        // discipline); benchmark gram set broadcast.
+        def gram5(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), col("ws"),
+            explode(when(size(col("ws")) >= 5,
+              sequence(lit(1), size(col("ws")) - 4))).as("i"))
+          .select(col("doc_id"), concat_ws(" ",
+            element_at(col("ws"), col("i")), element_at(col("ws"), col("i") + 1),
+            element_at(col("ws"), col("i") + 2), element_at(col("ws"), col("i") + 3),
+            element_at(col("ws"), col("i") + 4)).as("gram"))
+        val benchGrams = gram5(base.filter(col("doc_id") % 20 === 0))
+          .select(col("gram")).distinct()
+        val contamIds = gram5(exact.filter(col("doc_id") % 20 =!= 0))
+          .join(broadcast(benchGrams), Seq("gram"))
+          .select(col("doc_id")).distinct()
+        val clean = exact.filter(col("doc_id") % 20 =!= 0)
+          .join(contamIds, Seq("doc_id"), "left_anti")
+        // stage 4: MinHash-LSH near-dup dedup on the survivors
+        val shingled = clean
           .withColumn("sh", shingles(col("ws")))
           .withColumn("mh", graft.functions.MinHashExprs.minHashSig(col("sh")))
         val sig = shingled.select(
           col("doc_id") +: (0 until 8).map(i => minhash(col("mh"), i).as(s"mh$i")): _*)
         val comps = graft.operators.ConnectedComponents.components(
           lshStarEdges(sig), dedupeEdges = false)
-        exact.select(col("doc_id"), col("n_tokens"))
+        clean.select(col("doc_id"), col("n_tokens"))
           .join(comps, col("doc_id") === col("id"), "left")
           .filter(col("rep").isNull || col("rep") === col("doc_id"))
           .select(col("doc_id"), col("n_tokens"))
@@ -457,15 +483,26 @@ object Docs {
            |  SELECT doc_id, text, ws, CAST(len(ws) AS BIGINT) AS n_tokens FROM w
            |  WHERE len(list_filter(ws, x -> x IN ('the','a'))) >= len(list_filter(ws, x -> x IN ('data','spark','stream')))
            |    AND len(list_filter(ws, x -> x IN ('the','a'))) >= len(list_filter(ws, x -> x IN ('join','merge','hash')))
-           |    AND len(ws) >= 10),
+           |    AND len(ws) >= 10
+           |    AND (1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)) <= 0.6),
            |exact AS (
            |  SELECT doc_id, ws, n_tokens FROM (
            |    SELECT doc_id, ws, n_tokens,
            |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
            |    FROM gate) WHERE doc_id = keep_id),
+           |g AS (SELECT doc_id, CASE WHEN len(ws) >= 5
+           |    THEN list_transform(range(1, len(ws)-3), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])
+           |    ELSE [] END AS g FROM w),
+           |bench AS (SELECT DISTINCT unnest(g) AS gram FROM g WHERE doc_id % 20 = 0),
+           |contam AS (SELECT DISTINCT t.doc_id FROM (
+           |    SELECT e.doc_id, unnest(g.g) AS gram FROM exact e JOIN g USING (doc_id)
+           |    WHERE e.doc_id % 20 <> 0) t
+           |  JOIN bench b ON t.gram = b.gram),
+           |clean AS (SELECT doc_id, ws, n_tokens FROM exact
+           |  WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam)),
            |s AS (SELECT doc_id, n_tokens,
            |  list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) sh
-           |  FROM exact),
+           |  FROM clean),
            |h AS (SELECT doc_id, n_tokens, $dHh hh FROM s),
            |sig AS (SELECT doc_id, n_tokens,
            |$mh
@@ -485,7 +522,7 @@ object Docs {
            |FROM sig LEFT JOIN rep ON sig.doc_id = rep.id
            |WHERE rep.rep IS NULL OR rep.rep = sig.doc_id""".stripMargin
       },
-      "corpus cleanup end-to-end: lang+quality gate -> exact dedup -> LSH near-dup dedup (north-star flagship)"),
+      "corpus cleanup end-to-end: lang+quality+repetition gate -> exact dedup -> decontam -> LSH near-dup dedup (north-star flagship)"),
 
     // BPE-ish regex tokenization: letter runs / digit runs / punct runs —
     // the dialect-portable core of a GPT-style pre-tokenizer (north-star:
