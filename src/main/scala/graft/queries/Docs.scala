@@ -676,17 +676,23 @@ object Docs {
           .distinct()
         val bench = grams.filter(col("doc_id") % 20 === 0 && col("gram").isNotNull)
           .select(col("gram")).distinct()
-        val tgtGrams = grams.filter(col("doc_id") % 20 =!= 0)
-        val tgt = tgtGrams.groupBy(col("doc_id"))
-          .agg(sum(when(col("gram").isNotNull, 1L).otherwise(0L)).as("n_grams"))
-        val hits = tgtGrams.join(broadcast(bench), Seq("gram"))
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-        tgt.join(hits, Seq("doc_id"), "left").select(
-          col("doc_id"), col("n_grams"),
-          coalesce(col("c"), lit(0L)).as("contaminated"),
-          when(col("n_grams") === 0, lit(null).cast("double"))
-            .otherwise(coalesce(col("c"), lit(0L)).cast("double") / col("n_grams").cast("double"))
-            .as("contam_frac"))
+        // ONE pass over the target grams: left-join the broadcast
+        // benchmark set (a null-gram marker row joins nothing and keeps
+        // short docs alive), then count grams and hits in the same
+        // aggregation — a separate n_grams/hits branch pair would
+        // recompute the whole gram pipeline once per branch (there is no
+        // exchange boundary after the doc_id-partitioned distinct for
+        // ReuseExchange to cache).
+        grams.filter(col("doc_id") % 20 =!= 0)
+          .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("gram"), "left")
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(when(col("gram").isNotNull, 1L).otherwise(0L)).as("n_grams"),
+            coalesce(sum(col("hit")), lit(0L)).as("contaminated"))
+          .select(col("doc_id"), col("n_grams"), col("contaminated"),
+            when(col("n_grams") === 0, lit(null).cast("double"))
+              .otherwise(col("contaminated").cast("double") / col("n_grams").cast("double"))
+              .as("contam_frac"))
       },
       Some(s"""WITH w AS (SELECT doc_id, $dWords AS ws FROM documents),
               |g AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 5
