@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashSig, PlaneBucketCode, SimHash16, VecDot}
+import graft.functions.{MinHashSig, PlaneBucketCode, SimHash16, TopAdjacentPairCount, VecDot}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * expressions for SQL-text users —
@@ -40,7 +40,10 @@ object GraftExtensions {
     ("simhash16", new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       unary("simhash16", SimHash16(_))),
     ("plane_bucket_code", new ExpressionInfo(classOf[PlaneBucketCode].getName, "plane_bucket_code"),
-      unary("plane_bucket_code", PlaneBucketCode(_))))
+      unary("plane_bucket_code", PlaneBucketCode(_))),
+    ("top_adjacent_pair_count",
+      new ExpressionInfo(classOf[TopAdjacentPairCount].getName, "top_adjacent_pair_count"),
+      unary("top_adjacent_pair_count", TopAdjacentPairCount(_))))
 
   /** Same registration for a session the library didn't construct. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -30,8 +30,10 @@ class GraftExtensionsSpec extends SparkSpec {
       .toDF("sh", "emb").createOrReplaceTempView("graft_ext_sketch_v")
     val r = spark.sql(
       """SELECT minhash_sig(sh) AS mh, simhash16(sh) AS sim,
-        |       plane_bucket_code(emb) AS bkt
+        |       plane_bucket_code(emb) AS bkt,
+        |       top_adjacent_pair_count(sh) AS topbg
         |FROM graft_ext_sketch_v""".stripMargin).head
+    assert(r.getAs[Long]("topbg") === 1L)
     assert(r.getAs[scala.collection.Seq[Long]]("mh").length ===
       graft.functions.MinHashSig.K)
     // cross-check against the DataFrame-side wrappers
