@@ -809,6 +809,46 @@ object Docs {
               |  SELECT doc_id, term, tfidf,
               |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rk
               |  FROM scored) WHERE rk <= 3""".stripMargin),
-      "TF-IDF top-3 terms per doc: corpus df + idf weighting (north-star: text analysis)")
+      "TF-IDF top-3 terms per doc: corpus df + idf weighting (north-star: text analysis)"),
+
+    // Context-window chunking: split each document into 32-token sliding
+    // windows with stride 24 (25% overlap) — the RAG / context-length
+    // prep step of an LLM data pipeline (real pipelines count BPE
+    // tokens; the windowing shape is identical). Chunk k covers tokens
+    // [1+24k, min(1+24k+31, n)]; every token lands in some chunk and
+    // tail chunks may be short. Index explode over the chunk counter
+    // (safe generator shape), slice + join per output row; zero
+    // shuffles beyond the doc_id spread — scan-parallel at 100 TB.
+    Q("d19_chunking",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .repartition(col("doc_id"))
+          .withColumn("ws", words(col("text")))
+          .withColumn("n", size(col("ws")).cast("long"))
+        base
+          .select(col("doc_id"), col("ws"), col("n"),
+            explode(sequence(lit(0L),
+              expr("CASE WHEN n > 32 THEN (n - 9) DIV 24 ELSE 0 END"))).as("k"))
+          .withColumn("chunk_start", lit(1L) + col("k") * 24L)
+          .withColumn("chunk_tokens",
+            least(lit(32L), col("n") - col("chunk_start") + 1L))
+          .select(col("doc_id"), col("k").as("chunk_id"),
+            col("chunk_start"), col("chunk_tokens"),
+            md5(array_join(
+              slice(col("ws"), col("chunk_start").cast("int"), col("chunk_tokens").cast("int")),
+              " ").cast("binary")).as("chunk_md5"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $dWords AS ws FROM documents WHERE text IS NOT NULL),
+              |n AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+              |k AS (SELECT doc_id, ws, n,
+              |    unnest(range(0, CASE WHEN n > 32 THEN 1 + (n - 9) // 24 ELSE 1 END)) AS k
+              |  FROM n)
+              |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+              |  CAST(1 + k*24 AS BIGINT) AS chunk_start,
+              |  CAST(least(32, n - (1 + k*24) + 1) AS BIGINT) AS chunk_tokens,
+              |  md5(array_to_string(ws[(1 + k*24):least(1 + k*24 + 31, n)], ' ')) AS chunk_md5
+              |FROM k""".stripMargin),
+      "context-window chunking: 32-token windows, stride 24 (north-star: LLM data prep)")
   )
 }

@@ -72,6 +72,27 @@ class CurationSpec extends SparkSpec {
     assert(a.length === 18)
   }
 
+  test("d19: chunk boundaries, counts, and content hashes match hand computation") {
+    val t33 = (1 to 33).map(i => s"w$i").mkString(" ")
+    val t10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val t56 = (1 to 56).map(i => s"w$i").mkString(" ")
+    val dir = fixture(Seq((1L, t33, "en", "s"), (2L, t10, "en", "s"), (3L, t56, "en", "s")))
+    val out = Registry.queries("d19_chunking")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // 33 tokens -> [1..32] and [25..33]
+    assert(out((1L, 0L)) === ((1L, 32L, md5hex((1 to 32).map(i => s"w$i").mkString(" ")))))
+    assert(out((1L, 1L)) === ((25L, 9L, md5hex((25 to 33).map(i => s"w$i").mkString(" ")))))
+    // 10 tokens -> single short chunk
+    assert(out((2L, 0L)) === ((1L, 10L, md5hex(t10))))
+    assert(!out.contains((2L, 1L)))
+    // 56 tokens -> [1..32] and [25..56], both full-ish, no third chunk
+    assert(out((3L, 1L)) === ((25L, 32L, md5hex((25 to 56).map(i => s"w$i").mkString(" ")))))
+    assert(!out.contains((3L, 2L)))
+  }
+
   test("d17: crafted email+phone are redacted and counted") {
     val dir = fixture(Seq(
       (1L, "reach me at john.doe@example.com or 555-123-4567 now", "en", "s"),
