@@ -364,6 +364,60 @@ object Docs {
       },
       "MinHash-LSH band-bucket candidate pairs (north-star: dedup)"),
 
+    // Candidate VERIFICATION — the stage that completes the MinHash-LSH
+    // near-dup pipeline: exact shingle-set Jaccard on each candidate
+    // pair, with the ≥0.5 verdict. Shuffle shape: the (small) pair
+    // table is joined twice against the per-doc shingle sets — each
+    // join shuffles only pairs + the matching doc rows on one doc-id
+    // key; the corpus-sized shingle build happens once per side off the
+    // shared doc_id exchange. At 100 TB the candidate table is ~corpus
+    // ×duplication-rate, far below all-pairs — exactly why LSH
+    // candidates + exact verify beats either extreme.
+    Q("d20_neardup_verified",
+      (s, dir) => {
+        val sig = withShingles(s, dir).select(
+          col("doc_id") +: (0 until 8).map(i => minhash(col("mh"), i).as(s"mh$i")): _*)
+        val sets = withShingles(s, dir)
+          .select(col("doc_id"), array_distinct(col("sh")).as("ss"))
+        val pairs = lshCandidatePairs(sig)
+        val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+        val uni = (size(col("sa")) + size(col("sb"))).cast("double") - inter
+        pairs
+          .join(sets.select(col("doc_id").as("doc_id_a"), col("ss").as("sa")), Seq("doc_id_a"))
+          .join(sets.select(col("doc_id").as("doc_id_b"), col("ss").as("sb")), Seq("doc_id_b"))
+          .select(col("doc_id_a"), col("doc_id_b"),
+            round(inter / uni, 4).as("jaccard"),
+            (inter / uni >= 0.5).as("is_dup"))
+      },
+      Some {
+        val mh = (0 until 8).map(i => s"  ${dMinhash(i)} AS mh$i").mkString(",\n")
+        val bands = (0 until 4).map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || ':' || mh${2 * b + 1} AS band_key FROM sig")
+          .mkString("\n  UNION ALL ")
+        s"""WITH w AS (SELECT doc_id, $dWords ws FROM documents),
+           |s AS (SELECT doc_id,
+           |  list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) sh
+           |  FROM w),
+           |h AS (SELECT doc_id, sh, $dHh hh FROM s),
+           |sig AS (SELECT doc_id,
+           |$mh
+           |FROM h),
+           |banded AS (
+           |  $bands),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+           |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |sets AS (SELECT doc_id, list_distinct(sh) AS ss FROM h)
+           |SELECT p.doc_id_a, p.doc_id_b,
+           |  ROUND(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+           |    (CAST(len(sa.ss) + len(sb.ss) AS DOUBLE) - CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)), 4) AS jaccard,
+           |  CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+           |    (CAST(len(sa.ss) + len(sb.ss) AS DOUBLE) - CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)) >= 0.5 AS is_dup
+           |FROM pairs p
+           |JOIN sets sa ON p.doc_id_a = sa.doc_id
+           |JOIN sets sb ON p.doc_id_b = sb.doc_id""".stripMargin
+      },
+      "LSH candidate verification: exact shingle Jaccard + threshold verdict (north-star: dedup)"),
+
     // Dedup clustering: LSH candidate pairs → connected components →
     // (doc_id, cluster_rep). The full dedup pipeline end-to-end:
     // signature pass + band shuffle + O(diameter) label-propagation

@@ -93,6 +93,19 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains((3L, 2L)))
   }
 
+  test("d20: exact duplicates verify at jaccard 1.0 with a true verdict") {
+    val text = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 119).map(i => s"zzz$i").mkString(" ")
+    val dir = fixture(Seq((1L, text, "en", "s"), (2L, text, "en", "s"), (3L, other, "en", "s")))
+    val out = Registry.queries("d20_neardup_verified")(spark, dir).collect()
+    val dup = out.find(r => r.getLong(1) === 1L && r.getLong(0) === 2L)
+      .orElse(out.find(r => r.getLong(0) === 1L && r.getLong(1) === 2L))
+    assert(dup.isDefined, s"identical docs must surface as a candidate pair: ${out.mkString}")
+    assert(dup.get.getDouble(2) === 1.0 && dup.get.getBoolean(3))
+    assert(!out.exists(r => r.getLong(0) === 3L || r.getLong(1) === 3L),
+      "unrelated doc must not pair")
+  }
+
   test("d17: crafted email+phone are redacted and counted") {
     val dir = fixture(Seq(
       (1L, "reach me at john.doe@example.com or 555-123-4567 now", "en", "s"),
