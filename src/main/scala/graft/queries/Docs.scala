@@ -205,6 +205,46 @@ object Docs {
       .select(col("u"), col("doc_id").as("v")).distinct()
   }
 
+  /** 32-token sliding windows, stride 24, per document (d19's shape,
+    * shared with the duplicate-chunk statistics d21): chunk k covers
+    * tokens [1+24k, min(1+24k+31, n)]. Index explode over the chunk
+    * counter (safe generator shape), slice + join per output row; zero
+    * shuffles beyond the doc_id spread. */
+  private[graft] def chunked(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val base = t(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .repartition(col("doc_id"))
+      .withColumn("ws", words(col("text")))
+      .withColumn("n", size(col("ws")).cast("long"))
+    base
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(0L),
+          expr("CASE WHEN n > 32 THEN (n - 9) DIV 24 ELSE 0 END"))).as("k"))
+      .withColumn("chunk_start", lit(1L) + col("k") * 24L)
+      .withColumn("chunk_tokens",
+        least(lit(32L), col("n") - col("chunk_start") + 1L))
+      .select(col("doc_id"), col("k").as("chunk_id"),
+        col("chunk_start"), col("chunk_tokens"),
+        md5(array_join(
+          slice(col("ws"), col("chunk_start").cast("int"), col("chunk_tokens").cast("int")),
+          " ").cast("binary")).as("chunk_md5"))
+  }
+
+  /** DuckDB twin of [[chunked]] (shared by d19/d21 oracles). */
+  private def dChunks = {
+    s"""w AS (SELECT doc_id, $dWords AS ws FROM documents WHERE text IS NOT NULL),
+       |nn AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+       |kk AS (SELECT doc_id, ws, n,
+       |    unnest(range(0, CASE WHEN n > 32 THEN 1 + (n - 9) // 24 ELSE 1 END)) AS k
+       |  FROM nn),
+       |chunks AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       |  CAST(1 + k*24 AS BIGINT) AS chunk_start,
+       |  CAST(least(32, n - (1 + k*24) + 1) AS BIGINT) AS chunk_tokens,
+       |  md5(array_to_string(ws[(1 + k*24):least(1 + k*24 + 31, n)], ' ')) AS chunk_md5
+       |FROM kk)""".stripMargin
+  }
+
   // DuckDB-side shared fragments
   private val dNorm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
   private val dWords = s"str_split($dNorm, ' ')"
@@ -874,35 +914,41 @@ object Docs {
     // (safe generator shape), slice + join per output row; zero
     // shuffles beyond the doc_id spread — scan-parallel at 100 TB.
     Q("d19_chunking",
+      (s, dir) => chunked(s, dir),
+      Some(s"""WITH $dChunks
+              |SELECT doc_id, chunk_id, chunk_start, chunk_tokens, chunk_md5 FROM chunks""".stripMargin),
+      "context-window chunking: 32-token windows, stride 24 (north-star: LLM data prep)"),
+
+    // Corpus-wide duplicate-chunk statistics: for each doc, the fraction
+    // of its chunks whose content occurs anywhere else in the corpus —
+    // the chunk-level dedup metric (FineWeb-style duplicate-paragraph
+    // fraction, on d19's windows). Shuffle shape: one explicit
+    // repartition(chunk_md5) feeds BOTH the frequency agg and the join
+    // probe (same ReuseExchange pattern as lshStarEdges — the
+    // corpus-sized chunk stream shuffles once), then one doc_id shuffle
+    // for the per-doc rollup.
+    Q("d21_dup_chunks",
       (s, dir) => {
-        val base = t(s, dir, "documents")
-          .filter(col("text").isNotNull)
-          .repartition(col("doc_id"))
-          .withColumn("ws", words(col("text")))
-          .withColumn("n", size(col("ws")).cast("long"))
-        base
-          .select(col("doc_id"), col("ws"), col("n"),
-            explode(sequence(lit(0L),
-              expr("CASE WHEN n > 32 THEN (n - 9) DIV 24 ELSE 0 END"))).as("k"))
-          .withColumn("chunk_start", lit(1L) + col("k") * 24L)
-          .withColumn("chunk_tokens",
-            least(lit(32L), col("n") - col("chunk_start") + 1L))
-          .select(col("doc_id"), col("k").as("chunk_id"),
-            col("chunk_start"), col("chunk_tokens"),
-            md5(array_join(
-              slice(col("ws"), col("chunk_start").cast("int"), col("chunk_tokens").cast("int")),
-              " ").cast("binary")).as("chunk_md5"))
+        val byMd5 = chunked(s, dir)
+          .select(col("doc_id"), col("chunk_md5"))
+          .repartition(col("chunk_md5"))
+        val freq = byMd5.groupBy(col("chunk_md5")).agg(count(lit(1)).as("n_occ"))
+        byMd5.join(freq, Seq("chunk_md5"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("dup_chunks"))
+          .select(col("doc_id"), col("n_chunks"), col("dup_chunks"),
+            (col("dup_chunks").cast("double") / col("n_chunks").cast("double"))
+              .as("dup_chunk_frac"))
       },
-      Some(s"""WITH w AS (SELECT doc_id, $dWords AS ws FROM documents WHERE text IS NOT NULL),
-              |n AS (SELECT doc_id, ws, len(ws) AS n FROM w),
-              |k AS (SELECT doc_id, ws, n,
-              |    unnest(range(0, CASE WHEN n > 32 THEN 1 + (n - 9) // 24 ELSE 1 END)) AS k
-              |  FROM n)
-              |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
-              |  CAST(1 + k*24 AS BIGINT) AS chunk_start,
-              |  CAST(least(32, n - (1 + k*24) + 1) AS BIGINT) AS chunk_tokens,
-              |  md5(array_to_string(ws[(1 + k*24):least(1 + k*24 + 31, n)], ' ')) AS chunk_md5
-              |FROM k""".stripMargin),
-      "context-window chunking: 32-token windows, stride 24 (north-star: LLM data prep)")
+      Some(s"""WITH $dChunks,
+              |freq AS (SELECT chunk_md5, COUNT(*) AS n_occ FROM chunks GROUP BY chunk_md5)
+              |SELECT c.doc_id,
+              |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+              |  CAST(SUM(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+              |  CAST(SUM(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_chunk_frac
+              |FROM chunks c JOIN freq f USING (chunk_md5)
+              |GROUP BY c.doc_id""".stripMargin),
+      "corpus-wide duplicate-chunk fraction per doc (north-star: dedup metrics)")
   )
 }

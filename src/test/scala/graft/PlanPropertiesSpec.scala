@@ -110,6 +110,21 @@ class PlanPropertiesSpec extends SparkSpec {
       s"kmeans step gained a shuffle:\n${p.take(800)}")
   }
 
+  test("d20: verification joins are equi-joins; no cartesian anywhere") {
+    val p = planOf("d20_neardup_verified")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"verification must join on doc ids only:\n${p.take(800)}")
+  }
+
+  test("d21: frequency agg and join probe share one chunk_md5 exchange") {
+    val df = Registry.queries("d21_dup_chunks")(spark, sfDir)
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    assert(ep.contains("ReusedExchange"),
+      "chunk stream must shuffle once for both the freq agg and the probe")
+    assert(!ep.contains("CartesianProduct"))
+  }
+
   test("e06: KNN self-join reuses one bucket exchange; no cartesian") {
     val df = Registry.queries("e06_knn_join")(spark, sfDir)
     df.collect() // AQE exchange reuse is only visible on the EXECUTED plan

@@ -106,6 +106,17 @@ class CurationSpec extends SparkSpec {
       "unrelated doc must not pair")
   }
 
+  test("d21: duplicated docs have dup_chunk_frac 1.0; unique docs 0.0") {
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")  // 2 chunks
+    val uniq = (100 to 139).map(i => s"uni$i").mkString(" ")
+    val dir = fixture(Seq((1L, text, "en", "s"), (2L, text, "en", "s"), (3L, uniq, "en", "s")))
+    val out = Registry.queries("d21_dup_chunks")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((2L, 2L, 1.0)))
+    assert(out(2L) === ((2L, 2L, 1.0)))
+    assert(out(3L) === ((2L, 0L, 0.0)))
+  }
+
   test("d17: crafted email+phone are redacted and counted") {
     val dir = fixture(Seq(
       (1L, "reach me at john.doe@example.com or 555-123-4567 now", "en", "s"),
