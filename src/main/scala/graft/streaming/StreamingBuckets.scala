@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object StreamingBuckets {
 
+  /** Stateless curation gate shared batch≡stream: keep docs with at
+    * least `minTokens` whitespace tokens. No state, no watermark — under
+    * a checkpointed file-source query this is the INCREMENTAL corpus
+    * ingest path: each trigger curates only newly-arrived files and the
+    * checkpoint guarantees exactly-once processing across restarts
+    * (FileStreamSpec checkpoint-resume test). */
+  def qualityGate(docs: DataFrame, minTokens: Int = 5): DataFrame =
+    docs.filter(graft.functions.ColFns.tokenCount(col("text")) >= minTokens)
+
   /** Tumbling bucket counts/sums per (event_type, window). For streaming
     * input, `withWatermark` bounds state; for batch input it's a no-op
     * column-metadata marker. */

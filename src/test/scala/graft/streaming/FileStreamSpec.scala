@@ -33,6 +33,42 @@ class FileStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("checkpointed incremental curation: a resumed query processes ONLY new files") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("inc_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("inc_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("inc_out").toString
+    import spark.implicits._
+    def docs(ids: Range, tokens: Int) = ids.map { i =>
+      (i.toLong, (1 to tokens).map(t => s"w$t").mkString(" "))
+    }.toDF("doc_id", "text")
+
+    // batch 1: 20 docs pass the gate, 5 short docs don't
+    docs(1 to 20, 8).union(docs(21 to 25, 2))
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def runOnce(): Unit = {
+      val q = StreamingBuckets.qualityGate(
+          spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() === 20L)
+
+    // batch 2 arrives; the RESUMED query must curate only the new files
+    docs(100 to 129, 8).union(docs(130 to 133, 1))
+      .coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    val ids = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.length === 50, s"expected 20 + 30 curated docs, got ${ids.length}")
+    assert(ids.count(_ >= 100L) === 30)
+    assert(ids.distinct.length === ids.length, "no doc may be processed twice")
+  }
+
   test("readStream over documents parquet -> nearDedupStream keeps one doc per signature") {
     val dir = java.nio.file.Files.createTempDirectory("stream_docs").toString
     val docs = graft.queries.Registry.t(spark, "/root/testdata/sf0.001", "documents")
