@@ -106,6 +106,28 @@ class CurationSpec extends SparkSpec {
       "unrelated doc must not pair")
   }
 
+  test("d19: chunk invariants hold at every boundary size") {
+    // sizes straddling each formula boundary: window 32, stride 24
+    val sizes = Seq(1, 5, 23, 24, 25, 32, 33, 56, 57, 80, 81, 100)
+    val dir = fixture(sizes.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(t => s"t$t").mkString(" "), "en", "s") })
+    val byDoc = Registry.queries("d19_chunking")(spark, dir)
+      .collect().groupBy(_.getLong(0))
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val chunks = byDoc(i.toLong).sortBy(_.getLong(1))
+      val expected = if (n > 32) 1 + (n - 9) / 24 else 1
+      assert(chunks.length === expected, s"n=$n chunk count")
+      chunks.zipWithIndex.foreach { case (c, k) =>
+        assert(c.getLong(2) === 1L + 24L * k, s"n=$n k=$k start")     // stride
+        assert(c.getLong(3) === math.min(32L, n - 24L * k), s"n=$n k=$k len")
+        assert(c.getLong(3) >= 1L && c.getLong(3) <= 32L)
+      }
+      // full coverage: last chunk reaches token n
+      val last = chunks.last
+      assert(last.getLong(2) + last.getLong(3) - 1 === n.toLong, s"n=$n tail coverage")
+    }
+  }
+
   test("d21: duplicated docs have dup_chunk_frac 1.0; unique docs 0.0") {
     val text = (1 to 40).map(i => s"tok$i").mkString(" ")  // 2 chunks
     val uniq = (100 to 139).map(i => s"uni$i").mkString(" ")
