@@ -1,0 +1,135 @@
+package graft.curation
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Docs
+
+/** The corpus-curation operators composed into one user-facing,
+  * stage-materialized pipeline — the curation twin of
+  * [[graft.mimic.Pipeline]]: each stage writes a replayable Parquet
+  * artifact under `outDir`, so a failed or re-configured run resumes
+  * from the last good stage instead of the raw corpus.
+  *
+  * Stages (mirroring the oracle-checked d13 flagship, which remains the
+  * cross-engine correctness twin of this code path — equivalence is
+  * spec-asserted in CurationPipelineSpec):
+  *
+  *   1. `01_gated`    min-token + dup-token-fraction repetition gate,
+  *                    plus any caller-supplied gate (lang ID, quality
+  *                    classifier, ...)
+  *   2. `02_exact`    exact dedup — keep the min doc_id per text hash
+  *   3. `03_clean`    benchmark decontamination — drop held-out docs
+  *                    (doc_id % benchMod == 0) and any survivor sharing
+  *                    a word 5-gram with them (broadcast gram set)
+  *   4. `04_corpus`   MinHash-LSH near-dup dedup (star edges →
+  *                    connected components, cluster min survives),
+  *                    written via [[graft.sources.CorpusSink]]
+  *                    (partitioned, size-bounded, sorted)
+  *   5. `05_chunks`   32-token / stride-24 context windows of the
+  *                    survivors (skipped when `chunk = false`)
+  *
+  * Scale notes: every stage is the same shape as its gate query —
+  * per-row maps for the gates, one window exchange for exact dedup, a
+  * broadcast anti-join for decontamination, star edges + pointer
+  * jumping for clustering. The md5 Carter–Wegman signature keeps
+  * cross-engine verifiability; swap in
+  * [[graft.queries.Docs.minhashSignaturesFast]] for the ~2× xxhash64
+  * production path when no DuckDB oracle is needed.
+  */
+object CurationPipeline {
+
+  final case class Config(
+      minTokens: Int = 10,
+      maxDupTokenFrac: Double = 0.6,
+      /** 0 disables the decontamination stage. */
+      benchMod: Long = 20L,
+      chunk: Boolean = true,
+      partitionCol: String = "lang",
+      maxRecordsPerFile: Long = 100000L)
+
+  /** Run the pipeline; returns per-stage row counts (stage name →
+    * rows), in stage order. `customGate` runs INSIDE stage 1 after the
+    * built-in gates (input: docs with a bound `ws` token column). */
+  def run(
+      spark: SparkSession,
+      docs: DataFrame,
+      outDir: String,
+      cfg: Config = Config(),
+      customGate: DataFrame => DataFrame = identity): Seq[(String, Long)] = {
+
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def stage(name: String, df: DataFrame): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+      val back = spark.read.parquet(s"$outDir/$name")
+      counts += name -> back.count()
+      back
+    }
+
+    val base = docs
+      .repartition(col("doc_id"))
+      .withColumn("ws", Docs.words(col("text")))
+    val nTok = size(col("ws")).cast("long")
+    val dupFrac = lit(1.0) -
+      size(array_distinct(col("ws"))).cast("double") / nTok.cast("double")
+
+    // stage 1: repetition/length gates + caller's gate
+    val gated = stage("01_gated", customGate(
+      base.withColumn("n_tokens", nTok)
+        .filter(col("n_tokens") >= cfg.minTokens && dupFrac <= cfg.maxDupTokenFrac)))
+
+    // stage 2: exact dedup
+    val exact = stage("02_exact", gated.withColumn("_keep",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text").cast("binary")))))
+      .filter(col("doc_id") === col("_keep"))
+      .drop("_keep"))
+
+    // stage 3: benchmark decontamination
+    val clean = stage("03_clean",
+      if (cfg.benchMod <= 0) exact
+      else {
+        val benchGrams = gram5(base.filter(col("doc_id") % cfg.benchMod === 0))
+          .select(col("gram")).distinct()
+        val contamIds = gram5(exact.filter(col("doc_id") % cfg.benchMod =!= 0))
+          .join(broadcast(benchGrams), Seq("gram"))
+          .select(col("doc_id")).distinct()
+        exact.filter(col("doc_id") % cfg.benchMod =!= 0)
+          .join(contamIds, Seq("doc_id"), "left_anti")
+      })
+
+    // stage 4: near-dup dedup, survivors written as the curated corpus
+    val sig = clean
+      .withColumn("sh", Docs.shingles(col("ws")))
+      .withColumn("mh", graft.functions.MinHashExprs.minHashSig(col("sh")))
+      .select(col("doc_id") +:
+        (0 until 8).map(i => element_at(col("mh"), i + 1).as(s"mh$i")): _*)
+    val comps = graft.operators.ConnectedComponents.components(
+      Docs.lshStarEdges(sig), dedupeEdges = false)
+    val survivors = clean
+      .join(comps, clean("doc_id") === comps("id"), "left")
+      .filter(col("rep").isNull || col("rep") === col("doc_id"))
+      .drop("id", "rep", "ws", "n_tokens")
+    graft.sources.CorpusSink.write(survivors, s"$outDir/04_corpus",
+      partitionCol = cfg.partitionCol, maxRecordsPerFile = cfg.maxRecordsPerFile)
+    val corpus = spark.read.parquet(s"$outDir/04_corpus")
+    counts += "04_corpus" -> corpus.count()
+
+    // stage 5: context-window chunks of the survivors
+    if (cfg.chunk) {
+      stage("05_chunks", Docs.chunkedDf(corpus))
+      ()
+    }
+    counts.toSeq
+  }
+
+  /** Distinct-position word 5-grams via index explode (the safe
+    * generator shape — BENCH_NOTES explode discipline). */
+  private def gram5(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), col("ws"),
+      explode(when(size(col("ws")) >= 5,
+        sequence(lit(1), size(col("ws")) - 4))).as("i"))
+    .select(col("doc_id"), concat_ws(" ",
+      element_at(col("ws"), col("i")), element_at(col("ws"), col("i") + 1),
+      element_at(col("ws"), col("i") + 2), element_at(col("ws"), col("i") + 3),
+      element_at(col("ws"), col("i") + 4)).as("gram"))
+}

@@ -17,7 +17,7 @@ import graft.queries.Registry.t
 object Docs {
 
   /** Whitespace tokens (non-distinct, document order). */
-  private def words(c: Column) = split(normWs(c), " ")
+  private[graft] def words(c: Column) = split(normWs(c), " ")
 
   /** Word 3-gram shingles, 1-based window over the token array.
     * Guarded for <3 tokens: `sequence(1, size-2)` would otherwise emit a
@@ -211,8 +211,12 @@ object Docs {
     * counter (safe generator shape), slice + join per output row; zero
     * shuffles beyond the doc_id spread. */
   private[graft] def chunked(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val base = t(s, dir, "documents")
+      dir: String): org.apache.spark.sql.DataFrame =
+    chunkedDf(t(s, dir, "documents"))
+
+  /** DataFrame-in variant of [[chunked]] (shared with CurationPipeline). */
+  private[graft] def chunkedDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = docs
       .filter(col("text").isNotNull)
       .repartition(col("doc_id"))
       .withColumn("ws", words(col("text")))

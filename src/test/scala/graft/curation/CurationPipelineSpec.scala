@@ -1,0 +1,65 @@
+package graft.curation
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.queries.Registry
+
+/** End-to-end curation pipeline on sf0.001, asserted EQUIVALENT to the
+  * oracle-checked d13 flagship (same gates, same dedup machinery) —
+  * the pipeline is the user API, d13 is its cross-engine correctness
+  * twin. */
+class CurationPipelineSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** d13's lang gate, as the pipeline's pluggable custom gate. */
+  private def langGate(df: org.apache.spark.sql.DataFrame) = {
+    def cnt(w: String*) = size(filter(col("ws"), x => x.isin(w: _*))).cast("long")
+    val s1 = cnt("the", "a"); val s2 = cnt("data", "spark", "stream")
+    val s3 = cnt("join", "merge", "hash")
+    df.filter(s1 >= s2 && s1 >= s3)
+  }
+
+  test("stage counts decrease; survivors equal the d13 flagship; corpus is partitioned") {
+    val out = Files.createTempDirectory("graft-curation-pipe").toString
+    val docs = Registry.t(spark, sfDir, "documents")
+    val counts = CurationPipeline.run(spark, docs, out, customGate = langGate)
+
+    assert(counts.map(_._1) ===
+      Seq("01_gated", "02_exact", "03_clean", "04_corpus", "05_chunks"))
+    val byName = counts.toMap
+    assert(byName("01_gated") >= byName("02_exact"))
+    assert(byName("02_exact") >= byName("03_clean"))
+    assert(byName("03_clean") >= byName("04_corpus"))
+    assert(byName("04_corpus") > 0)
+
+    // survivors == oracle-checked d13 output
+    val pipelineIds = spark.read.parquet(s"$out/04_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val d13Ids = Registry.queries("d13_corpus_clean")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(pipelineIds === d13Ids,
+      s"pipeline survivors diverge from d13: ${pipelineIds.length} vs ${d13Ids.length}")
+
+    // chunks belong exclusively to survivors and cover each of them
+    val chunkIds = spark.read.parquet(s"$out/05_chunks")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(chunkIds === pipelineIds)
+
+    // CorpusSink layout: hive-partitioned by lang
+    val langDirs = new java.io.File(s"$out/04_corpus").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("lang="))
+    assert(langDirs.nonEmpty)
+  }
+
+  test("benchMod = 0 disables decontamination") {
+    val out = Files.createTempDirectory("graft-curation-nodc").toString
+    val docs = Registry.t(spark, sfDir, "documents")
+    val counts = CurationPipeline.run(spark, docs, out,
+      cfg = CurationPipeline.Config(benchMod = 0L, chunk = false),
+      customGate = langGate).toMap
+    assert(counts("03_clean") === counts("02_exact"))
+    assert(!counts.contains("05_chunks"))
+  }
+}
