@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+
+/** Codegen'd k-means assignment: argmin over a tiny broadcast model,
+  * fused into ONE expression so assignment — the hot scan at 100 TB —
+  * stays inside whole-stage codegen instead of evaluating K interpreted
+  * `aggregate` HOF lambdas per row (HOFs are CodegenFallback; see
+  * BENCH_NOTES). Reference behavior: temporai-mivdp clusters embeddings
+  * with a driver-resident model and a full-corpus assignment scan.
+  *
+  * Semantics are bit-identical to the builtin fold it replaces
+  * (spec'd in ClusteringSpec):
+  *   - centroids are visited in model order (labels sorted ascending),
+  *   - score(k) = cc(k) − 2·(e·c(k)) — the same ordering as squared
+  *     euclidean distance, since e·e is constant per vector — with the
+  *     dot accumulated left-to-right in double (exactly [[VecDot]]),
+  *   - strict `<` comparison, so ties keep the earlier (smaller) label,
+  *   - a dimension mismatch or null element skips that centroid (the
+  *     fold's null-propagating comparison keeps the accumulator), and a
+  *     vector no centroid can score gets `Int.MaxValue` — the fold's
+  *     initial label, surfaced rather than masked.
+  *
+  * The model rides along as constructor constants (labels, centroid
+  * matrix, precomputed c·c), registered as codegen reference objects —
+  * at any corpus scale the model is K×dim floats, far below broadcast
+  * thresholds.
+  */
+case class KMeansArgMin(
+    child: Expression,
+    labels: Array[Int],
+    cents: Array[Array[Float]],
+    ccs: Array[Double]) extends UnaryExpression {
+
+  require(labels.length == cents.length && labels.length == ccs.length,
+    "model arrays must be parallel")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "kmeans_argmin"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"kmeans_argmin requires array<float> input, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) { hasNull = arr.isNullAt(i); i += 1 }
+    var bestS = Double.PositiveInfinity
+    var bestL = Int.MaxValue
+    var k = 0
+    while (k < cents.length) {
+      val c = cents(k)
+      if (!hasNull && c.length == n) {
+        var acc = 0.0
+        var j = 0
+        while (j < n) { acc += arr.getFloat(j).toDouble * c(j).toDouble; j += 1 }
+        val s = ccs(k) - 2.0 * acc
+        if (s < bestS) { bestS = s; bestL = labels(k) }
+      }
+      k += 1
+    }
+    bestL
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val labelsRef = ctx.addReferenceObj("labels", labels, "int[]")
+      val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
+      val ccsRef = ctx.addReferenceObj("ccs", ccs, "double[]")
+      val n = ctx.freshName("n")
+      val hasNull = ctx.freshName("hasNull")
+      val bestS = ctx.freshName("bestS")
+      val bestL = ctx.freshName("bestL")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements();
+         |boolean $hasNull = false;
+         |for (int $i = 0; $i < $n && !$hasNull; $i++) { $hasNull = $a.isNullAt($i); }
+         |double $bestS = Double.POSITIVE_INFINITY;
+         |int $bestL = Integer.MAX_VALUE;
+         |for (int $k = 0; $k < $centsRef.length; $k++) {
+         |  float[] $c = $centsRef[$k];
+         |  if ($hasNull || $c.length != $n) continue;
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $acc += (double) $a.getFloat($j) * (double) $c[$j];
+         |  }
+         |  double $s = $ccsRef[$k] - 2.0 * $acc;
+         |  if ($s < $bestS) { $bestS = $s; $bestL = $labelsRef[$k]; }
+         |}
+         |${ev.value} = $bestL;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): KMeansArgMin =
+    copy(child = newChild)
+}
+
+object KMeansExprs {
+  /** Column wrapper over [[KMeansArgMin]]: assign `embedding` to the
+    * nearest centroid of a driver-resident model. `model` pairs each
+    * label with its centroid; entries are sorted by label so the
+    * first-wins tie rule is "smaller label". */
+  def assignCluster(embedding: Column, model: Seq[(Int, Array[Float])]): Column = {
+    val sorted = model.sortBy(_._1)
+    val labels = sorted.map(_._1).toArray
+    val cents = sorted.map(_._2).toArray
+    // c·c on the driver with the same left-to-right fold the assignment
+    // (and the DuckDB twin's list_inner_product(cvec, cvec)) uses.
+    val ccs = cents.map(_.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+    GraftShim.column(KMeansArgMin(GraftShim.expression(embedding), labels, cents, ccs))
+  }
+}

@@ -21,6 +21,68 @@ object Sim {
   private val dDot = (a: String, b: String) =>
     s"list_inner_product($a::DOUBLE[], $b::DOUBLE[])"
 
+  /** Micro-unit (1e-6) quantization of a float-derived value:
+    * round-half-away built from explicit IEEE primitives (double
+    * multiply, +0.5, floor) that Spark and DuckDB evaluate
+    * bit-identically — unlike engine `CAST(double AS DECIMAL)`, whose
+    * half-way handling on arbitrary floats is engine-defined. The long
+    * outputs then sum EXACTLY, in any order, on any partition layout. */
+  private def microQ(vf: Column): Column = {
+    val d = vf.cast("double") * lit(1000000.0)
+    when(d >= 0, floor(d + lit(0.5))).otherwise(-floor(-d + lit(0.5))).cast("long")
+  }
+
+  /** DuckDB twin of [[microQ]] over a double column named `v`. */
+  private val microQSql: String =
+    "CAST(CASE WHEN v * 1000000.0 >= 0 THEN FLOOR(v * 1000000.0 + 0.5) " +
+      "ELSE -FLOOR(-(v * 1000000.0) + 0.5) END AS BIGINT)"
+
+  /** Round-half-away-from-zero of the rational num/den (den > 0) in pure
+    * long arithmetic — the order-independent replacement for
+    * `round(avg, k)` once values are micro-quantized: every operand is
+    * exact, so the result is identical across engines and runs. */
+  private def halfAwayDiv(num: Column, den: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    def ldiv(a: Column, b: Column): Column =
+      org.apache.spark.sql.GraftShim.column(new IntegralDivide(
+        org.apache.spark.sql.GraftShim.expression(a),
+        org.apache.spark.sql.GraftShim.expression(b)))
+    // both branches divide non-negative by positive, so truncation==floor
+    when(num >= 0, ldiv(num * 2 + den, den * 2))
+      .otherwise(-ldiv((-num) * 2 + den, den * 2))
+  }
+
+  /** DuckDB twin of [[halfAwayDiv]] (`//` truncates; operands kept
+    * non-negative per branch so truncation==floor there too). */
+  private def halfAwayDivSql(num: String, den: String): String =
+    s"(CASE WHEN $num >= 0 THEN (2*($num) + ($den)) // (2*($den)) " +
+      s"ELSE -((2*(-($num)) + ($den)) // (2*($den))) END)"
+
+  /** Seed model for the k-means step: per-(label,pos) centroid at 6-dp
+    * resolution, computed with order-independent integer arithmetic
+    * end-to-end (quantize → exact long sum → integer half-away divide).
+    * The only floating-point steps are the final /1e6 and the float
+    * narrowing — single IEEE roundings of exact operands, bit-identical
+    * across engines AND across shuffle layouts (the `round(avg(),6)`
+    * this replaces flipped its last digit with partial-agg order:
+    * CORRECTNESS_r06 e08 `hash_match: false`). Public so ClusteringSpec
+    * can pin the query against an independent long-format formulation
+    * of the same model. */
+  def kmeansSeedModel(s: org.apache.spark.sql.SparkSession, dir: String): Seq[(Int, Array[Float])] = {
+    val centRows = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .filter(col("vf").isNotNull)
+      .select(col("label"), col("pos"), microQ(col("vf")).as("m"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("m")).as("sm"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (halfAwayDiv(col("sm"), col("n")).cast("double") / 1000000.0).as("c"))
+      .collect()
+    centRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (l, rs) =>
+        l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toArray }
+  }
+
   /** Plane count for a target in-bucket population: the in-bucket
     * self-join does O(bucket²) cosine work, so bucket size must stay
     * ~constant as the corpus grows — planes ≈ log2(n / targetBucket).
@@ -373,72 +435,65 @@ object Sim {
 
     // K-means Lloyd step (north-star: embedding clustering/curation).
     // The model (per-label-seeded mean centroids, K×dim values) is
-    // COLLECTED to the driver, rounded to 6 dp, and re-emitted as a
-    // float-array literal: at any scale the model is tiny while the
-    // corpus is not, so ASSIGNMENT is a scan-parallel fold over the
-    // in-plan model — no explode, no per-vector shuffle; the only
-    // shuffles are the two aggregations (centroid seed + centroid
-    // update), both map-side combinable. Argmin key: score =
-    // c·c − 2·e·c (same ordering as squared euclidean distance — e·e is
-    // constant per vector), computed by the codegen'd VecDot in the
-    // exact sequential order of the DuckDB twin's list_inner_product,
-    // rounded to 6 dp; ties go to the smaller label via the fold's
-    // first-wins over the label-sorted model.
+    // COLLECTED to the driver and re-emitted as codegen reference
+    // objects: at any scale the model is tiny while the corpus is not,
+    // so ASSIGNMENT is a scan-parallel codegen'd argmin (KMeansArgMin —
+    // one fused expression, no interpreted HOF lambdas in the 100 TB hot
+    // scan) — no explode, no per-vector shuffle; the only shuffles are
+    // the two aggregations (centroid seed + centroid update), both
+    // map-side combinable.
+    //
+    // DETERMINISM (CORRECTNESS_r06 regression): round(avg(double)) sums
+    // in partition order, so a sum 1 ulp from a rounding boundary flips
+    // the last digit between engines/runs. Both averages now go through
+    // [[kmeansRoundedAvg]] — micro-unit quantization with explicit IEEE
+    // ops, exact long sums, integer half-away division — so every value
+    // is bit-identical across engines and partition layouts. Scores are
+    // raw doubles (bit-identical by VecDot ≡ list_inner_product order);
+    // exact ties go to the smaller label in both engines.
     Q("e08_kmeans_step",
       (s, dir) => {
         val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
-        val centRows = e
-          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "vf")))
-          .groupBy(col("label"), col("pos"))
-          .agg(round(avg(col("vf").cast("double")), 6).as("c"))
-          .collect()
-        val model: Seq[(Int, Array[Float])] = centRows
-          .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-          .map { case (l, rs) =>
-            l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toArray }
-        val centLit = array(model.map { case (l, arr) =>
-          // c·c on the driver with the same left-to-right fold the
-          // oracle's list_inner_product(cvec, cvec) uses
-          val cc = arr.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
-          struct(lit(l).as("cl"),
-            array(arr.map(lit(_)): _*).as("c"),
-            lit(cc).as("cc")) }: _*)
-        val init = struct(lit(Double.PositiveInfinity).as("s"), lit(Int.MaxValue).as("cl"))
-        val best = aggregate(centLit, init, (acc, ct) => {
-          val sc = round(ct.getField("cc") - lit(2.0) *
-            graft.functions.VectorExprs.vecDot(col("embedding"), ct.getField("c")), 6)
-          when(sc < acc.getField("s"),
-            struct(sc.as("s"), ct.getField("cl").as("cl"))).otherwise(acc)
-        })
-        e.select(col("vec_id"), col("embedding"), best.getField("cl").as("cluster"))
-          .select(col("cluster").cast("long").as("cluster"),
+        val model = kmeansSeedModel(s, dir)
+        e.select(col("vec_id"),
+            graft.functions.KMeansExprs.assignCluster(col("embedding"), model)
+              .cast("long").as("cluster"),
             posexplode(col("embedding")).as(Seq("pos0", "vf")))
+          .filter(col("vf").isNotNull)
           .withColumn("pos", (col("pos0") + 1).cast("long"))
+          .select(col("cluster"), col("pos"), microQ(col("vf")).as("m"))
           .groupBy(col("cluster"), col("pos"))
-          .agg(round(avg(col("vf").cast("double")), 4).as("c_new"),
-            count(lit(1)).as("n_members"))
+          .agg(sum(col("m")).as("sm"), count(lit(1)).as("n"))
+          .select(col("cluster"), col("pos"),
+            (halfAwayDiv(col("sm"), col("n") * 100).cast("double") / 10000.0).as("c_new"),
+            col("n").as("n_members"))
       },
-      Some("""WITH centl AS (SELECT label, pos, CAST(ROUND(AVG(v), 6) AS FLOAT) AS c FROM (
-             |    SELECT label, generate_subscripts(embedding, 1) AS pos,
+      Some(s"""WITH micro AS (
+             |  SELECT vec_id, label, pos, $microQSql AS m FROM (
+             |    SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
              |           unnest(embedding::DOUBLE[]) AS v
-             |    FROM embeddings WHERE embedding IS NOT NULL) GROUP BY label, pos),
-             |cent AS (SELECT label, list(c ORDER BY pos) AS cvec FROM centl GROUP BY label),
+             |    FROM embeddings WHERE embedding IS NOT NULL)
+             |  WHERE v IS NOT NULL),
+             |centl AS (SELECT label, pos, SUM(m) AS sm, COUNT(*) AS n
+             |  FROM micro GROUP BY label, pos),
+             |centv AS (SELECT label, pos,
+             |    CAST(${halfAwayDivSql("sm", "n")} AS DOUBLE) / 1000000.0 AS cd
+             |  FROM centl),
+             |cent AS (SELECT label, list(CAST(cd AS FLOAT) ORDER BY pos) AS cvec
+             |  FROM centv GROUP BY label),
              |scored AS (SELECT e.vec_id, c.label,
-             |    ROUND(list_inner_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[])
-             |      - 2 * list_inner_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[]), 6) AS s
+             |    list_inner_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[])
+             |      - 2 * list_inner_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) AS s
              |  FROM embeddings e, cent c WHERE e.embedding IS NOT NULL),
              |assign AS (SELECT vec_id, label AS cluster FROM (
              |  SELECT vec_id, label,
              |    row_number() OVER (PARTITION BY vec_id ORDER BY s ASC, label ASC) AS rn
              |  FROM scored) WHERE rn = 1)
-             |SELECT CAST(a.cluster AS BIGINT) AS cluster, CAST(ev.pos AS BIGINT) AS pos,
-             |  ROUND(AVG(ev.v), 4) AS c_new, CAST(COUNT(*) AS BIGINT) AS n_members
-             |FROM assign a JOIN (
-             |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-             |         unnest(embedding::DOUBLE[]) AS v
-             |  FROM embeddings WHERE embedding IS NOT NULL) ev
-             |  ON a.vec_id = ev.vec_id
-             |GROUP BY a.cluster, ev.pos""".stripMargin),
+             |SELECT CAST(a.cluster AS BIGINT) AS cluster, CAST(m.pos AS BIGINT) AS pos,
+             |  CAST(${halfAwayDivSql("SUM(m.m)", "COUNT(*) * 100")} AS DOUBLE) / 10000.0 AS c_new,
+             |  CAST(COUNT(*) AS BIGINT) AS n_members
+             |FROM assign a JOIN micro m ON a.vec_id = m.vec_id
+             |GROUP BY a.cluster, m.pos""".stripMargin),
       "k-means Lloyd step: broadcast-model assignment + centroid update (north-star: clustering)"),
 
     // Multimodal-column plumbing: opaque bytes + typed metadata + a

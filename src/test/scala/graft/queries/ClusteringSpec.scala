@@ -53,16 +53,19 @@ class ClusteringSpec extends SparkSpec {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
-  test("e08: broadcast-model fold assignment equals the long-format argmin") {
+  test("e08: broadcast-model argmin assignment equals the long-format argmin") {
     val dir = "/root/testdata/sf0.001"
     val e = Registry.t(spark, dir, "embeddings")
     // reference: long-format explode + join + window argmin on the SAME
-    // rounded centroids
+    // seed model (squared euclidean distance — argmin-equivalent to the
+    // query's c·c − 2·e·c score)
+    import spark.implicits._
+    val model = Sim.kmeansSeedModel(spark, dir)
+    val cent = model.flatMap { case (l, arr) =>
+      arr.zipWithIndex.map { case (c, pos) => (l, pos, c.toDouble) }
+    }.toDF("label", "pos", "c")
     val ev = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
       .withColumn("v", col("vf").cast("double"))
-    val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "vf")))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("vf").cast("double")), 6).as("c"))
     val dist = ev.join(cent, Seq("pos"))
       .groupBy(col("vec_id"), col("label"))
       .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d"))
@@ -75,6 +78,42 @@ class ClusteringSpec extends SparkSpec {
       .filter(col("pos") === 1)
       .select(col("cluster"), col("n_members"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === ref, s"fold assignment diverges from long-format argmin: $got vs $ref")
+    assert(got === ref, s"argmin assignment diverges from long-format argmin: $got vs $ref")
+  }
+
+  test("e08: codegen'd KMeansArgMin is bit-identical to the builtin HOF fold") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Registry.t(spark, dir, "embeddings").filter(col("embedding").isNotNull)
+    val model = Sim.kmeansSeedModel(spark, dir)
+    // the pre-round-7 formulation: interpreted aggregate() fold over a
+    // model literal, same visit order / score / strict-< tie rule
+    val centLit = array(model.map { case (l, arr) =>
+      val cc = arr.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+      struct(lit(l).as("cl"), array(arr.map(lit(_)): _*).as("c"), lit(cc).as("cc")) }: _*)
+    val init = struct(lit(Double.PositiveInfinity).as("s"), lit(Int.MaxValue).as("cl"))
+    val hof = aggregate(centLit, init, (acc, ct) => {
+      val sc = ct.getField("cc") - lit(2.0) *
+        graft.functions.VectorExprs.vecDot(col("embedding"), ct.getField("c"))
+      when(sc < acc.getField("s"),
+        struct(sc.as("s"), ct.getField("cl").as("cl"))).otherwise(acc)
+    })
+    val diff = e.select(col("vec_id"),
+        graft.functions.KMeansExprs.assignCluster(col("embedding"), model).as("fast"),
+        hof.getField("cl").as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0, "codegen argmin diverges from HOF fold")
+  }
+
+  test("e08: result is invariant to shuffle-partition layout") {
+    val dir = "/root/testdata/sf0.001"
+    def run(): Map[(Long, Long), (Double, Long)] =
+      Registry.queries("e08_kmeans_step")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    val base = run()
+    for (parts <- Seq(3, 7)) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try assert(run() === base, s"e08 output changed at shuffle.partitions=$parts")
+      finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+    }
   }
 }
