@@ -77,12 +77,14 @@ object CurationPipeline {
       base.withColumn("n_tokens", nTok)
         .filter(col("n_tokens") >= cfg.minTokens && dupFrac <= cfg.maxDupTokenFrac)))
 
-    // stage 2: exact dedup
-    val exact = stage("02_exact", gated.withColumn("_keep",
-        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(md5(col("text").cast("binary")))))
-      .filter(col("doc_id") === col("_keep"))
-      .drop("_keep"))
+    // stage 2: exact dedup — groupBy(hash)→min(id) + doc_id semi-join
+    // back (same shape as d13): the hash exchange ships (md5, doc_id)
+    // fingerprints, never document text.
+    val keepIds = gated
+      .select(md5(col("text").cast("binary")).as("_h"), col("doc_id"))
+      .groupBy(col("_h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exact = stage("02_exact", gated.join(keepIds, Seq("doc_id"), "left_semi"))
 
     // stage 3: benchmark decontamination
     val clean = stage("03_clean",

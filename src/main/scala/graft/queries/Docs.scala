@@ -535,11 +535,18 @@ object Docs {
           size(array_distinct(col("ws"))).cast("double") / nTok.cast("double")
         val gated = base.withColumn("n_tokens", nTok)
           .filter(s1 >= s2 && s1 >= s3 && col("n_tokens") >= 10 && dupFrac <= 0.6)
-        // stage 2: exact dedup (keep min doc_id per text hash)
-        val exact = gated.withColumn("_keep",
-            min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
-              .partitionBy(md5(col("text").cast("binary")))))
-          .filter(col("doc_id") === col("_keep"))
+        // stage 2: exact dedup (keep min doc_id per text hash). Shaped as
+        // groupBy(hash)→min(id) + a doc_id semi-join back, NOT a window
+        // over the full rows: the hash exchange then carries only
+        // (md5, doc_id) pairs — at 100 TB that's shuffling fingerprints,
+        // not the corpus — and the join-back reuses the doc_id
+        // partitioning the corpus already has (plan-guarded in
+        // PlanPropertiesSpec).
+        val keepIds = gated
+          .select(md5(col("text").cast("binary")).as("_h"), col("doc_id"))
+          .groupBy(col("_h")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val exact = gated.join(keepIds, Seq("doc_id"), "left_semi")
         // stage 3: benchmark decontamination (d15's semantics in-line):
         // drop held-out benchmark docs and any survivor sharing a 5-gram
         // with them. Index-explode shape (BENCH_NOTES explode

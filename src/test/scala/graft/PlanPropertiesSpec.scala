@@ -60,6 +60,18 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("d13: exact-dedup exchange ships fingerprints, not documents") {
+    val p = planOf("d13_corpus_clean")
+    // the dedup exchange moves (md5, doc_id) pairs; document text must
+    // stay on its doc_id-partitioned side of the semi-join
+    val sections = p.split("\n\n")
+    val dedup = sections.filter(s => s.contains("Exchange") && s.contains("_h#"))
+    assert(dedup.nonEmpty, s"no _h fingerprint exchange in plan:\n${p.take(1200)}")
+    dedup.foreach(s => assert(!s.contains("text#"),
+      s"dedup exchange carries document text:\n$s"))
+    assert(p.contains("partial_min"), "fingerprint min not map-side combined")
+  }
+
   test("d14/d17: per-row curation maps have NO shuffle beyond the doc_id spread") {
     // repetition stats and PII redaction are scan-parallel HOF/regex maps;
     // one Exchange (the deliberate repartition(doc_id) spread / none) is
