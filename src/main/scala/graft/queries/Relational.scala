@@ -474,8 +474,14 @@ object Relational {
 
     // A5 approximate variant (scale technique): HLL++ distinct counts for
     // logging/stats where exact distinct would shuffle every value.
-    // No cross-engine oracle (DuckDB's sketch differs) — driver records
-    // the weaker rows-only check; the exact twin is q25_vocab.
+    // The raw sketch estimate has no cross-engine twin (DuckDB's sketch
+    // differs), so the oracle-checked output carries (a) the exact
+    // distinct count and (b) the estimate REDUCED to its ±3σ error-bound
+    // verdict (σ = rsd·exact): a drifting sketch now fails the driver's
+    // hash compare instead of going unchecked. The exact count rides
+    // along only to power that bound — the production shape at 100 TB is
+    // the sketch alone (mergeable, fixed-size buffer; the exact twin is
+    // q25_vocab).
     Q("q38_approx_vocab",
       // rsd 0.05 (Spark's default, HLL precision p=9): measured rsd=0.01
       // (p=14) at 5x the runtime and SLOWER than exact count_distinct at
@@ -484,9 +490,17 @@ object Relational {
       // sketch (not the precision) is what buys the 100 TB mergeability.
       (s, dir) => t(s, dir, "events").groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
-          count(lit(1)).as("cnt")),
-      None,
-      "approx_count_distinct (HLL++) scale variant of A5; rows-only check"),
+          countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("cnt"))
+        .select(col("event_type"), col("exact_users"), col("cnt"),
+          when(abs(col("approx_users").cast("double") / col("exact_users").cast("double")
+            - 1.0) <= 0.15, 1L).otherwise(0L).as("within_envelope")),
+      Some("""SELECT event_type,
+             |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+             |  CAST(COUNT(*) AS BIGINT) AS cnt,
+             |  CAST(1 AS BIGINT) AS within_envelope
+             |FROM events GROUP BY event_type""".stripMargin),
+      "approx_count_distinct (HLL++) pinned to a ±3σ envelope vs exact (A5 scale variant)"),
 
     // A7: exact per-group percentile clip (outlier_removal.py semantics).
     Q("q12_percentile_clip",
