@@ -13,10 +13,17 @@ object Sinks {
 
   /** S7: cohort/features csv.gz sink (cohort.py:660-664). Single gzip
     * member like pandas' to_csv — coalesce(1) is intentional here (these
-    * artifacts are small); large data belongs in parquet(). */
+    * artifacts are small); large data belongs in parquet().
+    *
+    * Null/empty rendering follows pandas' convention byte-for-byte
+    * (golden test in SinksSpec): NaN/None AND the empty string are both
+    * an empty unquoted field — Spark's default would quote the empty
+    * string as `""`, which pandas' reader round-trips but a byte diff
+    * against the reference artifact would flag. */
   def writeCsvGz(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite")
-      .option("header", "true").option("compression", "gzip").csv(path)
+      .option("header", "true").option("compression", "gzip")
+      .option("nullValue", "").option("emptyValue", "").csv(path)
 
   /** S8: cohort summary txt (cohort.py:667-683) — driver-side write of
     * the 4 scalar aggregates. */

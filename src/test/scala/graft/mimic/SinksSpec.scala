@@ -17,6 +17,26 @@ class SinksSpec extends SparkSpec {
     assert(back.count() === 2)
   }
 
+  test("writeCsvGz null/empty rendering is byte-compatible with pandas to_csv") {
+    import spark.implicits._
+    // pandas to_csv renders NaN/None and "" identically: an empty,
+    // UNQUOTED field (SURVEY §7.4.7). Golden bytes, not a round-trip —
+    // the reference artifacts are diffed byte-for-byte.
+    val df = Seq(
+      (1L, Option("a"), Option(1.5)),
+      (2L, Option.empty[String], Option.empty[Double]),
+      (3L, Option(""), Option(2.0)))
+      .toDF("id", "s", "x")
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/nulls"
+    Sinks.writeCsvGz(df, dir)
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".csv.gz")).head
+    val in = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(part))
+    val txt = new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    in.close()
+    assert(txt === "id,s,x\n1,a,1.5\n2,,\n3,,2.0\n")
+  }
+
   test("writeSummaryTxt renders the 4 scalar aggregates") {
     import spark.implicits._
     val cohort = Seq((1L, 10L, 1), (1L, 11L, 0), (2L, 12L, 0))
