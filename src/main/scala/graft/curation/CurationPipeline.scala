@@ -45,7 +45,13 @@ object CurationPipeline {
       benchMod: Long = 20L,
       chunk: Boolean = true,
       partitionCol: String = "lang",
-      maxRecordsPerFile: Long = 100000L)
+      maxRecordsPerFile: Long = 100000L,
+      /** Skip any stage whose output dir already carries a `_SUCCESS`
+        * marker and read it back instead — a crashed or re-configured
+        * run resumes from the last good stage without recomputing (or
+        * re-reading the raw corpus for) the stages before it. Off by
+        * default: a fresh run must never trust stale dirs. */
+      resume: Boolean = false)
 
   /** Run the pipeline; returns per-stage row counts (stage name →
     * rows), in stage order. `customGate` runs INSIDE stage 1 after the
@@ -58,8 +64,12 @@ object CurationPipeline {
       customGate: DataFrame => DataFrame = identity): Seq[(String, Long)] = {
 
     val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    def stage(name: String, df: DataFrame): DataFrame = {
-      df.write.mode("overwrite").parquet(s"$outDir/$name")
+    def complete(name: String): Boolean =
+      cfg.resume && new java.io.File(s"$outDir/$name/_SUCCESS").exists()
+    // by-name df: a resumed stage must not even construct its plan (its
+    // inputs may reference upstream frames we deliberately never built)
+    def stage(name: String, df: => DataFrame): DataFrame = {
+      if (!complete(name)) df.write.mode("overwrite").parquet(s"$outDir/$name")
       val back = spark.read.parquet(s"$outDir/$name")
       counts += name -> back.count()
       back
@@ -100,19 +110,21 @@ object CurationPipeline {
       })
 
     // stage 4: near-dup dedup, survivors written as the curated corpus
-    val sig = clean
-      .withColumn("sh", Docs.shingles(col("ws")))
-      .withColumn("mh", graft.functions.MinHashExprs.minHashSig(col("sh")))
-      .select(col("doc_id") +:
-        (0 until 8).map(i => element_at(col("mh"), i + 1).as(s"mh$i")): _*)
-    val comps = graft.operators.ConnectedComponents.components(
-      Docs.lshStarEdges(sig), dedupeEdges = false)
-    val survivors = clean
-      .join(comps, clean("doc_id") === comps("id"), "left")
-      .filter(col("rep").isNull || col("rep") === col("doc_id"))
-      .drop("id", "rep", "ws", "n_tokens")
-    graft.sources.CorpusSink.write(survivors, s"$outDir/04_corpus",
-      partitionCol = cfg.partitionCol, maxRecordsPerFile = cfg.maxRecordsPerFile)
+    if (!complete("04_corpus")) {
+      val sig = clean
+        .withColumn("sh", Docs.shingles(col("ws")))
+        .withColumn("mh", graft.functions.MinHashExprs.minHashSig(col("sh")))
+        .select(col("doc_id") +:
+          (0 until 8).map(i => element_at(col("mh"), i + 1).as(s"mh$i")): _*)
+      val comps = graft.operators.ConnectedComponents.components(
+        Docs.lshStarEdges(sig), dedupeEdges = false)
+      val survivors = clean
+        .join(comps, clean("doc_id") === comps("id"), "left")
+        .filter(col("rep").isNull || col("rep") === col("doc_id"))
+        .drop("id", "rep", "ws", "n_tokens")
+      graft.sources.CorpusSink.write(survivors, s"$outDir/04_corpus",
+        partitionCol = cfg.partitionCol, maxRecordsPerFile = cfg.maxRecordsPerFile)
+    }
     val corpus = spark.read.parquet(s"$outDir/04_corpus")
     counts += "04_corpus" -> corpus.count()
 
