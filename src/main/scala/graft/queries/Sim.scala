@@ -83,6 +83,47 @@ object Sim {
         l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toArray }
   }
 
+  /** Full Lloyd's k-means over the embeddings table: iterate the e08
+    * step (codegen'd argmin assignment scan + exact-integer centroid
+    * update) until the model stops moving or `maxIters` is hit; returns
+    * the final label → centroid model and the iterations used. Every
+    * iteration is one scan + one map-side-combinable aggregation; the
+    * model (K×dim floats) is the only thing collected, so the loop is
+    * driver-cheap at any corpus size. Quantized 6-dp centroids make
+    * convergence EXACT (float equality is well-defined — no epsilon),
+    * deterministic across partition layouts, and guarantee termination
+    * detection is stable: the same property that fixed e08's oracle.
+    * A cluster that loses all members keeps its previous centroid (the
+    * standard empty-cluster fallback, and the deterministic one). */
+  def kmeansIterate(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      maxIters: Int = 10): (Seq[(Int, Array[Float])], Int) = {
+    val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+    var model = kmeansSeedModel(s, dir)
+    var iters = 0
+    var converged = false
+    while (iters < maxIters && !converged) {
+      val rows = e
+        .select(graft.functions.KMeansExprs.assignCluster(col("embedding"), model).as("cluster"),
+          posexplode(col("embedding")).as(Seq("pos", "vf")))
+        .filter(col("vf").isNotNull)
+        .select(col("cluster"), col("pos"), microQ(col("vf")).as("m"))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("m")).as("sm"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("pos"),
+          (halfAwayDiv(col("sm"), col("n")).cast("double") / 1000000.0).as("c"))
+        .collect()
+      val updated = rows.groupBy(_.getInt(0)).map { case (l, rs) =>
+        l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toArray }
+      val next = model.map { case (l, old) => l -> updated.getOrElse(l, old) }
+      converged = next.zip(model).forall { case ((_, a), (_, b)) => a.sameElements(b) }
+      model = next
+      iters += 1
+    }
+    (model, iters)
+  }
+
   /** Plane count for a target in-bucket population: the in-bucket
     * self-join does O(bucket²) cosine work, so bucket size must stay
     * ~constant as the corpus grows — planes ≈ log2(n / targetBucket).
@@ -495,6 +536,69 @@ object Sim {
              |FROM assign a JOIN micro m ON a.vec_id = m.vec_id
              |GROUP BY a.cluster, m.pos""".stripMargin),
       "k-means Lloyd step: broadcast-model assignment + centroid update (north-star: clustering)"),
+
+    // Cluster-balanced curation sampling (north-star: diversity-aware
+    // training-data selection, the cluster-then-sample pattern): assign
+    // every vector to its nearest seed centroid (the e08 machinery —
+    // codegen'd argmin over the broadcast model, bit-deterministic
+    // centroids), then keep each cluster's 20 most-central vectors.
+    // A per-cluster quota beats global top-N at corpus scale for the
+    // same reason d16's strata do: it preserves coverage of small
+    // clusters instead of letting dense regions crowd them out. Shape:
+    // scan-parallel assignment (no join) + ONE cluster exchange whose
+    // rank cut runs as WindowGroupLimit — a K-heap per partition, never
+    // a full per-cluster sort (plan-guarded).
+    Q("e09_cluster_sample",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+        val model = kmeansSeedModel(s, dir)
+        // score to the OWN centroid, recomputed from the model literal:
+        // same cc − 2·e·c fold as the argmin and the oracle's `s`, so
+        // the emitted double is bit-identical cross-engine.
+        val score = model.foldLeft(lit(Double.PositiveInfinity)) { case (acc, (l, arr)) =>
+          val cc = arr.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+          when(col("cluster") === l, lit(cc) - lit(2.0) *
+            graft.functions.VectorExprs.vecDot(col("embedding"), array(arr.map(lit(_)): _*)))
+            .otherwise(acc)
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster")).orderBy(col("score").asc, col("vec_id").asc)
+        e.select(col("vec_id"),
+            graft.functions.KMeansExprs.assignCluster(col("embedding"), model).as("cluster"),
+            col("embedding"))
+          .withColumn("score", score)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 20)
+          .select(col("cluster").cast("long").as("cluster"), col("vec_id"),
+            col("score"), col("rk"))
+      },
+      Some(s"""WITH micro AS (
+             |  SELECT vec_id, label, pos, $microQSql AS m FROM (
+             |    SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             |           unnest(embedding::DOUBLE[]) AS v
+             |    FROM embeddings WHERE embedding IS NOT NULL)
+             |  WHERE v IS NOT NULL),
+             |centl AS (SELECT label, pos, SUM(m) AS sm, COUNT(*) AS n
+             |  FROM micro GROUP BY label, pos),
+             |centv AS (SELECT label, pos,
+             |    CAST(${halfAwayDivSql("sm", "n")} AS DOUBLE) / 1000000.0 AS cd
+             |  FROM centl),
+             |cent AS (SELECT label, list(CAST(cd AS FLOAT) ORDER BY pos) AS cvec
+             |  FROM centv GROUP BY label),
+             |scored AS (SELECT e.vec_id, c.label,
+             |    list_inner_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[])
+             |      - 2 * list_inner_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) AS s
+             |  FROM embeddings e, cent c WHERE e.embedding IS NOT NULL),
+             |assign AS (SELECT vec_id, label AS cluster, s FROM (
+             |  SELECT vec_id, label, s,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY s ASC, label ASC) AS rn
+             |  FROM scored) WHERE rn = 1)
+             |SELECT CAST(cluster AS BIGINT) AS cluster, vec_id, s AS score,
+             |  CAST(rk AS BIGINT) AS rk
+             |FROM (SELECT cluster, vec_id, s,
+             |    row_number() OVER (PARTITION BY cluster ORDER BY s ASC, vec_id ASC) AS rk
+             |  FROM assign) WHERE rk <= 20""".stripMargin),
+      "cluster-balanced quota sample: nearest-centroid assignment + per-cluster top-20 (curation)"),
 
     // Multimodal-column plumbing: opaque bytes + typed metadata + a
     // clearly-fake deterministic "decode" (real decode is stubbed — media

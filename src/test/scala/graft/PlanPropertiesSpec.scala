@@ -114,6 +114,15 @@ class PlanPropertiesSpec extends SparkSpec {
       "df branch must reuse the doc_id spread exchange")
   }
 
+  test("e09: quota sample is assignment-scan + ONE cluster exchange with WindowGroupLimit") {
+    val p = planOf("e09_cluster_sample")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"), "assignment must not join")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 1,
+      s"cluster sample gained a shuffle:\n${p.take(800)}")
+    assert(p.contains("WindowGroupLimit"), "rank<=20 not pushed below the sort")
+  }
+
   test("e08: assignment is a scan-parallel fold — one shuffle (centroid update), no joins") {
     val p = planOf("e08_kmeans_step")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&

@@ -104,6 +104,46 @@ class ClusteringSpec extends SparkSpec {
     assert(diff.count() === 0, "codegen argmin diverges from HOF fold")
   }
 
+  test("e09: per-cluster quota keeps the most-central vectors, score-ordered") {
+    val dir = Files.createTempDirectory("graft-clsample").toString
+    import spark.implicits._
+    Seq(
+      (1L, Seq(0.0f, 0.0f), 0),
+      (2L, Seq(0.2f, 0.0f), 0),
+      (3L, Seq(1.0f, 1.0f), 1),
+      (4L, Seq(0.8f, 1.0f), 1),
+      (5L, Seq(0.9f, 1.1f), 0))  // joins cluster 1 despite its label
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val rows = Registry.queries("e09_cluster_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    // cluster 0 = {1,2}: v2 is nearer its centroid (0.1, 0.18) than v1
+    assert(rows((0L, 1L)) === 2L && rows((0L, 2L)) === 1L)
+    // cluster 1 = {3,4,5}: v5 sits closest to the (0.9, 1.0) seed
+    assert(rows((1L, 1L)) === 5L && rows((1L, 2L)) === 3L && rows((1L, 3L)) === 4L)
+    assert(rows.size === 5)
+  }
+
+  test("kmeansIterate: converges exactly on separated clusters; model is the fixed point") {
+    val dir = Files.createTempDirectory("graft-kfit").toString
+    import spark.implicits._
+    Seq(
+      (1L, Seq(0.0f, 0.0f), 0),
+      (2L, Seq(0.2f, 0.0f), 0),
+      (3L, Seq(1.0f, 1.0f), 1),
+      (4L, Seq(0.8f, 1.0f), 1),
+      (5L, Seq(0.9f, 1.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val (model, iters) = Sim.kmeansIterate(spark, dir, maxIters = 10)
+    // 6-dp quantization makes convergence exact, so the detector stops
+    // early: one moving iteration + one fixed-point confirmation
+    assert(iters === 2, s"expected exact convergence in 2 iterations, took $iters")
+    val m = model.toMap
+    assert(m(0).toSeq === Seq(0.1f, 0.0f))
+    assert(m(1).toSeq === Seq(0.9f, 1.033333f))
+  }
+
   test("e08: result is invariant to shuffle-partition layout") {
     val dir = "/root/testdata/sf0.001"
     def run(): Map[(Long, Long), (Double, Long)] =

@@ -5,14 +5,26 @@ Runs DuckDB on oracle_sql.json over the sf tables and compares each result
 against the Spark parquet dumps written by `graft.Verify`.
 
 Usage: python3 tools/check.py [sfDir] [outDir]
+         [--skip q1,q2] [--timeout SECS] [--json results.json]
+--skip: oracle queries to mark "skipped" instead of running (the sf10
+  DuckDB DNF set: recursive-CTE closure, uncapped in-bucket pair scans).
+--timeout: per-oracle DuckDB cap; an interrupted oracle records
+  "oracle_timeout" (engine capacity, not a correctness verdict).
+--json: also write a CORRECTNESS-style per-query JSON report.
 (Dev tool only — the Scala library has no Python dependency.)
 """
-import duckdb, glob, os, sys, json
+import duckdb, glob, os, sys, json, threading
 import numpy as np
 import pandas as pd
 
-sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+opts = {a.split("=")[0][2:]: (a.split("=", 1)[1] if "=" in a else True)
+        for a in sys.argv[1:] if a.startswith("--")}
+sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+out = args[1] if len(args) > 1 else "/root/repo/target/verify_out"
+skip = set(str(opts.get("skip", "")).split(",")) - {""}
+cap = float(opts["timeout"]) if "timeout" in opts else None
+report = {}
 
 con = duckdb.connect()
 for p in glob.glob(f"{sf}/*.parquet"):
@@ -44,20 +56,60 @@ def norm(df):
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
+def run_oracle(sql):
+    """Run one oracle, optionally under the per-query cap."""
+    if cap is None:
+        return con.sql(sql).df()
+    box, err = [], []
+    def work():
+        try:
+            box.append(con.sql(sql).df())
+        except Exception as e:
+            err.append(e)
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(cap)
+    if t.is_alive():
+        con.interrupt()
+        t.join(30)
+        raise TimeoutError(f"oracle exceeded {cap}s")
+    if err:
+        raise err[0]
+    return box[0]
+
 n_pass = n_fail = 0
 for name in sorted(oracle):
+    if name in skip:
+        print(f"SKIP {name} (listed in --skip)")
+        report[name] = {"rows_match": None, "schema_match": None,
+                        "hash_match": None, "err": "skipped_oracle_dnf"}
+        continue
     try:
         s = norm(pd.read_parquet(f"{out}/{name}"))
     except Exception as e:
         print(f"FAIL {name}: spark output unreadable: {e}")
+        report[name] = {"rows_match": False, "schema_match": False,
+                        "hash_match": False, "err": f"spark_unreadable: {e}"}
         n_fail += 1
         continue
     try:
-        d = norm(con.sql(oracle[name]).df())
+        d = norm(run_oracle(oracle[name]))
+    except TimeoutError as e:
+        print(f"SKIP {name}: {e}")
+        report[name] = {"rows_match": None, "schema_match": None,
+                        "hash_match": None, "spark_rows": len(s),
+                        "err": "oracle_timeout"}
+        continue
     except Exception as e:
         print(f"FAIL {name}: oracle sql error: {e}")
+        report[name] = {"rows_match": False, "schema_match": False,
+                        "hash_match": False, "err": f"oracle_error: {e}"}
         n_fail += 1
         continue
+    report[name] = {"rows_match": len(s) == len(d),
+                    "schema_match": list(s.columns) == list(d.columns),
+                    "hash_match": False, "spark_rows": len(s),
+                    "oracle_rows": len(d), "err": None}
     if list(s.columns) != list(d.columns):
         print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
         n_fail += 1
@@ -81,10 +133,15 @@ for name in sorted(oracle):
             bad.append(detail)
     if bad:
         print(f"FAIL {name}: {len(bad)} col(s) differ; first: {bad[0]}")
+        report[name]["err"] = f"value_mismatch: {bad[0]}"
         n_fail += 1
     else:
         print(f"PASS {name} ({len(s)} rows)")
+        report[name]["hash_match"] = True
         n_pass += 1
 
+if "json" in opts:
+    with open(str(opts["json"]), "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
 print(f"\n{n_pass} pass, {n_fail} fail, {len(oracle)} total")
 sys.exit(1 if n_fail else 0)
