@@ -600,6 +600,63 @@ object Sim {
              |  FROM assign) WHERE rk <= 20""".stripMargin),
       "cluster-balanced quota sample: nearest-centroid assignment + per-cluster top-20 (curation)"),
 
+    // SemDeDup-style embedding near-dup DEDUP: e05's bucketed cosine
+    // pairs become edges, connected components collapse each semantic
+    // cluster to its min-id representative — the embedding-space twin
+    // of d12's MinHash dedup clustering, closing the dedup family
+    // (exact / MinHash / SimHash / n-gram / embedding-cosine). Edge
+    // generation is pair-bounded by the hyperplane buckets (never
+    // all-pairs; at scale the planesFor density rule keeps buckets
+    // constant-size), CC is the same pointer-jumping O(log d) machinery
+    // as d12. Threshold pinned LOW (0.2) because the synthetic vectors
+    // are uniform (no tight clusters exist) — production SemDeDup runs
+    // the same plan at ~0.95.
+    Q("e10_semdedup",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .withColumn("bkt", graft.functions.PlaneBucketExpr.planeBucketCode(col("embedding")))
+        val a = e.select(col("bkt"), col("vec_id").as("u"), col("embedding").as("ea"))
+        val b = e.select(col("bkt"), col("vec_id").as("v"), col("embedding").as("eb"))
+        val edges = a.join(b, Seq("bkt"))
+          .filter(col("u") < col("v"))
+          .filter(round(cosineFast(col("ea"), col("eb")), 4) >= 0.2)
+          .select(col("u"), col("v"))
+        val comps = graft.operators.ConnectedComponents.components(edges, dedupeEdges = false)
+        e.select(col("vec_id"))
+          .join(comps, col("vec_id") === col("id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("rep"), col("vec_id")).as("cluster_rep"))
+      },
+      Some {
+        val sums = (0 until 8).map(j =>
+          s"  SUM(v * ((((pos - 1) * 37 + $j * 101) % 19) - 9)) AS s$j").mkString(",\n")
+        val code = (0 until 8).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        s"""WITH RECURSIVE unnested AS (
+           |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+           |         unnest(embedding::DOUBLE[]) AS v
+           |  FROM embeddings),
+           |sums AS (SELECT vec_id,
+           |$sums
+           |FROM unnested GROUP BY vec_id),
+           |bkt AS (SELECT vec_id, CAST($code AS BIGINT) AS bkt FROM sums),
+           |ee AS (SELECT embeddings.vec_id, embedding, bkt
+           |      FROM embeddings JOIN bkt ON embeddings.vec_id = bkt.vec_id),
+           |pairs AS (
+           |  SELECT a.vec_id AS u, b.vec_id AS v
+           |  FROM ee a JOIN ee b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+           |  WHERE ROUND(${dDot("a.embedding", "b.embedding")} /
+           |    (sqrt(${dDot("a.embedding", "a.embedding")}) * sqrt(${dDot("b.embedding", "b.embedding")})), 4) >= 0.2),
+           |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+           |rep AS (SELECT u AS id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u)
+           |SELECT em.vec_id, COALESCE(rep.rep, em.vec_id) AS cluster_rep
+           |FROM embeddings em LEFT JOIN rep ON em.vec_id = rep.id""".stripMargin
+      },
+      "SemDeDup: embedding near-dup clusters -> min-id representative (north-star: dedup)"),
+
     // Multimodal-column plumbing: opaque bytes + typed metadata + a
     // clearly-fake deterministic "decode" (real decode is stubbed — media
     // libs aren't in the container; see graft.mm.Multimodal for the

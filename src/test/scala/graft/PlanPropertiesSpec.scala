@@ -114,6 +114,11 @@ class PlanPropertiesSpec extends SparkSpec {
       "df branch must reuse the doc_id spread exchange")
   }
 
+  test("e10: semdedup edge generation is bucket-join bounded — no cartesian") {
+    val p = planOf("e10_semdedup")
+    assert(!p.contains("CartesianProduct"), "edge generation went all-pairs")
+  }
+
   test("e09: quota sample is assignment-scan + ONE cluster exchange with WindowGroupLimit") {
     val p = planOf("e09_cluster_sample")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&

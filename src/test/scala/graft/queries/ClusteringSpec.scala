@@ -144,6 +144,23 @@ class ClusteringSpec extends SparkSpec {
     assert(m(1).toSeq === Seq(0.9f, 1.033333f))
   }
 
+  test("e10: semantic dup groups collapse to min-id reps; singletons and null vectors survive") {
+    val dir = Files.createTempDirectory("graft-semdedup").toString
+    import spark.implicits._
+    Seq(
+      (1L, Option(Seq(1.0f, 0.0f)), 0),   // dup pair A
+      (2L, Option(Seq(1.0f, 0.0f)), 0),
+      (3L, Option(Seq(0.0f, 1.0f)), 1),   // dup pair B (orthogonal to A)
+      (4L, Option(Seq(0.0f, 1.0f)), 1),
+      (5L, Option(Seq(-1.0f, 0.0f)), 0),  // anti-parallel: cos -1 to A, 0 to B
+      (6L, Option.empty[Seq[Float]], 0))  // null embedding: own cluster
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val reps = Registry.queries("e10_semdedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 6L))
+  }
+
   test("e08: result is invariant to shuffle-partition layout") {
     val dir = "/root/testdata/sf0.001"
     def run(): Map[(Long, Long), (Double, Long)] =
