@@ -960,6 +960,49 @@ object Docs {
               |  CAST(SUM(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_chunk_frac
               |FROM chunks c JOIN freq f USING (chunk_md5)
               |GROUP BY c.doc_id""".stripMargin),
-      "corpus-wide duplicate-chunk fraction per doc (north-star: dedup metrics)")
+      "corpus-wide duplicate-chunk fraction per doc (north-star: dedup metrics)"),
+
+    // Training-sample packing (north-star: tokenize-and-pack): documents
+    // are concatenated in doc_id order within each (lang, source) shard
+    // and cut at fixed 512-token context boundaries — each doc gets its
+    // token interval [start_tok, start_tok + n_tokens) and the span of
+    // context bins it lands in, which is exactly the bookkeeping a
+    // packed-pretraining writer needs (docs straddle bin boundaries by
+    // design; the cut is at the context length, not the doc edge).
+    // SHARD-scoped prefix sums, not global: one (lang, source) exchange
+    // + a spillable in-shard sort — production packers shard the same
+    // way, and a truly global offset would serialize the corpus through
+    // one cumsum. All integer arithmetic → exact at any scale.
+    Q("d22_sequence_pack",
+      (s, dir) => {
+        val ctx = 512L
+        val nTok = coalesce(graft.functions.ColFns.tokenCount(col("text")), lit(0L))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+        val firstBin = graft.functions.ColFns.floorDiv(col("start_tok"), ctx)
+        val lastBin = graft.functions.ColFns.floorDiv(col("end_tok") - 1, ctx)
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), nTok.as("n_tokens"))
+          .withColumn("end_tok", sum(col("n_tokens")).over(w))
+          .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+          .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+            col("start_tok"), firstBin.as("first_bin"),
+            when(col("n_tokens") === 0, 0L)
+              .otherwise(lastBin - firstBin + 1).as("n_bins"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, source,
+              |  COALESCE(CAST(CASE WHEN length($dNorm) = 0 THEN 0
+              |    ELSE length($dNorm) - length(replace($dNorm, ' ', '')) + 1 END AS BIGINT), 0) AS n_tokens
+              |  FROM documents),
+              |cum AS (SELECT doc_id, lang, source, n_tokens,
+              |  SUM(n_tokens) OVER (PARTITION BY lang, source ORDER BY doc_id) AS end_tok
+              |  FROM toks)
+              |SELECT doc_id, lang, source, n_tokens,
+              |  CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
+              |  CAST((end_tok - n_tokens) // 512 AS BIGINT) AS first_bin,
+              |  CAST(CASE WHEN n_tokens = 0 THEN 0
+              |    ELSE (end_tok - 1) // 512 - (end_tok - n_tokens) // 512 + 1 END AS BIGINT) AS n_bins
+              |FROM cum""".stripMargin),
+      "context-length packing offsets: per-shard token intervals + bin spans (north-star)")
   )
 }

@@ -139,6 +139,24 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) === ((2L, 0L, 0.0)))
   }
 
+  test("d22: packing offsets and bin spans match hand computation") {
+    val tok = (n: Int) => Seq.fill(n)("t").mkString(" ")
+    val dir = fixture(Seq(
+      (1L, tok(500), "en", "s"),  // [0, 500)   -> bin 0 only
+      (2L, tok(20), "en", "s"),   // [500, 520) -> straddles bins 0-1
+      (3L, "", "en", "s"),        // zero tokens at offset 520 -> no bins
+      (4L, tok(600), "en", "s"),  // [520, 1120) -> bins 1-2
+      (5L, tok(7), "de", "s")))   // separate shard: offsets restart at 0
+    val rows = Registry.queries("d22_sequence_pack")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(rows(1L) === ((0L, 0L, 1L)))
+    assert(rows(2L) === ((500L, 0L, 2L)))
+    assert(rows(3L) === ((520L, 1L, 0L)))
+    assert(rows(4L) === ((520L, 1L, 2L)))
+    assert(rows(5L) === ((0L, 0L, 1L)))
+  }
+
   test("d17: crafted email+phone are redacted and counted") {
     val dir = fixture(Seq(
       (1L, "reach me at john.doe@example.com or 555-123-4567 now", "en", "s"),
