@@ -114,6 +114,52 @@ object Multimodal {
     Left("unknown container")
   }
 
+  /** Typed result of the resize stage: payload out, dims as metadata. */
+  final case class ResizedMedia(
+      doc_id: Long, resized: Array[Byte], out_w: Int, out_h: Int, ok: Boolean)
+
+  /** Resize STUB: deterministic stripe-fold in place of a real codec
+    * resample (media libs absent from the container — same honesty rule
+    * as [[decodeStub]]). The PLUMBING is the production shape: binary in
+    * → binary out sized w·h, batch per-partition transform (one codec /
+    * scaler init per task), typed output dims for downstream
+    * partitioning. Each output byte XOR-folds its source stripe, so any
+    * input byte change propagates to the output — the data-dependence a
+    * real resample has, which is what the spec pins. */
+  def resizeStub(df: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+    require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
+    val outLen = w * h
+    val enc = Encoders.product[ResizedMedia]
+    df.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        // >>> real scaler/codec init would happen once HERE per partition <<<
+        rows.map { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          if (b == null || b.isEmpty)
+            ResizedMedia(id, Array.emptyByteArray, w, h, ok = false)
+          else {
+            val outArr = new Array[Byte](outLen)
+            var i = 0
+            while (i < outLen) {
+              // source stripe [lo, hi) for output byte i — every input
+              // byte lands in exactly one stripe
+              val lo = (i.toLong * b.length / outLen).toInt
+              val hi = (((i + 1).toLong * b.length) / outLen).toInt
+              var acc = 0
+              var j = lo
+              while (j < math.max(hi, lo + 1) && j < b.length) {
+                acc ^= b(j) & 0xff; j += 1
+              }
+              outArr(i) = acc.toByte
+              i += 1
+            }
+            ResizedMedia(id, outArr, w, h, ok = true)
+          }
+        }
+      }(enc)
+  }
+
   /** Frame-sample stub: take every k-th byte as a "frame" — stands in for
     * video frame sampling; the plumbing (explode to one row per frame,
     * keyed by (doc_id, frame_no)) is the real shape. */

@@ -58,6 +58,28 @@ class MultimodalSpec extends SparkSpec {
     assert(!m(4L).ok && m(4L).err === "unknown container")
   }
 
+  test("resizeStub: fixed output size, input-sensitive, deterministic, empty flagged") {
+    import spark.implicits._
+    val a = "some modestly sized binary payload standing in for pixels".getBytes("UTF-8")
+    val b = a.clone(); b(10) = (b(10) ^ 0x55).toByte // single-byte perturbation
+    val df = Seq((1L, a), (2L, b), (3L, Array.emptyByteArray)).toDF("doc_id", "payload")
+    val out = Multimodal.resizeStub(df, 4, 3).collect().map(m => m.doc_id -> m).toMap
+    // contract: every non-empty payload resizes to exactly w*h bytes
+    assert(out(1L).ok && out(1L).resized.length === 12)
+    assert(out(1L).out_w === 4 && out(1L).out_h === 3)
+    // data-dependence: one flipped input byte must change the output
+    assert(!out(1L).resized.sameElements(out(2L).resized))
+    // determinism: same input, same bytes
+    val again = Multimodal.resizeStub(df, 4, 3).collect().map(m => m.doc_id -> m).toMap
+    assert(again(1L).resized.sameElements(out(1L).resized))
+    // empty payload flows to the flag, not an exception
+    assert(!out(3L).ok && out(3L).resized.isEmpty)
+    // upscale beyond the payload still fills w*h (stripes repeat-fold)
+    val up = Multimodal.resizeStub(df.filter(col("doc_id") === 1), 16, 16)
+      .collect().head
+    assert(up.resized.length === 256)
+  }
+
   test("frameSample explodes one row per sampled byte") {
     val frames = Multimodal.frameSample(Multimodal.withPayload(docs.filter(col("doc_id") === 1)), 4)
     // 11 bytes, every 4th → frames at 0,4,8 → (11-1)/4 = 2 → 0..2 = 3 rows
