@@ -205,6 +205,44 @@ object Sim {
       .select(col("vec_id"), col("nbr_id"), col("cos_sim"), col("rk"))
   }
 
+  /** IVF ANN with a TRAINED coarse quantizer: cells come from
+    * [[kmeansIterate]] (instead of e03/e07's label-seeded means), rows
+    * are assigned by the codegen'd [[graft.functions.KMeansArgMin]],
+    * and the query probes its `nprobe` nearest cells exactly like a
+    * production IVF index. The model is driver-resident (K×dim) at any
+    * corpus size; the scan stays scan-parallel; only the probed cells'
+    * rows pay the exact cosine. Spec (RecallSpec) pins equivalence to
+    * brute force restricted to the probed cells — the IVF contract —
+    * plus a recall floor vs global truth. */
+  def ivfSearchTrained(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queryVecId: Long = 0L,
+      k: Int = 5,
+      nprobe: Int = 2,
+      trainIters: Int = 3): org.apache.spark.sql.DataFrame = {
+    val (model, _) = kmeansIterate(s, dir, trainIters)
+    val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+    val cells = e.withColumn("cell",
+      graft.functions.KMeansExprs.assignCluster(col("embedding"), model))
+    val qv = cells.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    // nprobe nearest cells, scored on the driver: same c·c − 2·q·c
+    // ordering and tie rule as the assignment expression
+    val probes = model.map { case (l, c) =>
+      val cc = c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      val dot = c.zip(qv).foldLeft(0.0) { case (a, (x, y)) => a + x.toDouble * y.toDouble }
+      (l, cc - 2.0 * dot)
+    }.sortBy { case (l, sc) => (sc, l) }.take(nprobe).map(_._1)
+    val q = cells.filter(col("vec_id") === queryVecId).select(col("embedding").as("qe"))
+    cells.filter(col("cell").isin(probes: _*))
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(k)
+      .select(col("cell"), col("vec_id"), col("cos_sim"))
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Pairwise cosine on consecutive ids: the embedding near-dup primitive.

@@ -62,6 +62,32 @@ class RecallSpec extends SparkSpec {
     assert(r4 >= 0.18, f"L=4 recall@3 regressed: $r4%.3f")
   }
 
+  test("ivfSearchTrained: exact top-5 within its probed cells, bounded probe count") {
+    val got = Sim.ivfSearchTrained(spark, sfDir, queryVecId = 0L, k = 5, nprobe = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.length === 5)
+    val usedCells = got.map(_._1).distinct
+    assert(usedCells.length <= 2, s"results from more cells than nprobe: $usedCells")
+    // independent brute force over the cells the results came from: IVF
+    // must return exactly this in-cell top-5 (nothing in a probed cell
+    // may beat a returned row)
+    val (model, _) = Sim.kmeansIterate(spark, sfDir, 3)
+    val cells = Registry.t(spark, sfDir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .withColumn("cell",
+        graft.functions.KMeansExprs.assignCluster(col("embedding"), model))
+    val q = cells.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
+    val brute = cells.filter(col("cell").isin(usedCells: _*))
+      .filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(5)
+      .select(col("vec_id"), col("cos_sim"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(t => (t._2, t._3)) === brute,
+      s"IVF result diverges from in-cell brute force: $got vs $brute")
+  }
+
   test("planesFor geometry is pinned: clamp floor, density scaling, cap") {
     assert(Sim.planesFor(1000) === 8)       // small corpus keeps oracle geometry
     assert(Sim.planesFor(200000) === 12)    // sf10 measured point (BENCH_NOTES)
