@@ -205,6 +205,28 @@ object Sim {
       .select(col("vec_id"), col("nbr_id"), col("cos_sim"), col("rk"))
   }
 
+  /** PRODUCTION near-dup pairs: e05's shape with a density-chosen plane
+    * count — the same geometry rule as [[knnJoinFast]] (planes ≈
+    * log2(n/targetBucket) keeps the in-bucket pair work constant as the
+    * corpus grows; the oracle-pinned 8-plane gate query is the
+    * planes=8 special case, spec-asserted equal). Feed the pairs to
+    * [[graft.operators.ConnectedComponents]] for SemDeDup clustering
+    * (e10's shape) at any scale. */
+  def nearDupPairs(s: org.apache.spark.sql.SparkSession, dir: String,
+      planes: Int, threshold: Double = 0.2): org.apache.spark.sql.DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .withColumn("bkt",
+        graft.functions.PlaneBucketExpr.planeBucketCode(col("embedding"), planes))
+      .repartition(col("bkt"))
+    val a = e.select(col("bkt"), col("vec_id").as("vec_id_a"), col("embedding").as("ea"))
+    val b = e.select(col("bkt"), col("vec_id").as("vec_id_b"), col("embedding").as("eb"))
+    a.join(b, Seq("bkt"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cos_sim", round(cosineFast(col("ea"), col("eb")), 4))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_id_a"), col("vec_id_b"), col("cos_sim"))
+  }
+
   /** IVF ANN with a TRAINED coarse quantizer: cells come from
     * [[kmeansIterate]] (instead of e03/e07's label-seeded means), rows
     * are assigned by the codegen'd [[graft.functions.KMeansArgMin]],

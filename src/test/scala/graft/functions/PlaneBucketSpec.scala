@@ -72,6 +72,19 @@ class PlaneBucketSpec extends SparkSpec {
     assert(graft.queries.Sim.planesFor(200000) === 12)
   }
 
+  test("nearDupPairs at 8 planes == the e05 gate query; finer planes yield a subset") {
+    val dir = "/root/testdata/sf0.001"
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fast = pairs(graft.queries.Sim.nearDupPairs(spark, dir, planes = 8))
+    val gate = pairs(graft.queries.Registry.queries("e05_embed_neardup")(spark, dir))
+    assert(fast === gate)
+    // refinement: a 12-plane bucket is a subdivision of its 8-plane
+    // bucket, so candidate pairs (and thus survivors) can only shrink
+    val finer = pairs(graft.queries.Sim.nearDupPairs(spark, dir, planes = 12))
+    assert(finer.subsetOf(fast), "finer buckets must never ADD pairs")
+  }
+
   test("knnJoinOr with one family == single-probe knnJoinFast") {
     val dir = "/root/testdata/sf0.001"
     def asSet(df: org.apache.spark.sql.DataFrame) =
