@@ -426,9 +426,18 @@ object Docs {
         val pairs = lshCandidatePairs(sig)
         val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
         val uni = (size(col("sa")) + size(col("sb"))).cast("double") - inter
+        // merge-hint both verification joins: the pair side GROWS with
+        // the corpus, but its static size estimate (post agg + double
+        // explode) is garbage-small, so the planner broadcast it — fine
+        // at sf0.1 (35 pairs), a driver OOM at sf10 (31.5 M pairs,
+        // found by the r7 full-battery sf10 gate). Neither side of the
+        // verification joins is bounded, so the only scale-safe
+        // strategy is a spillable shuffle join; plan-guarded.
         pairs
-          .join(sets.select(col("doc_id").as("doc_id_a"), col("ss").as("sa")), Seq("doc_id_a"))
-          .join(sets.select(col("doc_id").as("doc_id_b"), col("ss").as("sb")), Seq("doc_id_b"))
+          .join(sets.select(col("doc_id").as("doc_id_a"), col("ss").as("sa")).hint("merge"),
+            Seq("doc_id_a"))
+          .join(sets.select(col("doc_id").as("doc_id_b"), col("ss").as("sb")).hint("merge"),
+            Seq("doc_id_b"))
           .select(col("doc_id_a"), col("doc_id_b"),
             round(inter / uni, 4).as("jaccard"),
             (inter / uni >= 0.5).as("is_dup"))

@@ -142,6 +142,16 @@ class PlanPropertiesSpec extends SparkSpec {
       s"verification must join on doc ids only:\n${p.take(800)}")
   }
 
+  test("d20: NOTHING broadcasts — the pair side grows with the corpus") {
+    // the pair side's static estimate (post agg + double explode) is
+    // garbage-small; an unhinted plan broadcast 31.5 M pairs at sf10 and
+    // OOM'd the driver. Both verification joins must stay shuffle joins.
+    val p = planOf("d20_neardup_verified")
+    assert(!p.contains("BroadcastExchange"),
+      s"d20 reintroduced a broadcast of an unbounded side:\n${p.take(800)}")
+    assert(p.contains("SortMergeJoin"), "verification joins must be SMJ")
+  }
+
   test("d21: frequency agg and join probe share one chunk_md5 exchange") {
     val df = Registry.queries("d21_dup_chunks")(spark, sfDir)
     df.collect()
