@@ -1012,6 +1012,28 @@ object Docs {
               |  CAST(CASE WHEN n_tokens = 0 THEN 0
               |    ELSE (end_tok - 1) // 512 - (end_tok - n_tokens) // 512 + 1 END AS BIGINT) AS n_bins
               |FROM cum""".stripMargin),
-      "context-length packing offsets: per-shard token intervals + bin spans (north-star)")
+      "context-length packing offsets: per-shard token intervals + bin spans (north-star)"),
+
+    // Seeded hash-Bernoulli corpus sampling at an exact rate: keep a doc
+    // iff md5(seed || doc_id) < the hex-fraction threshold — 0.1 of the
+    // 128-bit hash space is the 32-char hex string "1999…9" (0x0.1999… =
+    // 1/10), and lowercase-hex STRING comparison is numeric comparison
+    // of the hash, identical in both engines with no integer parsing.
+    // The d16 quota sampler needs a per-stratum window; THIS is the
+    // shuffle-free path — a pure scan-parallel filter (plan-guarded
+    // zero exchanges), deterministic under any partitioning, mergeable
+    // across corpus shards by construction. The standard "sample 10% of
+    // 100 TB reproducibly" primitive.
+    Q("d23_rate_sample",
+      (s, dir) => {
+        val h = md5(concat(lit("samp:"), col("doc_id").cast("string")).cast("binary"))
+        t(s, dir, "documents")
+          .filter(h < lit("19999999999999999999999999999999"))
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE md5('samp:' || CAST(doc_id AS VARCHAR)) <
+             |  '19999999999999999999999999999999'""".stripMargin),
+      "seeded hash-Bernoulli rate sample: shuffle-free, exactly reproducible (north-star: curation)")
   )
 }

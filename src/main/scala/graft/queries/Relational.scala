@@ -502,6 +502,40 @@ object Relational {
              |FROM events GROUP BY event_type""".stripMargin),
       "approx_count_distinct (HLL++) pinned to a ±3σ envelope vs exact (A5 scale variant)"),
 
+    // Approximate-quantile sketch — the scale variant of q12's exact
+    // window-rank percentiles, same envelope-oracle pattern as q38: the
+    // GK sketch (percentile_approx, accuracy 1000 → rank error ε =
+    // 1e-3) is mergeable and fixed-size where the exact path needs a
+    // full per-group sort. The estimate itself is engine-specific, so
+    // the checked output reduces it to its rank-error verdict: the
+    // estimate's true rank, counted with one join-back pass, must sit
+    // within ε·n+1 of the target rank. The probe side broadcast is
+    // BOUNDED (one row per event_type — a dimension, not a corpus), so
+    // it is the legitimate broadcast class, unlike the d20 pair side.
+    Q("q41_approx_quantile",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val est = ev.groupBy(col("event_type"))
+          .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(1000)).as("est"),
+            count(col("value")).as("n"))
+          .select(col("event_type"), col("n"),
+            element_at(col("est"), 1).as("e50"), element_at(col("est"), 2).as("e95"))
+        ev.join(broadcast(est), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"),
+            sum(when(col("value") <= col("e50"), 1L).otherwise(0L)).as("r50"),
+            sum(when(col("value") <= col("e95"), 1L).otherwise(0L)).as("r95"))
+          .select(col("event_type"), col("n"),
+            when(abs(col("r50") - col("n") * 0.5) <= col("n") * 0.001 + 1, 1L)
+              .otherwise(0L).as("ok50"),
+            when(abs(col("r95") - col("n") * 0.95) <= col("n") * 0.001 + 1, 1L)
+              .otherwise(0L).as("ok95"))
+      },
+      Some("""SELECT event_type, CAST(COUNT(value) AS BIGINT) AS n,
+             |  CAST(1 AS BIGINT) AS ok50, CAST(1 AS BIGINT) AS ok95
+             |FROM events GROUP BY event_type""".stripMargin),
+      "approx quantile sketch (GK) pinned to its rank-error envelope vs exact (q12 scale variant)"),
+
     // A7: exact per-group percentile clip (outlier_removal.py semantics).
     Q("q12_percentile_clip",
       (s, dir) => {

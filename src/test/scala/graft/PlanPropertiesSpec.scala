@@ -152,6 +152,17 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"), "verification joins must be SMJ")
   }
 
+  test("d23: rate sample is a pure scan-parallel filter — ZERO exchanges") {
+    val p = planOf("d23_rate_sample")
+    assert(!p.contains("Exchange"), s"rate sample gained a shuffle:\n${p.take(600)}")
+  }
+
+  test("q41: quantile-sketch probe side broadcasts (bounded: one row per event_type)") {
+    val p = planOf("q41_approx_quantile")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"bounded probe side not broadcast:\n${p.take(600)}")
+  }
+
   test("d21: frequency agg and join probe share one chunk_md5 exchange") {
     val df = Registry.queries("d21_dup_chunks")(spark, sfDir)
     df.collect()

@@ -157,6 +157,20 @@ class CurationSpec extends SparkSpec {
     assert(rows(5L) === ((0L, 0L, 1L)))
   }
 
+  test("d23: rate sample is deterministic, a subset, and near the nominal rate") {
+    val dir = "/root/testdata/sf0.001"
+    val a = Registry.queries("d23_rate_sample")(spark, dir)
+      .collect().map(_.getLong(0)).sorted
+    val b = Registry.queries("d23_rate_sample")(spark, dir)
+      .collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "sample must be run-to-run identical")
+    val n = Registry.t(spark, dir, "documents").count()
+    // md5 is uniform: P(|X/n - 0.1| > 5σ) is negligible even at n=500
+    val sigma = math.sqrt(0.1 * 0.9 / n)
+    assert(math.abs(a.length.toDouble / n - 0.1) <= 5 * sigma,
+      s"rate ${a.length.toDouble / n} too far from 0.1 (n=$n)")
+  }
+
   test("d17: crafted email+phone are redacted and counted") {
     val dir = fixture(Seq(
       (1L, "reach me at john.doe@example.com or 555-123-4567 now", "en", "s"),
