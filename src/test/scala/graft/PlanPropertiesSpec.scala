@@ -152,6 +152,16 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"), "verification joins must be SMJ")
   }
 
+  test("d22: packing is ONE shard exchange + in-shard sort — no global serialization") {
+    val p = planOf("d22_sequence_pack")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 1,
+      s"packing gained a shuffle:\n${p.take(600)}")
+    // the cumsum must be partitioned (lang, source), never a single
+    // global ordering
+    assert(!p.contains("Exchange SinglePartition"),
+      "packing serialized through one partition")
+  }
+
   test("d23: rate sample is a pure scan-parallel filter — ZERO exchanges") {
     val p = planOf("d23_rate_sample")
     assert(!p.contains("Exchange"), s"rate sample gained a shuffle:\n${p.take(600)}")
