@@ -68,11 +68,22 @@ object ConnectedComponents {
     val symRaw = e.union(e.select(col("v"), col("u")))
     val sym = (if (dedupeEdges) symRaw.distinct() else symRaw)
       .localCheckpoint(true)
+    // sym's eager checkpoint superseded e — free its blocks NOW. Leaked
+    // intermediates are not hygiene at scale: at sf10, e10's edge list
+    // alone is ~10⁸ symmetrized rows, and a 75-query battery that never
+    // frees them starved hash aggregation of execution memory
+    // (AGGREGATE_OUT_OF_MEMORY) three queries later.
+    freeBlocks(e)
     val allLong = sym.schema.fields
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
     // count() on the eager checkpoint is a cached-metadata scan, not a
     // recompute — cheap enough to gate on.
-    if (allLong && sym.count() <= localThreshold) return componentsLocal(sym)
+    if (allLong && sym.count() <= localThreshold) {
+      // materialize the union-find ONCE, then the edges are dead weight
+      val r = componentsLocal(sym).localCheckpoint(true)
+      freeBlocks(sym)
+      return r
+    }
     // Fused round 0: initializing rep to min(id, min neighbor) is
     // exactly the first propagation step, for ONE shuffle (groupBy) and
     // no join — one fewer full loop round on typical LSH star graphs.
@@ -105,9 +116,12 @@ object ConnectedComponents {
           .otherwise(0L)), lit(0L)).as("changed"))
         .localCheckpoint(true)
       changed = obs.get("changed").asInstanceOf[Number].longValue
+      // the new round's eager checkpoint supersedes the previous one
+      freeBlocks(labels)
       labels = jumped.select(col("id"), col("rep"))
       i += 1
     }
+    freeBlocks(sym)
     if (changed > 0) {
       val msg = s"ConnectedComponents did NOT converge after $maxIter " +
         s"rounds ($changed labels still changing) — returned components " +
@@ -117,6 +131,20 @@ object ConnectedComponents {
       log.warn(msg)
     }
     labels
+  }
+
+  /** Unpersist every persisted ancestor in `df`'s RDD lineage — the
+    * eager-checkpoint blocks a later stage has superseded. Public Spark
+    * API only; post-checkpoint lineages are shallow so the walk is
+    * O(few nodes). Blocks belonging to the RETURNED frame are never
+    * passed here, so consumers stay valid. */
+  private def freeBlocks(df: DataFrame): Unit = {
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit = {
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        r.unpersist(blocking = false)
+      r.dependencies.foreach(d => walk(d.rdd))
+    }
+    walk(df.rdd)
   }
 
   /** Single-task union-find over a symmetrized edge list that fits one

@@ -58,6 +58,23 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(fast.nonEmpty)
   }
 
+  test("components frees intermediate checkpoint blocks — only the result stays persisted") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val edges = (1 until 50).map(i => (i.toLong, (i + 1).toLong)).toDF("u", "v")
+    for (threshold <- Seq(0L, 4L << 20)) { // distributed loop; union-find fast path
+      val before = sc.getPersistentRDDs.keySet
+      val comps = ConnectedComponents.components(edges, localThreshold = threshold)
+      assert(comps.count() === 50)
+      val leaked = sc.getPersistentRDDs.keySet -- before
+      // at most the returned frame's own checkpoint may remain: leaked
+      // edge/round blocks starved execution memory over a 75-query
+      // battery at sf10 (AGGREGATE_OUT_OF_MEMORY in a later query)
+      assert(leaked.size <= 1,
+        s"threshold=$threshold leaked ${leaked.size} persisted RDDs")
+    }
+  }
+
   test("union-find primitive map: growth past initial capacity and extreme ids") {
     import spark.implicits._
     // >64k distinct nodes forces several LongLongMap doublings; the
