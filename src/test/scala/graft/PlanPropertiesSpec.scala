@@ -152,14 +152,32 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"), "verification joins must be SMJ")
   }
 
-  test("d22: packing is ONE shard exchange + in-shard sort — no global serialization") {
+  test("d22: packing cumsum is sub-sharded — no shard-serial sort task") {
     val p = planOf("d22_sequence_pack")
-    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 1,
-      s"packing gained a shuffle:\n${p.take(600)}")
-    // the cumsum must be partitioned (lang, source), never a single
-    // global ordering
+    // never a single global ordering
     assert(!p.contains("Exchange SinglePartition"),
       "packing serialized through one partition")
+    // the corpus-sized stream shuffles ONCE: the explicit
+    // (lang, source, sub) repartition feeds both the window and the
+    // sub-total aggregation; the only other exchanges carry
+    // one-row-per-sub-shard base offsets
+    // (statically the shared repartition subtree prints twice — AQE
+    // dedupes it at runtime, asserted on the executed plan below)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 4,
+      s"packing gained a shuffle:\n${p.take(800)}")
+    val df = Registry.queries("d22_sequence_pack")(spark, sfDir)
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    assert(ep.contains("ReusedExchange"),
+      "window + sub-total agg must share one corpus exchange")
+    // the doc-stream window must be partitioned by the sub-shard key,
+    // not just (lang, source) — a dominant shard must parallelize
+    assert("""windowspecdefinition\(lang#\d+, source#\d+, sub#\d+L""".r
+      .findFirstIn(p).isDefined,
+      s"doc cumsum window lost the sub-shard key:\n${p.take(800)}")
+    // the base-offset join must not broadcast a post-agg side
+    assert(!p.contains("BroadcastExchange"),
+      s"packing broadcasts a post-agg side (d20 lesson):\n${p.take(800)}")
   }
 
   test("d23: rate sample is a pure scan-parallel filter — ZERO exchanges") {

@@ -157,6 +157,37 @@ class CurationSpec extends SparkSpec {
     assert(rows(5L) === ((0L, 0L, 1L)))
   }
 
+  test("d22: dominant shard spans >1 sub-shard window; output identical to naive cumsum") {
+    import spark.implicits._
+    // one dominant shard (120 docs) + a tiny one; subWidth=16 forces the
+    // dominant shard's cumsum across >1 window partition group
+    val rows = (1L to 120L).map(i =>
+      (i, Seq.fill((i % 7 + 1).toInt)("t").mkString(" "), "en", "web")) :+
+      (500L, "a b c", "de", "web")
+    val docs = rows.toDF("doc_id", "text", "lang", "source")
+    val subWidth = 16L
+    val fast = Docs.sequencePack(docs, ctx = 64L, subWidth = subWidth)
+    // naive single-window reference formulation (the pre-r8 shape)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang", $"source").orderBy($"doc_id")
+    val nTok = coalesce(graft.functions.ColFns.tokenCount($"text"), lit(0L))
+    val naive = docs
+      .select($"doc_id", $"lang", $"source", nTok.as("n_tokens"))
+      .withColumn("end_tok", sum($"n_tokens").over(w))
+      .withColumn("start_tok", $"end_tok" - $"n_tokens")
+      .select($"doc_id", $"lang", $"source", $"n_tokens", $"start_tok",
+        graft.functions.ColFns.floorDiv($"start_tok", 64L).as("first_bin"),
+        when($"n_tokens" === 0, 0L)
+          .otherwise(graft.functions.ColFns.floorDiv($"end_tok" - 1, 64L) -
+            graft.functions.ColFns.floorDiv($"start_tok", 64L) + 1).as("n_bins"))
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+    assert(fast.collect().sortBy(key).toSeq === naive.collect().sortBy(key).toSeq)
+    // and the dominant shard genuinely splits: >1 sub-shard key value
+    val subs = docs.filter($"lang" === "en")
+      .select(graft.functions.ColFns.floorDiv($"doc_id", subWidth)).distinct().count()
+    assert(subs > 1, s"fixture must span >1 sub-shard, got $subs")
+  }
+
   test("d23: rate sample is deterministic, a subset, and near the nominal rate") {
     val dir = "/root/testdata/sf0.001"
     val a = Registry.queries("d23_rate_sample")(spark, dir)
