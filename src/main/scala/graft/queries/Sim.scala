@@ -21,6 +21,34 @@ object Sim {
   private val dDot = (a: String, b: String) =>
     s"list_inner_product($a::DOUBLE[], $b::DOUBLE[])"
 
+  /** Bucket CTEs for the PRODUCTION density-scaled geometry twins
+    * (e11/e12): the oracle SQL is a static string and can't know the
+    * corpus size, so it recomputes [[planesFor]] itself —
+    * cells = max(1, n // 64), p = clamp(8, 62, bits(cells − 1)) — and
+    * derives each vector's bucket from per-(vec_id, plane) sign bits
+    * (one `psums` row per plane, instead of e04's static s0..s7
+    * columns, so the plane count can be a runtime value). `bits(m)` =
+    * `length(bin(m))` equals `64 − numberOfLeadingZeros(m)` for m ≥ 1,
+    * so both engines pick the SAME plane count for the same corpus. */
+  private val dynBkt =
+    """unnested AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |         unnest(embedding::DOUBLE[]) AS v
+      |  FROM embeddings),
+      |par AS (SELECT LEAST(62, GREATEST(8,
+      |          CASE WHEN cells <= 1 THEN 0 ELSE length(bin(cells - 1)) END)) AS p
+      |        FROM (SELECT GREATEST(1, COUNT(*) // 64) AS cells FROM embeddings)),
+      |planes AS (SELECT unnest(range((SELECT p FROM par))) AS j),
+      |psums AS (SELECT u.vec_id, pl.j,
+      |            SUM(u.v * ((((u.pos - 1) * 37 + pl.j * 101) % 19) - 9)) AS s
+      |          FROM unnested u CROSS JOIN planes pl
+      |          GROUP BY u.vec_id, pl.j),
+      |bkt AS (SELECT vec_id,
+      |          CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bkt
+      |        FROM psums GROUP BY vec_id),
+      |e AS (SELECT embeddings.vec_id, embedding, bkt
+      |      FROM embeddings JOIN bkt ON embeddings.vec_id = bkt.vec_id)""".stripMargin
+
   /** Micro-unit (1e-6) quantization of a float-derived value:
     * round-half-away built from explicit IEEE primitives (double
     * multiply, +0.5, floor) that Spark and DuckDB evaluate
@@ -716,6 +744,46 @@ object Sim {
            |FROM embeddings em LEFT JOIN rep ON em.vec_id = rep.id""".stripMargin
       },
       "SemDeDup: embedding near-dup clusters -> min-id representative (north-star: dedup)"),
+
+    // PRODUCTION-geometry gates (round-8): e05/e06 pin the 8-plane
+    // oracle geometry, but the paths a user runs at scale —
+    // nearDupPairs / knnJoinFast at planesFor(n) — were verified only
+    // hash-agnostically (PlaneBucketSpec, RecallSpec). These twins give
+    // the density-scaled geometry its own cross-engine signal: the
+    // oracle recomputes planesFor(n) from COUNT(*) (see [[dynBkt]]), so
+    // at sf0.01 (p=8) they coincide with the pinned gates and at
+    // sf0.1/1/10 (p=9/12/13+) they check the exact geometry the sf10
+    // headline runs.
+    Q("e11_neardup_dense",
+      (s, dir) => {
+        val n = t(s, dir, "embeddings").count()
+        nearDupPairs(s, dir, planesFor(n))
+      },
+      Some(s"""WITH $dynBkt
+              |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+              |  ROUND(${dDot("a.embedding", "b.embedding")} /
+              |    (sqrt(${dDot("a.embedding", "a.embedding")}) * sqrt(${dDot("b.embedding", "b.embedding")})), 4) AS cos_sim
+              |FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+              |WHERE ROUND(${dDot("a.embedding", "b.embedding")} /
+              |    (sqrt(${dDot("a.embedding", "a.embedding")}) * sqrt(${dDot("b.embedding", "b.embedding")})), 4) >= 0.2""".stripMargin),
+      "near-dup pairs at the PRODUCTION planesFor(n) geometry (oracle recomputes the plane count)"),
+
+    Q("e12_knn_dense",
+      (s, dir) => {
+        val n = t(s, dir, "embeddings").count()
+        knnJoinFast(s, dir, planesFor(n))
+      },
+      Some(s"""WITH $dynBkt,
+              |pairs AS (
+              |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+              |    ROUND(${dDot("a.embedding", "b.embedding")} /
+              |      (sqrt(${dDot("a.embedding", "a.embedding")}) * sqrt(${dDot("b.embedding", "b.embedding")})), 4) AS cos_sim
+              |  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id)
+              |SELECT vec_id, nbr_id, cos_sim, CAST(rk AS BIGINT) AS rk FROM (
+              |  SELECT vec_id, nbr_id, cos_sim,
+              |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id ASC) AS rk
+              |  FROM pairs) WHERE rk <= 3""".stripMargin),
+      "KNN join at the PRODUCTION planesFor(n) geometry (oracle recomputes the plane count)"),
 
     // Multimodal-column plumbing: opaque bytes + typed metadata + a
     // clearly-fake deterministic "decode" (real decode is stubbed — media

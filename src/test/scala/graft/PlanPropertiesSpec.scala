@@ -208,4 +208,15 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"),
       "both sides of the bucket self-join must share the repartition(bkt) exchange")
   }
+
+  test("e11/e12: production-geometry gates keep the e05/e06 plan shape") {
+    for (name <- Seq("e11_neardup_dense", "e12_knn_dense")) {
+      val df = Registry.queries(name)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name gained a cartesian")
+      assert(p.contains("ReusedExchange"),
+        s"$name: bucket self-join must share the repartition(bkt) exchange")
+    }
+  }
 }
