@@ -23,8 +23,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   *   - strict `<` comparison, so ties keep the earlier (smaller) label,
   *   - a dimension mismatch or null element skips that centroid (the
   *     fold's null-propagating comparison keeps the accumulator), and a
-  *     vector no centroid can score gets `Int.MaxValue` — the fold's
-  *     initial label, surfaced rather than masked.
+  *     vector NO centroid can score assigns NULL: unscoreable vectors
+  *     are excluded from assignment, the semantics every call site
+  *     (e08/e09 twins included) pins — a null element is in-scope data
+  *     the centroid aggregations already skip, so silently adopting
+  *     some cluster (what a row_number over all-NULL scores would do)
+  *     or surfacing a sentinel label would both smuggle garbage into
+  *     downstream aggregates.
   *
   * The model rides along as constructor constants (labels, centroid
   * matrix, precomputed c·c), registered as codegen reference objects —
@@ -41,6 +46,7 @@ case class KMeansArgMin(
     "model arrays must be parallel")
 
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
   override def prettyName: String = "kmeans_argmin"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -69,7 +75,7 @@ case class KMeansArgMin(
       }
       k += 1
     }
-    bestL
+    if (bestL == Int.MaxValue) null else bestL
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -103,6 +109,7 @@ case class KMeansArgMin(
          |  double $s = $ccsRef[$k] - 2.0 * $acc;
          |  if ($s < $bestS) { $bestS = $s; $bestL = $labelsRef[$k]; }
          |}
+         |${ev.isNull} = ($bestL == Integer.MAX_VALUE);
          |${ev.value} = $bestL;
        """.stripMargin
     })

@@ -493,8 +493,15 @@ object Relational {
           countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("cnt"))
         .select(col("event_type"), col("exact_users"), col("cnt"),
-          when(abs(col("approx_users").cast("double") / col("exact_users").cast("double")
-            - 1.0) <= 0.15, 1L).otherwise(0L).as("within_envelope")),
+          // a group whose user_ids are ALL null has exact_users = 0: the
+          // ratio envelope is 0/0 (NaN → otherwise-0) but the sketch is
+          // vacuously right iff it also says 0 — without the guard the
+          // oracle's hardcoded 1 red-flags a healthy sketch
+          when(col("exact_users") === 0,
+            when(col("approx_users") === 0, 1L).otherwise(0L))
+            .otherwise(
+              when(abs(col("approx_users").cast("double") / col("exact_users").cast("double")
+                - 1.0) <= 0.15, 1L).otherwise(0L)).as("within_envelope")),
       Some("""SELECT event_type,
              |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
              |  CAST(COUNT(*) AS BIGINT) AS cnt,

@@ -135,6 +135,7 @@ object Sim {
       val rows = e
         .select(graft.functions.KMeansExprs.assignCluster(col("embedding"), model).as("cluster"),
           posexplode(col("embedding")).as(Seq("pos", "vf")))
+        .filter(col("cluster").isNotNull) // unscoreable vectors contribute to no centroid
         .filter(col("vf").isNotNull)
         .select(col("cluster"), col("pos"), microQ(col("vf")).as("m"))
         .groupBy(col("cluster"), col("pos"))
@@ -275,8 +276,11 @@ object Sim {
     val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
     val cells = e.withColumn("cell",
       graft.functions.KMeansExprs.assignCluster(col("embedding"), model))
-    val qv = cells.filter(col("vec_id") === queryVecId)
-      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val qRows = cells.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).collect()
+    require(qRows.nonEmpty,
+      s"ivfSearchTrained: query vec_id=$queryVecId not present (or null embedding) in $dir/embeddings")
+    val qv = qRows.head.getSeq[Float](0).toArray
     // nprobe nearest cells, scored on the driver: same c·c − 2·q·c
     // ordering and tie rule as the assignment expression
     val probes = model.map { case (l, c) =>
@@ -588,6 +592,7 @@ object Sim {
             graft.functions.KMeansExprs.assignCluster(col("embedding"), model)
               .cast("long").as("cluster"),
             posexplode(col("embedding")).as(Seq("pos0", "vf")))
+          .filter(col("cluster").isNotNull) // unscoreable vectors are excluded (twin: s IS NOT NULL)
           .filter(col("vf").isNotNull)
           .withColumn("pos", (col("pos0") + 1).cast("long"))
           .select(col("cluster"), col("pos"), microQ(col("vf")).as("m"))
@@ -613,11 +618,12 @@ object Sim {
              |scored AS (SELECT e.vec_id, c.label,
              |    list_inner_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[])
              |      - 2 * list_inner_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) AS s
-             |  FROM embeddings e, cent c WHERE e.embedding IS NOT NULL),
+             |  FROM embeddings e, cent c WHERE e.embedding IS NOT NULL
+             |    AND len(list_filter(e.embedding, x -> x IS NULL)) = 0),
              |assign AS (SELECT vec_id, label AS cluster FROM (
              |  SELECT vec_id, label,
              |    row_number() OVER (PARTITION BY vec_id ORDER BY s ASC, label ASC) AS rn
-             |  FROM scored) WHERE rn = 1)
+             |  FROM scored WHERE s IS NOT NULL) WHERE rn = 1)
              |SELECT CAST(a.cluster AS BIGINT) AS cluster, CAST(m.pos AS BIGINT) AS pos,
              |  CAST(${halfAwayDivSql("SUM(m.m)", "COUNT(*) * 100")} AS DOUBLE) / 10000.0 AS c_new,
              |  CAST(COUNT(*) AS BIGINT) AS n_members
@@ -654,6 +660,7 @@ object Sim {
         e.select(col("vec_id"),
             graft.functions.KMeansExprs.assignCluster(col("embedding"), model).as("cluster"),
             col("embedding"))
+          .filter(col("cluster").isNotNull) // unscoreable vectors are excluded (twin: s IS NOT NULL)
           .withColumn("score", score)
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= 20)
@@ -676,11 +683,12 @@ object Sim {
              |scored AS (SELECT e.vec_id, c.label,
              |    list_inner_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[])
              |      - 2 * list_inner_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) AS s
-             |  FROM embeddings e, cent c WHERE e.embedding IS NOT NULL),
+             |  FROM embeddings e, cent c WHERE e.embedding IS NOT NULL
+             |    AND len(list_filter(e.embedding, x -> x IS NULL)) = 0),
              |assign AS (SELECT vec_id, label AS cluster, s FROM (
              |  SELECT vec_id, label, s,
              |    row_number() OVER (PARTITION BY vec_id ORDER BY s ASC, label ASC) AS rn
-             |  FROM scored) WHERE rn = 1)
+             |  FROM scored WHERE s IS NOT NULL) WHERE rn = 1)
              |SELECT CAST(cluster AS BIGINT) AS cluster, vec_id, s AS score,
              |  CAST(rk AS BIGINT) AS rk
              |FROM (SELECT cluster, vec_id, s,

@@ -166,11 +166,52 @@ class ClusteringSpec extends SparkSpec {
     def run(): Map[(Long, Long), (Double, Long)] =
       Registry.queries("e08_kmeans_step")(spark, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    // restore the ACTUAL session value, not an assumed one — the shared
+    // session runs specs at whatever SparkSpec configured, and leaking a
+    // different parallelism changes every test that runs after
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
     val base = run()
     for (parts <- Seq(3, 7)) {
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
       try assert(run() === base, s"e08 output changed at shuffle.partitions=$parts")
-      finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+      finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     }
+  }
+
+  test("unscoreable vectors (null element / null embedding) are excluded from assignment") {
+    val dir = Files.createTempDirectory("graft-nullvec").toString
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = true), nullable = true),
+      StructField("label", IntegerType, nullable = false)))
+    val rows = Seq(
+      Row(1L, Seq(0.0f, 0.0f), 0),
+      Row(2L, Seq(1.0f, 1.0f), 1),
+      Row(3L, Seq(0.5f, null), 0), // null ELEMENT: no centroid can score it
+      Row(4L, null, 1))            // null embedding
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val model = Sim.kmeansSeedModel(spark, dir)
+    // direct expression semantics: NULL, not a sentinel label
+    val assigned = Registry.t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.KMeansExprs.assignCluster(col("embedding"), model).as("cl"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(assigned(1L).isDefined && assigned(2L).isDefined)
+    assert(assigned(3L).isEmpty, "null-element vector must assign NULL")
+    assert(assigned(4L).isEmpty, "null-embedding vector must assign NULL")
+    // e08: vec 3's non-null element (0.5) must reach NO cluster's update
+    // (the seed model still sees it — seeds skip null elements only)
+    val e08 = Registry.queries("e08_kmeans_step")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(e08((0L, 1L)) === ((0.0, 1L)), "cluster 0 update must contain only vec 1")
+    assert(e08((0L, 2L)) === ((0.0, 1L)))
+    assert(e08((1L, 1L)) === ((1.0, 1L)), "cluster 1 update must contain only vec 2")
+    // e09: unscoreable vectors never appear in the sample
+    val e09ids = Registry.queries("e09_cluster_sample")(spark, dir)
+      .collect().map(_.getLong(1)).toSet
+    assert(e09ids === Set(1L, 2L))
   }
 }

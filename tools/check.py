@@ -11,6 +11,8 @@ Usage: python3 tools/check.py [sfDir] [outDir]
 --timeout: per-oracle DuckDB cap; an interrupted oracle records
   "oracle_timeout" (engine capacity, not a correctness verdict).
 --json: also write a CORRECTNESS-style per-query JSON report.
+Exit codes: 0 all verified; 1 any FAIL; 2 no fails but some queries
+unverified (skipped/timeout).
 (Dev tool only — the Scala library has no Python dependency.)
 """
 import duckdb, glob, os, sys, json, threading
@@ -26,10 +28,14 @@ skip = set(str(opts.get("skip", "")).split(",")) - {""}
 cap = float(opts["timeout"]) if "timeout" in opts else None
 report = {}
 
-con = duckdb.connect()
-for p in glob.glob(f"{sf}/*.parquet"):
-    name = os.path.basename(p).replace(".parquet", "")
-    con.execute(f"create view {name} as select * from '{p}'")
+def fresh_con():
+    c = duckdb.connect()
+    for p in glob.glob(f"{sf}/*.parquet"):
+        name = os.path.basename(p).replace(".parquet", "")
+        c.execute(f"create view {name} as select * from '{p}'")
+    return c
+
+con = fresh_con()
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 
@@ -58,12 +64,14 @@ def norm(df):
 
 def run_oracle(sql):
     """Run one oracle, optionally under the per-query cap."""
+    global con
     if cap is None:
         return con.sql(sql).df()
     box, err = [], []
+    c = con
     def work():
         try:
-            box.append(con.sql(sql).df())
+            box.append(c.sql(sql).df())
         except Exception as e:
             err.append(e)
     t = threading.Thread(target=work, daemon=True)
@@ -72,17 +80,23 @@ def run_oracle(sql):
     if t.is_alive():
         con.interrupt()
         t.join(30)
+        if t.is_alive():
+            # the worker is wedged past the grace join — abandon this
+            # connection entirely (it is not thread-safe) and give the
+            # remaining oracles a fresh one
+            con = fresh_con()
         raise TimeoutError(f"oracle exceeded {cap}s")
     if err:
         raise err[0]
     return box[0]
 
-n_pass = n_fail = 0
+n_pass = n_fail = n_skip = n_timeout = 0
 for name in sorted(oracle):
     if name in skip:
         print(f"SKIP {name} (listed in --skip)")
         report[name] = {"rows_match": None, "schema_match": None,
                         "hash_match": None, "err": "skipped_oracle_dnf"}
+        n_skip += 1
         continue
     try:
         s = norm(pd.read_parquet(f"{out}/{name}"))
@@ -99,6 +113,7 @@ for name in sorted(oracle):
         report[name] = {"rows_match": None, "schema_match": None,
                         "hash_match": None, "spark_rows": len(s),
                         "err": "oracle_timeout"}
+        n_timeout += 1
         continue
     except Exception as e:
         print(f"FAIL {name}: oracle sql error: {e}")
@@ -143,5 +158,11 @@ for name in sorted(oracle):
 if "json" in opts:
     with open(str(opts["json"]), "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
-print(f"\n{n_pass} pass, {n_fail} fail, {len(oracle)} total")
-sys.exit(1 if n_fail else 0)
+# skipped/timed-out oracles are UNVERIFIED, not passed: name them in the
+# summary and exit 2 (distinct from both clean=0 and fail=1) so a caller
+# chaining on exit 0 can't mistake an unverified run for a green one
+extra = ""
+if n_skip or n_timeout:
+    extra = f", {n_skip} skipped, {n_timeout} timeout (UNVERIFIED)"
+print(f"\n{n_pass} pass, {n_fail} fail{extra}, {len(oracle)} total")
+sys.exit(1 if n_fail else (2 if n_skip or n_timeout else 0))

@@ -66,3 +66,31 @@ UNION ALL SELECT * FROM (VALUES
 TO '{OUT}/events.parquet' (FORMAT PARQUET)
 """)
 print(f"edge testdata written to {OUT}; run Verify + check against it")
+
+# ---- second fixture: null-element / null embeddings (kmeans family) ----
+# Pins the "unscoreable vectors are EXCLUDED from assignment" semantics
+# cross-engine (r8, ADVICE): a null ELEMENT is in-scope data both
+# engines' centroid CTEs already skip (v IS NOT NULL), but assignment
+# used to diverge — Spark's argmin skipped every centroid while the
+# twin's row_number over all-NULL scores adopted the smallest label.
+# Kept OUT of the main edge dir: a null element inside `embedding`
+# changes semantics for the whole e-battery (SQL SUM() skips NULLs
+# where Spark's codegen'd bucket/cosine expressions null-propagate),
+# and only the kmeans family has the exclusion semantics pinned. Run:
+#   sbt "runMain graft.Verify /tmp/edgenullvec /tmp/verify_nullvec e08_kmeans_step e09_cluster_sample"
+#   python3 tools/check.py /tmp/edgenullvec /tmp/verify_nullvec
+OUT2 = "/tmp/edgenullvec"
+os.makedirs(OUT2, exist_ok=True)
+null_elem_vec = ", ".join("NULL" if j == 0 else str((j % 7) * 0.25)
+                          for j in range(64))
+con.sql(f"""
+COPY (
+  SELECT * FROM '{BASE}/embeddings.parquet'
+  UNION ALL
+  SELECT 1000001 AS vec_id, [{null_elem_vec}]::FLOAT[] AS embedding, 0 AS label
+  UNION ALL
+  SELECT 1000002 AS vec_id, NULL::FLOAT[] AS embedding, 1 AS label
+) TO '{OUT2}/embeddings.parquet' (FORMAT PARQUET)
+""")
+print(f"null-vector testdata written to {OUT2}; run Verify + check "
+      "for e08_kmeans_step e09_cluster_sample against it")
