@@ -4,12 +4,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north-star): media payloads are opaque
-  * `binary` columns with typed metadata structs. The actual codec step is
-  * STUBBED — image/audio libraries are not in this container — behind
-  * [[DecodeStub]]: a deterministic fake that preserves the real Spark
-  * shape (schema, partition-parallel batch decode via mapPartitions,
-  * per-row error channel). Swapping in a real decoder changes ONE
-  * function, none of the plumbing.
+  * `binary` columns with typed metadata structs. Image decode is REAL —
+  * [[decodeImage]] parses container headers and [[decodePixels]] decodes
+  * PNG/JPEG/GIF/BMP pixels via the JDK's own `javax.imageio` (r8; no
+  * external codec needed). Audio/video stay stubbed ([[decodeStub]],
+  * [[frameSample]]) — those codecs genuinely aren't in the container —
+  * as deterministic fakes that preserve the real Spark shape (schema,
+  * partition-parallel batch decode via mapPartitions, per-row error
+  * channel). Swapping in a real decoder changes ONE function, none of
+  * the plumbing.
   */
 object Multimodal {
 
@@ -114,6 +117,75 @@ object Multimodal {
     Left("unknown container")
   }
 
+  /** Typed result of a REAL pixel decode: row-major RGB888 bytes. */
+  final case class DecodedImage(
+      doc_id: Long, format: String, width: Int, height: Int,
+      pixels: Array[Byte], ok: Boolean, err: String)
+
+  /** REAL pixel decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP
+    * readers ship with the JRE — no external codec needed, which
+    * retires the "media libs absent" premise for these formats; only
+    * audio/video stay stubbed). Emits row-major RGB888 so downstream
+    * feature extraction is format-independent. Same mapPartitions shape
+    * as [[decodeStub]]: one ImageIO configuration per partition, every
+    * malformed payload flows to the per-row error channel, and
+    * `maxPixels` bounds the per-row allocation (a 100 TB corpus WILL
+    * contain a decompression bomb; reject it in-row, don't OOM the
+    * task). */
+  def decodePixels(df: DataFrame, maxPixels: Long = 1L << 24): Dataset[DecodedImage] = {
+    val enc = Encoders.product[DecodedImage]
+    df.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        // per-partition codec setup (the init slot the stub reserved):
+        // no disk-backed ImageIO cache inside executor tasks
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          if (b == null || b.isEmpty)
+            DecodedImage(id, "", 0, 0, Array.emptyByteArray, ok = false, err = "empty payload")
+          else {
+            val fmt = imageDims(b).map(_._1).getOrElse("")
+            try {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+              if (img == null)
+                DecodedImage(id, fmt, 0, 0, Array.emptyByteArray, ok = false,
+                  err = "no registered reader for payload")
+              else {
+                val w = img.getWidth
+                val h = img.getHeight
+                if (w.toLong * h.toLong > maxPixels)
+                  DecodedImage(id, fmt, w, h, Array.emptyByteArray, ok = false,
+                    err = s"${w}x$h exceeds maxPixels=$maxPixels")
+                else {
+                  val out = new Array[Byte](w * h * 3)
+                  var y = 0
+                  var k = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val rgb = img.getRGB(x, y)
+                      out(k) = ((rgb >> 16) & 0xff).toByte
+                      out(k + 1) = ((rgb >> 8) & 0xff).toByte
+                      out(k + 2) = (rgb & 0xff).toByte
+                      k += 3
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  DecodedImage(id, fmt, w, h, out, ok = true, err = "")
+                }
+              }
+            } catch {
+              case e: Exception =>
+                DecodedImage(id, fmt, 0, 0, Array.emptyByteArray, ok = false,
+                  err = s"decode: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** Typed result of the resize stage: payload out, dims as metadata. */
   final case class ResizedMedia(
       doc_id: Long, resized: Array[Byte], out_w: Int, out_h: Int, ok: Boolean)
@@ -127,8 +199,12 @@ object Multimodal {
     * input byte change propagates to the output — the data-dependence a
     * real resample has, which is what the spec pins. */
   def resizeStub(df: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
-    require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
-    val outLen = w * h
+    // w*h in LONG: 65536x65536 overflows Int to 0 and would pass a
+    // positive-dims check, then blow up (or silently emit empty output)
+    // at allocation time inside the task
+    require(w > 0 && h > 0 && w.toLong * h.toLong <= (1L << 28),
+      s"target dims must be positive with w*h <= 2^28, got ${w}x$h")
+    val outLen = (w.toLong * h.toLong).toInt
     val enc = Encoders.product[ResizedMedia]
     df.select(col("doc_id"), col("payload"))
       .mapPartitions { rows =>

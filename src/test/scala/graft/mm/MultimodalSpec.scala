@@ -58,6 +58,49 @@ class MultimodalSpec extends SparkSpec {
     assert(!m(4L).ok && m(4L).err === "unknown container")
   }
 
+  test("decodePixels: golden 2x2 PNG decodes to exact RGB bytes via javax.imageio") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000) // red
+    img.setRGB(1, 0, 0x00ff00) // green
+    img.setRGB(0, 1, 0x0000ff) // blue
+    img.setRGB(1, 1, 0x123456)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val df = Seq((1L, baos.toByteArray), (2L, "garbage".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val m = Multimodal.decodePixels(df).collect().map(x => x.doc_id -> x).toMap
+    val d = m(1L)
+    assert(d.ok && d.format === "png" && d.width === 2 && d.height === 2)
+    // PNG is lossless: row-major RGB888 must round-trip exactly
+    assert(d.pixels.toSeq === Seq(
+      0xff, 0x00, 0x00, 0x00, 0xff, 0x00,
+      0x00, 0x00, 0xff, 0x12, 0x34, 0x56).map(_.toByte))
+    assert(!m(2L).ok && m(2L).err.nonEmpty, "garbage must use the error channel")
+  }
+
+  test("decodePixels: oversized images are rejected in-row, not allocated") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val df = Seq((1L, baos.toByteArray)).toDF("doc_id", "payload")
+    val d = Multimodal.decodePixels(df, maxPixels = 16L).collect().head
+    assert(!d.ok && d.err.contains("maxPixels") && d.width === 8 && d.height === 8)
+    assert(d.pixels.isEmpty)
+  }
+
+  test("resizeStub: huge-but-valid dims are rejected up front (Int overflow guard)") {
+    import spark.implicits._
+    val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    // 65536 * 65536 overflows Int to 0 — must fail the require, not
+    // reach allocation
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.resizeStub(df, 65536, 65536)
+    }
+    assert(e.getMessage.contains("65536"))
+  }
+
   test("resizeStub: fixed output size, input-sensitive, deterministic, empty flagged") {
     import spark.implicits._
     val a = "some modestly sized binary payload standing in for pixels".getBytes("UTF-8")
