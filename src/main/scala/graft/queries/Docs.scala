@@ -84,6 +84,15 @@ object Docs {
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
   }
 
+  /** The d12 gate's exact edge list (md5 Carter–Wegman signatures →
+    * star edges), exposed so ScaleCheck can verify the clustering
+    * against an independent connected-components formulation at SFs the
+    * DuckDB oracle cannot reach. */
+  private[graft] def d12Edges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    lshStarEdges(withShingles(s, dir).select(
+      col("doc_id") +: (0 until 8).map(i => minhash(col("mh"), i).as(s"mh$i")): _*))
+
   /** Documents with tokenization + 3-gram shingles materialized as bound
     * columns (see PERF note on `minhash`), spread across the default
     * shuffle parallelism — the testdata parquet is a single row-group, so
