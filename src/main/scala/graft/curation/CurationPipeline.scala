@@ -25,8 +25,13 @@ import graft.queries.Docs
   *                    connected components, cluster min survives),
   *                    written via [[graft.sources.CorpusSink]]
   *                    (partitioned, size-bounded, sorted)
+  *   4b. `04b_selected` optional [[Selection]] strategy over the
+  *                    survivors: seeded rate sample (d23) or
+  *                    cluster-balanced quota sample (e09)
   *   5. `05_chunks`   32-token / stride-24 context windows of the
-  *                    survivors (skipped when `chunk = false`)
+  *                    selected corpus (skipped when `chunk = false`)
+  *   6. `06_pack`     context-length packing offsets (d22) of the
+  *                    selected corpus (when `packCtx` is set)
   *
   * Scale notes: every stage is the same shape as its gate query —
   * per-row maps for the gates, one window exchange for exact dedup, a
@@ -38,6 +43,22 @@ import graft.queries.Docs
   */
 object CurationPipeline {
 
+  /** Post-dedup selection strategy (stage `04b_selected`): which
+    * survivors make the final corpus. */
+  sealed trait Selection
+  /** No selection — every dedup survivor is kept. */
+  case object KeepAll extends Selection
+  /** Seeded hash-Bernoulli rate sample (d23's shape: md5(seed‖doc_id)
+    * under a hex-fraction threshold — shuffle-free, exactly
+    * reproducible, mergeable across corpus shards). */
+  final case class RateSample(rate: Double, seed: String = "samp:") extends Selection
+  /** Cluster-balanced quota sample (e09's shape): `embeddings` must
+    * carry (vec_id, embedding, label) with vec_id = doc_id; each
+    * nearest-centroid cluster keeps its `quota` most-central surviving
+    * docs — coverage of small clusters instead of letting dense regions
+    * crowd them out. */
+  final case class ClusterBalanced(embeddings: DataFrame, quota: Int = 20) extends Selection
+
   final case class Config(
       minTokens: Int = 10,
       maxDupTokenFrac: Double = 0.6,
@@ -46,6 +67,11 @@ object CurationPipeline {
       chunk: Boolean = true,
       partitionCol: String = "lang",
       maxRecordsPerFile: Long = 100000L,
+      /** Context length for the packing-offsets stage (`06_pack`,
+        * d22's shape over the SELECTED corpus): per-doc token interval
+        * + context-bin span — the bookkeeping a packed-pretraining
+        * writer needs. None disables the stage. */
+      packCtx: Option[Long] = None,
       /** Skip any stage whose output dir already carries a `_SUCCESS`
         * marker and read it back instead — a crashed or re-configured
         * run resumes from the last good stage without recomputing (or
@@ -61,7 +87,8 @@ object CurationPipeline {
       docs: DataFrame,
       outDir: String,
       cfg: Config = Config(),
-      customGate: DataFrame => DataFrame = identity): Seq[(String, Long)] = {
+      customGate: DataFrame => DataFrame = identity,
+      selection: Selection = KeepAll): Seq[(String, Long)] = {
 
     val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     def complete(name: String): Boolean =
@@ -128,9 +155,33 @@ object CurationPipeline {
     val corpus = spark.read.parquet(s"$outDir/04_corpus")
     counts += "04_corpus" -> corpus.count()
 
-    // stage 5: context-window chunks of the survivors
+    // stage 4b: selection strategy over the dedup survivors
+    val selected = selection match {
+      case KeepAll => corpus
+      case RateSample(rate, seed) =>
+        stage("04b_selected",
+          Docs.rateSampleDf(corpus, Docs.hexThreshold(rate), seed))
+      case ClusterBalanced(emb, quota) =>
+        stage("04b_selected", {
+          // sample among SURVIVORS only (vec_id = doc_id contract), and
+          // keep the quota per cluster of the surviving population
+          val surv = emb.join(corpus.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+          val picked = graft.queries.Sim.clusterSampleDf(surv, quota)
+            .select(col("vec_id").as("doc_id"))
+          corpus.join(picked, Seq("doc_id"), "left_semi")
+        })
+    }
+
+    // stage 5: context-window chunks of the selected corpus
     if (cfg.chunk) {
-      stage("05_chunks", Docs.chunkedDf(corpus))
+      stage("05_chunks", Docs.chunkedDf(selected))
+      ()
+    }
+
+    // stage 6: context-length packing offsets of the selected corpus
+    cfg.packCtx.foreach { ctx =>
+      stage("06_pack", Docs.sequencePack(selected, ctx))
       ()
     }
     counts.toSeq

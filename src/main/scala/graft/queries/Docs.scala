@@ -84,6 +84,28 @@ object Docs {
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
   }
 
+  /** Seeded hash-Bernoulli rate sample (d23's shape): keep a doc iff
+    * md5(seed‖doc_id) is below `thresholdHex` — lowercase-hex string
+    * order IS 128-bit hash order, so the filter is scan-parallel,
+    * exactly reproducible under any partitioning, and mergeable across
+    * corpus shards. */
+  private[graft] def rateSampleDf(docs: org.apache.spark.sql.DataFrame,
+      thresholdHex: String, seed: String = "samp:"): org.apache.spark.sql.DataFrame =
+    docs.filter(
+      md5(concat(lit(seed), col("doc_id").cast("string")).cast("binary")) < lit(thresholdHex))
+
+  /** 32-hex-digit fraction threshold for [[rateSampleDf]]:
+    * floor(rate · 2¹²⁸) of the exact binary value of `rate`. (The d23
+    * gate keeps its hand-pinned repeating-digit literal for 0.1 — the
+    * double 0.1 is ~2⁻⁵⁵ above 1/10, a rate error without sampling
+    * consequence but a different last hex digit.) */
+  private[graft] def hexThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    val t = (BigDecimal(rate) * BigDecimal(BigInt(1) << 128)).toBigInt
+      .min((BigInt(1) << 128) - 1)
+    ("0" * 32 + t.toString(16)).takeRight(32)
+  }
+
   /** The d12 gate's exact edge list (md5 Carter–Wegman signatures →
     * star edges), exposed so ScaleCheck can verify the clustering
     * against an independent connected-components formulation at SFs the
@@ -1098,12 +1120,9 @@ object Docs {
     // across corpus shards by construction. The standard "sample 10% of
     // 100 TB reproducibly" primitive.
     Q("d23_rate_sample",
-      (s, dir) => {
-        val h = md5(concat(lit("samp:"), col("doc_id").cast("string")).cast("binary"))
-        t(s, dir, "documents")
-          .filter(h < lit("19999999999999999999999999999999"))
-          .select(col("doc_id"), col("lang"), col("source"))
-      },
+      (s, dir) => rateSampleDf(t(s, dir, "documents"),
+          "19999999999999999999999999999999")
+        .select(col("doc_id"), col("lang"), col("source")),
       Some("""SELECT doc_id, lang, source FROM documents
              |WHERE md5('samp:' || CAST(doc_id AS VARCHAR)) <
              |  '19999999999999999999999999999999'""".stripMargin),

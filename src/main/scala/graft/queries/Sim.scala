@@ -96,8 +96,13 @@ object Sim {
     * CORRECTNESS_r06 e08 `hash_match: false`). Public so ClusteringSpec
     * can pin the query against an independent long-format formulation
     * of the same model. */
-  def kmeansSeedModel(s: org.apache.spark.sql.SparkSession, dir: String): Seq[(Int, Array[Float])] = {
-    val centRows = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+  def kmeansSeedModel(s: org.apache.spark.sql.SparkSession, dir: String): Seq[(Int, Array[Float])] =
+    kmeansSeedModelDf(t(s, dir, "embeddings"))
+
+  /** DataFrame-in variant of [[kmeansSeedModel]] (shared with
+    * CurationPipeline's cluster-balanced selection). */
+  def kmeansSeedModelDf(e0: org.apache.spark.sql.DataFrame): Seq[(Int, Array[Float])] = {
+    val centRows = e0.filter(col("embedding").isNotNull)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "vf")))
       .filter(col("vf").isNotNull)
       .select(col("label"), col("pos"), microQ(col("vf")).as("m"))
@@ -295,6 +300,36 @@ object Sim {
       .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
       .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(k)
       .select(col("cell"), col("vec_id"), col("cos_sim"))
+  }
+
+  /** Cluster-balanced quota sample (e09's exact body, DataFrame-in so
+    * CurationPipeline can use it as a selection strategy): assign every
+    * vector to its nearest seed centroid, keep each cluster's `quota`
+    * most-central vectors. Output (cluster, vec_id, score, rk) — the
+    * shape the e09 oracle pins. */
+  def clusterSampleDf(e0: org.apache.spark.sql.DataFrame, quota: Int = 20): org.apache.spark.sql.DataFrame = {
+    val e = e0.filter(col("embedding").isNotNull)
+    val model = kmeansSeedModelDf(e0)
+    // score to the OWN centroid, recomputed from the model literal:
+    // same cc − 2·e·c fold as the argmin and the oracle's `s`, so
+    // the emitted double is bit-identical cross-engine.
+    val score = model.foldLeft(lit(Double.PositiveInfinity)) { case (acc, (l, arr)) =>
+      val cc = arr.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      when(col("cluster") === l, lit(cc) - lit(2.0) *
+        graft.functions.VectorExprs.vecDot(col("embedding"), array(arr.map(lit(_)): _*)))
+        .otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("score").asc, col("vec_id").asc)
+    e.select(col("vec_id"),
+        graft.functions.KMeansExprs.assignCluster(col("embedding"), model).as("cluster"),
+        col("embedding"))
+      .filter(col("cluster").isNotNull) // unscoreable vectors are excluded (twin: s IS NOT NULL)
+      .withColumn("score", score)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= quota)
+      .select(col("cluster").cast("long").as("cluster"), col("vec_id"),
+        col("score"), col("rk"))
   }
 
   val qs: Seq[Q] = Seq(
@@ -631,6 +666,7 @@ object Sim {
              |GROUP BY a.cluster, m.pos""".stripMargin),
       "k-means Lloyd step: broadcast-model assignment + centroid update (north-star: clustering)"),
 
+
     // Cluster-balanced curation sampling (north-star: diversity-aware
     // training-data selection, the cluster-then-sample pattern): assign
     // every vector to its nearest seed centroid (the e08 machinery —
@@ -643,30 +679,7 @@ object Sim {
     // rank cut runs as WindowGroupLimit — a K-heap per partition, never
     // a full per-cluster sort (plan-guarded).
     Q("e09_cluster_sample",
-      (s, dir) => {
-        val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
-        val model = kmeansSeedModel(s, dir)
-        // score to the OWN centroid, recomputed from the model literal:
-        // same cc − 2·e·c fold as the argmin and the oracle's `s`, so
-        // the emitted double is bit-identical cross-engine.
-        val score = model.foldLeft(lit(Double.PositiveInfinity)) { case (acc, (l, arr)) =>
-          val cc = arr.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
-          when(col("cluster") === l, lit(cc) - lit(2.0) *
-            graft.functions.VectorExprs.vecDot(col("embedding"), array(arr.map(lit(_)): _*)))
-            .otherwise(acc)
-        }
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cluster")).orderBy(col("score").asc, col("vec_id").asc)
-        e.select(col("vec_id"),
-            graft.functions.KMeansExprs.assignCluster(col("embedding"), model).as("cluster"),
-            col("embedding"))
-          .filter(col("cluster").isNotNull) // unscoreable vectors are excluded (twin: s IS NOT NULL)
-          .withColumn("score", score)
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 20)
-          .select(col("cluster").cast("long").as("cluster"), col("vec_id"),
-            col("score"), col("rk"))
-      },
+      (s, dir) => clusterSampleDf(t(s, dir, "embeddings")),
       Some(s"""WITH micro AS (
              |  SELECT vec_id, label, pos, $microQSql AS m FROM (
              |    SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,

@@ -53,6 +53,65 @@ class CurationPipelineSpec extends SparkSpec {
     assert(langDirs.nonEmpty)
   }
 
+  test("RateSample selection equals the d23 gate restricted to survivors; pack stage equals d22's offsets") {
+    val out = Files.createTempDirectory("graft-curation-sel").toString
+    val docs = Registry.t(spark, sfDir, "documents")
+    val counts = CurationPipeline.run(spark, docs, out,
+      cfg = CurationPipeline.Config(packCtx = Some(512L)),
+      customGate = langGate,
+      selection = CurationPipeline.RateSample(0.1)).toMap
+
+    val survivors = spark.read.parquet(s"$out/04_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val selected = spark.read.parquet(s"$out/04b_selected")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the oracle-pinned d23 gate, restricted to survivors, IS the stage
+    val d23 = Registry.queries("d23_rate_sample")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(selected === (d23 & survivors))
+    assert(counts("04b_selected") === selected.size.toLong)
+
+    // chunks and pack offsets are computed over the SELECTED corpus
+    val chunkIds = spark.read.parquet(s"$out/05_chunks")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(chunkIds === selected)
+    val pack = spark.read.parquet(s"$out/06_pack")
+    assert(pack.select("doc_id").collect().map(_.getLong(0)).toSet === selected)
+    // d22's oracle-pinned formulation over the same selected docs
+    val expect = graft.queries.Docs.sequencePack(
+      spark.read.parquet(s"$out/04b_selected"), 512L)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val got = pack.collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(got === expect)
+  }
+
+  test("ClusterBalanced selection keeps <= quota per cluster, sampled from survivors") {
+    val out = Files.createTempDirectory("graft-curation-cb").toString
+    val docs = Registry.t(spark, sfDir, "documents")
+    // embeddings keyed by doc_id (vec_id = doc_id contract): reuse the
+    // fixture embeddings table's vectors, re-keyed onto surviving ids
+    val emb = Registry.t(spark, sfDir, "embeddings")
+      .withColumn("vec_id", col("vec_id") % 500L)
+      .dropDuplicates("vec_id")
+    CurationPipeline.run(spark, docs, out,
+      customGate = langGate,
+      selection = CurationPipeline.ClusterBalanced(emb, quota = 3))
+    val survivors = spark.read.parquet(s"$out/04_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val selected = spark.read.parquet(s"$out/04b_selected")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(selected.nonEmpty && selected.subsetOf(survivors))
+    // equivalence to the e09 machinery on the survivor-restricted input
+    val survEmb = emb.join(
+      spark.read.parquet(s"$out/04_corpus").select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val expect = graft.queries.Sim.clusterSampleDf(survEmb, 3)
+    assert(expect.select("vec_id").collect().map(_.getLong(0)).toSet === selected)
+    // quota bound per cluster
+    val over = expect.groupBy("cluster").count().filter(col("count") > 3).count()
+    assert(over === 0)
+  }
+
   test("resume recomputes only the stages past the last good dir") {
     val out = Files.createTempDirectory("graft-curation-resume").toString
     val docs = Registry.t(spark, sfDir, "documents")
