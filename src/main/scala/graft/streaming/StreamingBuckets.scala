@@ -25,6 +25,19 @@ object StreamingBuckets {
   def qualityGate(docs: DataFrame, minTokens: Int = 5): DataFrame =
     docs.filter(graft.functions.ColFns.tokenCount(col("text")) >= minTokens)
 
+  /** Streaming twin of the d23 seeded rate sampler: a pure stateless
+    * per-row filter (md5(seed‖doc_id) under a hex-fraction threshold),
+    * so it runs identically over a stream or a batch frame — no state,
+    * no watermark, and a doc's keep/drop verdict never depends on which
+    * trigger (or which shard, or which engine) saw it. The
+    * "reproducibly sample 10% of an unbounded ingest" primitive:
+    * re-running the stream, or the batch backfill over the same docs,
+    * selects the SAME set. Threshold via
+    * [[graft.queries.Docs.hexThreshold]]. */
+  def rateSampleStream(docs: DataFrame, thresholdHex: String,
+      seed: String = "samp:"): DataFrame =
+    graft.queries.Docs.rateSampleDf(docs, thresholdHex, seed)
+
   /** Tumbling bucket counts/sums per (event_type, window). For streaming
     * input, `withWatermark` bounds state; for batch input it's a no-op
     * column-metadata marker. */

@@ -172,6 +172,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("rateSampleStream == batch rate sample over the same docs (any batch split)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = System.currentTimeMillis()
+    def at(min: Long) = new Timestamp(base + min * 60000L)
+    val docs = (1L to 400L).map(i => StreamDoc(i, s"doc number $i", at(i % 7)))
+    val th = graft.queries.Docs.hexThreshold(0.25)
+    val stream = MemoryStream[StreamDoc]
+    val query = StreamingBuckets.rateSampleStream(stream.toDF(), th)
+      .writeStream.format("memory").queryName("ratesample")
+      .outputMode("append").start()
+    try {
+      // arbitrary trigger split: the verdict must not depend on it
+      stream.addData(docs.take(150))
+      query.processAllAvailable()
+      stream.addData(docs.drop(150))
+      query.processAllAvailable()
+      val streamed = spark.table("ratesample").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val batch = graft.queries.Docs.rateSampleDf(docs.toDF(), th)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty && streamed.size < docs.size)
+    } finally query.stop()
+  }
+
   test("dedupStream drops duplicate event_ids within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
