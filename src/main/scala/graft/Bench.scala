@@ -95,7 +95,33 @@ object Bench {
     val errs = errors.map { case (k, v) => s"${Verify.jq(k)}:${Verify.jq(v)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","construct_total":${construct.values.sum},"exec_total":${exec.values.sum},"queries":$qs,"construct":${jmap(construct)},"exec":${jmap(exec)},"rows":$rs,"errors":$errs,"sf":"$sfDir"}"""
+    // Matched-engine ratios: if a committed DuckDB timing artifact exists
+    // for this SF (written by tools/duckbench.py --runs 2 on the same
+    // tables), emit per-query spark/duckdb ratios and the >2x tail so
+    // "no query >2x its twin" is a checkable gate in the artifact itself,
+    // not a narrative claim. Materiality floor: the DuckDB twin must
+    // itself exceed 0.2s — when the twin runs in ~10 ms, the ratio
+    // measures Spark's fixed ~0.2s/query dispatch cost (BENCH_NOTES
+    // "per-query floor", constant in data size), not the operator.
+    val duckPath = sys.env.getOrElse("SPARK_GRAFT_DUCK_TIMES",
+      s"tools/duck_times_${new java.io.File(sfDir).getName}.json")
+    val duckTimes: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(duckPath)), "UTF-8")
+        // flat {"name": secs, ...} artifact — trusted shape, regex parse
+        val re = """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r
+        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val ratioPart = if (duckTimes.isEmpty) "" else {
+      val ratios = results.collect { case (k, v) if duckTimes.get(k).exists(_ > 0) =>
+        k -> math.round(v / duckTimes(k) * 100.0) / 100.0 }
+      val over2x = ratios.collect { case (k, r)
+        if r > 2.0 && duckTimes.getOrElse(k, 0.0) > 0.2 => k }
+      val duckTotal = results.flatMap { case (k, _) => duckTimes.get(k) }.sum
+      s""","duck_total":$duckTotal,"ratio_total":${if (duckTotal > 0) math.round(total / duckTotal * 100.0) / 100.0 else -1},"ratios":${jmap(ratios.toMap)},"over2x":${over2x.map(Verify.jq).mkString("[", ",", "]")}"""
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","construct_total":${construct.values.sum},"exec_total":${exec.values.sum},"queries":$qs,"construct":${jmap(construct)},"exec":${jmap(exec)},"rows":$rs,"errors":$errs$ratioPart,"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")),

@@ -27,8 +27,11 @@ object Verify {
     val outDir = args(1)
     // optional 3rd+ args: restrict to named queries (dev spot-checks at
     // scales where the full battery dump is impractical); the driver's
-    // 2-arg call keeps the full battery.
-    val only = args.drop(2).toSet
+    // 2-arg call keeps the full battery. `--sql-only` dumps the full
+    // oracle_sql.json without running any query (feeds tools/duckbench.py
+    // when only the DuckDB side needs timing).
+    val sqlOnly = args.contains("--sql-only")
+    val only = args.drop(2).toSet - "--sql-only"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,7 +52,8 @@ object Verify {
         rm(d)
       }
     outRoot.mkdirs()
-    val selected = if (only.isEmpty) SparkEntry.queries
+    val selected = if (sqlOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+      else if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
