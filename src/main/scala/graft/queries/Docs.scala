@@ -106,6 +106,61 @@ object Docs {
     ("0" * 32 + t.toString(16)).takeRight(32)
   }
 
+  /** Compile a benchmark gram set into a serialized Bloom filter for
+    * [[decontamFilterDf]]. Built distributed (`stat.bloomFilter` runs a
+    * Spark aggregate over xxhash64(gram)); only the filter's bytes —
+    * `ceil(-n·ln(fpp)/ln²2)` bits ≈ 1.8 MB at 1 M grams / 0.1 % — ever
+    * reach the driver, and the same bytes broadcast to every executor
+    * as one literal. Real eval suites are MBs of grams, so the filter
+    * stays broadcast-sized at any corpus scale. */
+  def benchBloomBytes(benchGrams: org.apache.spark.sql.DataFrame,
+      gramCol: String = "gram", expectedItems: Long = 1000000L,
+      fpp: Double = 0.001): Array[Byte] = {
+    val bf = benchGrams.filter(col(gramCol).isNotNull)
+      .select(xxhash64(col(gramCol)).as("h"))
+      .stat.bloomFilter("h", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Stateless decontamination FILTER: drop any doc one of whose word
+    * 5-grams appears in the (Bloom-compiled) benchmark set. Per row
+    * this is a pure expression — `exists` over the 5-gram index range,
+    * each element one xxhash64 + one Bloom probe (`might_contain`,
+    * early-out on first hit) — so the stage needs NO join, NO shuffle,
+    * NO state, and runs identically over a batch frame or an unbounded
+    * stream ([[graft.streaming.StreamingBuckets.decontamStream]]): the
+    * scale shape for "decontaminate 100 TB of ingest against a fixed
+    * eval suite". Error is one-sided: a doc with a REAL benchmark
+    * 5-gram is ALWAYS dropped (Bloom filters have no false negatives);
+    * ~fpp of clean docs are conservatively over-dropped. Exact per-doc
+    * contamination accounting stays on the batch path (d15, which this
+    * filter mirrors: same `words`, same 5-gram window).
+    *
+    * The gram is built INSIDE the exists lambda from the bound `__ws`
+    * attribute — per-element work is O(1) (BENCH_NOTES bound-column
+    * discipline; the array itself is never materialized). */
+  def decontamFilterDf(docs: org.apache.spark.sql.DataFrame,
+      bloomBytes: Array[Byte], textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val bloom = Literal(bloomBytes, BinaryType)
+    def mightContain(v: Column): Column =
+      org.apache.spark.sql.GraftShim.column(
+        BloomFilterMightContain(bloom, org.apache.spark.sql.GraftShim.expression(v)))
+    val ws = col("__ws")
+    val hit = when(size(ws) >= 5,
+      exists(sequence(lit(1), size(ws) - 4), i =>
+        mightContain(xxhash64(concat_ws(" ",
+          element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2),
+          element_at(ws, i + 3), element_at(ws, i + 4))))))
+      .otherwise(lit(false))
+    docs.withColumn("__ws", words(col(textCol)))
+      .filter(!hit)
+      .drop("__ws")
+  }
+
   /** The d12 gate's exact edge list (md5 Carter–Wegman signatures →
     * star edges), exposed so ScaleCheck can verify the clustering
     * against an independent connected-components formulation at SFs the

@@ -38,6 +38,18 @@ object StreamingBuckets {
       seed: String = "samp:"): DataFrame =
     graft.queries.Docs.rateSampleDf(docs, thresholdHex, seed)
 
+  /** Streaming twin of d15 decontamination, as a filter: drop any doc
+    * one of whose word 5-grams appears in the benchmark set, compiled
+    * once to a Bloom filter ([[graft.queries.Docs.benchBloomBytes]])
+    * and shipped as a literal. A pure stateless per-row expression —
+    * no state, no watermark, no join — so a doc's verdict never depends
+    * on which trigger saw it, and the batch backfill over the same docs
+    * drops the SAME set. One-sided error: real benchmark hits are never
+    * missed; ~fpp of clean docs are conservatively over-dropped (exact
+    * accounting stays on the batch d15 path). */
+  def decontamStream(docs: DataFrame, bloomBytes: Array[Byte]): DataFrame =
+    graft.queries.Docs.decontamFilterDf(docs, bloomBytes)
+
   /** Tumbling bucket counts/sums per (event_type, window). For streaming
     * input, `withWatermark` bounds state; for batch input it's a no-op
     * column-metadata marker. */

@@ -198,6 +198,56 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("decontamStream == batch decontam filter; real hits never survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = System.currentTimeMillis()
+    def at(min: Long) = new Timestamp(base + min * 60000L)
+    // benchmark suite: two "eval" documents; their 5-grams define the
+    // contamination set
+    val benchDocs = Seq(
+      "the capital of france is paris and everyone knows it",
+      "to be or not to be that is the question")
+    val bench = graft.queries.Docs.benchBloomBytes(
+      benchDocs.toDF("text")
+        .withColumn("ws", graft.queries.Docs.words(col("text")))
+        .select(col("ws"),
+          explode(sequence(lit(1), greatest(size(col("ws")) - 4, lit(0)))).as("i"))
+        .select(concat_ws(" ",
+          element_at(col("ws"), col("i")), element_at(col("ws"), col("i") + 1),
+          element_at(col("ws"), col("i") + 2), element_at(col("ws"), col("i") + 3),
+          element_at(col("ws"), col("i") + 4)).as("gram")),
+      expectedItems = 100L)
+    val docs = Seq(
+      // contains a bench 5-gram verbatim -> MUST be dropped
+      StreamDoc(1L, "i read that the capital of france is paris yesterday", at(0)),
+      StreamDoc(2L, "completely unrelated text about spark shuffle partitions", at(1)),
+      // another verbatim bench window, later trigger
+      StreamDoc(3L, "he said to be or not to be and left", at(2)),
+      StreamDoc(4L, "short doc", at(3)), // <5 tokens -> always survives
+      StreamDoc(5L, "clean corpus text with many plain ordinary words inside", at(4)))
+    val stream = MemoryStream[StreamDoc]
+    val query = StreamingBuckets.decontamStream(stream.toDF(), bench)
+      .writeStream.format("memory").queryName("decontam")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs.take(2))
+      query.processAllAvailable()
+      stream.addData(docs.drop(2))
+      query.processAllAvailable()
+      val streamed = spark.table("decontam").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val batch = graft.queries.Docs.decontamFilterDf(docs.toDF(), bench)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      // trigger split must not change the verdict
+      assert(streamed === batch)
+      // one-sided error: both contaminated docs are gone, no exceptions
+      assert(!streamed.contains(1L) && !streamed.contains(3L))
+      // deterministic fixture: no false positive fires here
+      assert(streamed === Seq(2L, 4L, 5L))
+    } finally query.stop()
+  }
+
   test("dedupStream drops duplicate event_ids within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
