@@ -1023,19 +1023,45 @@ object Docs {
     // Pure per-row regex map: zero shuffles, scan-parallel at 100 TB.
     Q("d17_pii_redact",
       (s, dir) => {
-        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-        val phoneRe = "\\+?[0-9][0-9-]{6,}"
+        // Java-regex scan discipline (the engine's NFA is the 100 TB cost
+        // here; DuckDB's RE2 is immune to both problems):
+        //  1. Possessive local-part `[...]++@`: '@' is not in the class,
+        //     so no backtracked shorter run can ever match — possessive
+        //     is semantically identical and skips the backtrack chain.
+        //  2. Run-start anchor `(?<![class])`: in plain lowercase text
+        //     nearly EVERY char is in the local-part class, so the
+        //     matcher otherwise re-attempts at every position inside a
+        //     failed run, each attempt re-consuming the run's tail —
+        //     O(run²) per run. With the possessive local part a leftmost
+        //     match can only start at a run start (a mid-run start is
+        //     preceded by class chars, and the run-start attempt already
+        //     consumed them), so the lookbehind rejects mid-run attempts
+        //     in O(1) without changing the match set. Measured 2.08 s →
+        //     0.56 s at sf1 (50 k docs) for the 4-pass pipeline.
+        // The DOMAIN run stays greedy: its class contains '.', so the
+        // final `\.` genuinely needs backtracking. `{6,}+` ends the
+        // phone pattern (nothing after it to re-satisfy); NO lookbehind
+        // on phones — `1+2345678`'s leftmost match starts at '+' which
+        // IS preceded by a digit. The DuckDB twin keeps the plain-greedy
+        // spelling (RE2 has no possessive/lookbehind syntax and no
+        // backtracking to need either); the oracle compares RESULTS.
+        val emailRe = "(?<![a-z0-9._%+-])[a-z0-9._%+-]++@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phoneRe = "\\+?[0-9][0-9-]{6,}+"
         val withPii = concat(col("text"),
           lit(" contact user"), col("doc_id").cast("string"),
           lit("@mail.example.com or +1-555-000"), col("doc_id").cast("string"))
-        val noEmail = regexp_replace(withPii, emailRe, "<EMAIL>")
-        val redacted = regexp_replace(noEmail, phoneRe, "<PHONE>")
+        // ONE java.util.regex pass per pattern producing count AND
+        // replacement together (RedactStats) — the builtin chain costs
+        // four passes (extract_all + replace per pattern). Same engine,
+        // same patterns ⇒ identical match semantics; RedactSpec pins
+        // equality against the 4-pass formulation property-wise.
+        val r = graft.functions.RedactExprs.redactStats(withPii, emailRe, phoneRe)
         t(s, dir, "documents").select(
           col("doc_id"),
-          size(regexp_extract_all(withPii, lit(emailRe), lit(0))).cast("long").as("n_emails"),
-          size(regexp_extract_all(noEmail, lit(phoneRe), lit(0))).cast("long").as("n_phones"),
-          md5(redacted.cast("binary")).as("redacted_fp"),
-          length(redacted).cast("long").as("redacted_len"))
+          r.getField("n_emails").as("n_emails"),
+          r.getField("n_phones").as("n_phones"),
+          md5(r.getField("redacted").cast("binary")).as("redacted_fp"),
+          length(r.getField("redacted")).cast("long").as("redacted_len"))
       },
       Some("""WITH p AS (SELECT doc_id,
              |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or +1-555-000' || CAST(doc_id AS VARCHAR) AS t
