@@ -64,6 +64,17 @@ object CurationPipeline {
       maxDupTokenFrac: Double = 0.6,
       /** 0 disables the decontamination stage. */
       benchMod: Long = 20L,
+      /** Decontamination engine. None (default): EXACT — explode the
+        * target grams and broadcast-anti-join the benchmark set (zero
+        * false drops, per-doc accounting available). Some(fpp): BLOOM —
+        * compile the benchmark set once to a Bloom filter and evaluate
+        * a stateless per-row `exists`/`might_contain` expression
+        * ([[graft.queries.Docs.decontamFilterDf]]): no explode, no join,
+        * no shuffle on the target side, and the SAME stage runs over a
+        * structured stream (StreamingBuckets.decontamStream). One-sided
+        * error: real hits are never missed; ~fpp of clean docs are
+        * conservatively over-dropped. */
+      decontamBloomFpp: Option[Double] = None,
       chunk: Boolean = true,
       partitionCol: String = "lang",
       maxRecordsPerFile: Long = 100000L,
@@ -123,17 +134,26 @@ object CurationPipeline {
       .select(col("doc_id"))
     val exact = stage("02_exact", gated.join(keepIds, Seq("doc_id"), "left_semi"))
 
-    // stage 3: benchmark decontamination
+    // stage 3: benchmark decontamination (exact anti-join, or the
+    // Bloom-literal filter — see Config.decontamBloomFpp)
     val clean = stage("03_clean",
       if (cfg.benchMod <= 0) exact
-      else {
-        val benchGrams = gram5(base.filter(col("doc_id") % cfg.benchMod === 0))
-          .select(col("gram")).distinct()
-        val contamIds = gram5(exact.filter(col("doc_id") % cfg.benchMod =!= 0))
-          .join(broadcast(benchGrams), Seq("gram"))
-          .select(col("doc_id")).distinct()
-        exact.filter(col("doc_id") % cfg.benchMod =!= 0)
-          .join(contamIds, Seq("doc_id"), "left_anti")
+      else cfg.decontamBloomFpp match {
+        case Some(fpp) =>
+          val bloom = Docs.benchBloomBytes(
+            gram5(base.filter(col("doc_id") % cfg.benchMod === 0))
+              .select(col("gram")).distinct(),
+            fpp = fpp)
+          Docs.decontamFilterDf(
+            exact.filter(col("doc_id") % cfg.benchMod =!= 0), bloom)
+        case None =>
+          val benchGrams = gram5(base.filter(col("doc_id") % cfg.benchMod === 0))
+            .select(col("gram")).distinct()
+          val contamIds = gram5(exact.filter(col("doc_id") % cfg.benchMod =!= 0))
+            .join(broadcast(benchGrams), Seq("gram"))
+            .select(col("doc_id")).distinct()
+          exact.filter(col("doc_id") % cfg.benchMod =!= 0)
+            .join(contamIds, Seq("doc_id"), "left_anti")
       })
 
     // stage 4: near-dup dedup, survivors written as the curated corpus

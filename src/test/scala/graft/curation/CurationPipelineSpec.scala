@@ -140,6 +140,29 @@ class CurationPipelineSpec extends SparkSpec {
         s"stage $n was rewritten on resume") }
   }
 
+  test("Bloom decontam: survivors are a subset of the exact stage's, real hits all dropped") {
+    val outA = Files.createTempDirectory("graft-curation-exact").toString
+    val outB = Files.createTempDirectory("graft-curation-bloom").toString
+    val docs = Registry.t(spark, sfDir, "documents")
+    CurationPipeline.run(spark, docs, outA, customGate = langGate)
+    CurationPipeline.run(spark, docs, outB,
+      cfg = CurationPipeline.Config(decontamBloomFpp = Some(0.001)),
+      customGate = langGate)
+    val exactClean = spark.read.parquet(s"$outA/03_clean")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloomClean = spark.read.parquet(s"$outB/03_clean")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // one-sided error: the Bloom filter can only OVER-drop — a doc the
+    // exact anti-join removed (a real benchmark hit) must never survive
+    assert(bloomClean.subsetOf(exactClean),
+      s"bloom kept ${(bloomClean -- exactClean).take(5)} that exact dropped")
+    // and at fpp=0.1% on this corpus no clean doc should be lost either
+    // (deterministic: Bloom hashing has no runtime randomness)
+    assert(bloomClean === exactClean)
+    // downstream stages still run on the filtered frame
+    assert(spark.read.parquet(s"$outB/04_corpus").count() > 0)
+  }
+
   test("benchMod = 0 disables decontamination") {
     val out = Files.createTempDirectory("graft-curation-nodc").toString
     val docs = Registry.t(spark, sfDir, "documents")
