@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata structs. Image decode is REAL —
   * [[decodeImage]] parses container headers and [[decodePixels]] decodes
   * PNG/JPEG/GIF/BMP pixels via the JDK's own `javax.imageio` (r8; no
-  * external codec needed). Audio/video stay stubbed ([[decodeStub]],
+  * external codec needed) — and so is PCM audio: [[decodeAudio]] reads
+  * WAV/AIFF/AU via `javax.sound.sampled` with real level features.
+  * Only video and compressed audio stay stubbed ([[decodeStub]],
   * [[frameSample]]) — those codecs genuinely aren't in the container —
   * as deterministic fakes that preserve the real Spark shape (schema,
   * partition-parallel batch decode via mapPartitions, per-row error
@@ -179,6 +181,91 @@ object Multimodal {
             } catch {
               case e: Exception =>
                 DecodedImage(id, fmt, 0, 0, Array.emptyByteArray, ok = false,
+                  err = s"decode: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** Typed result of a REAL audio decode: stream params + level stats. */
+  final case class AudioMeta(
+      doc_id: Long, encoding: String, channels: Int, sample_rate: Double,
+      bits: Int, n_frames: Long, duration_ms: Double,
+      peak: Double, rms: Double, ok: Boolean, err: String)
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * PCM readers ship with the JRE, headless-safe — the same "no
+    * external codec" retirement decodePixels did for images; only video
+    * and compressed audio stay stubbed). Emits the stream parameters
+    * plus channel-folded peak/RMS level in [0,1] — the cheap
+    * feature-extraction a corpus audit runs per clip. Same
+    * mapPartitions shape: per-row error channel, `maxFrames` bounds the
+    * per-row allocation (reject the 100 TB corpus's inevitable
+    * malformed-length bomb in-row, don't OOM the task). */
+  def decodeAudio(df: DataFrame, maxFrames: Long = 1L << 24): Dataset[AudioMeta] = {
+    val enc = Encoders.product[AudioMeta]
+    df.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          if (b == null || b.isEmpty)
+            AudioMeta(id, "", 0, 0.0, 0, 0L, 0.0, 0.0, 0.0, ok = false, err = "empty payload")
+          else {
+            try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(b))
+              try {
+                val f = in.getFormat
+                val frames = in.getFrameLength
+                val durMs =
+                  if (f.getFrameRate > 0) frames * 1000.0 / f.getFrameRate else 0.0
+                val bits = f.getSampleSizeInBits
+                val pcmSigned =
+                  f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+                val pcmUnsigned =
+                  f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+                if (frames > maxFrames)
+                  AudioMeta(id, f.getEncoding.toString, f.getChannels, f.getSampleRate.toDouble,
+                    bits, frames, durMs, 0.0, 0.0, ok = false,
+                    err = s"$frames frames exceeds maxFrames=$maxFrames")
+                else if (!pcmSigned && !pcmUnsigned || (bits != 8 && bits != 16))
+                  // params still real — only the level stats need PCM samples
+                  AudioMeta(id, f.getEncoding.toString, f.getChannels, f.getSampleRate.toDouble,
+                    bits, frames, durMs, 0.0, 0.0, ok = false,
+                    err = s"unsupported sample layout: ${f.getEncoding}/$bits-bit")
+                else {
+                  val data = in.readAllBytes()
+                  val bytesPer = bits / 8
+                  val n = data.length / bytesPer
+                  var peak = 0.0
+                  var sumSq = 0.0
+                  var i = 0
+                  while (i < n) {
+                    val v =
+                      if (bits == 16) {
+                        val off = i * 2
+                        val s = if (f.isBigEndian)
+                          ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
+                        else
+                          ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
+                        s / 32768.0
+                      } else if (pcmSigned) data(i) / 128.0
+                      else ((data(i) & 0xff) - 128) / 128.0
+                    val a = math.abs(v)
+                    if (a > peak) peak = a
+                    sumSq += v * v
+                    i += 1
+                  }
+                  val rms = if (n > 0) math.sqrt(sumSq / n) else 0.0
+                  AudioMeta(id, f.getEncoding.toString, f.getChannels, f.getSampleRate.toDouble,
+                    bits, frames, durMs, peak, rms, ok = true, err = "")
+                }
+              } finally in.close()
+            } catch {
+              case e: Exception =>
+                AudioMeta(id, "", 0, 0.0, 0, 0L, 0.0, 0.0, 0.0, ok = false,
                   err = s"decode: ${e.getClass.getSimpleName}: ${e.getMessage}")
             }
           }

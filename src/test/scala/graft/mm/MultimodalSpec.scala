@@ -90,6 +90,54 @@ class MultimodalSpec extends SparkSpec {
     assert(d.pixels.isEmpty)
   }
 
+  /** Minimal RIFF/WAVE container around 16-bit little-endian mono PCM.
+    * `claimFrames` lets a test lie about the data-chunk length (the
+    * malformed-length bomb shape decodeAudio must reject in-row). */
+  private def wav(samples: Array[Short], rate: Int,
+      claimFrames: Option[Int] = None): Array[Byte] = {
+    val dataLen = claimFrames.map(_ * 2).getOrElse(samples.length * 2)
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("decodeAudio: real WAV PCM decode — params exact, square-wave RMS exact") {
+    import spark.implicits._
+    // full-scale-half square wave: |v| = 16384/32768 = 0.5 everywhere,
+    // so peak = rms = 0.5 EXACTLY — no windowing/approximation slack
+    val square = Array.tabulate(8000)(i => if (i % 2 == 0) 16384 else -16384)
+      .map(_.toShort)
+    val silent = Array.fill(100)(0.toShort)
+    val df = Seq(
+      (1L, wav(square, 8000)),
+      (2L, wav(silent, 44100)),
+      (3L, "not audio at all".getBytes)).toDF("doc_id", "payload")
+    val m = Multimodal.decodeAudio(df).collect().map(a => a.doc_id -> a).toMap
+    assert(m(1L).ok && m(1L).channels === 1 && m(1L).bits === 16)
+    assert(m(1L).sample_rate === 8000.0 && m(1L).n_frames === 8000L)
+    assert(m(1L).duration_ms === 1000.0)
+    assert(m(1L).peak === 0.5 && math.abs(m(1L).rms - 0.5) < 1e-12)
+    assert(m(2L).ok && m(2L).peak === 0.0 && m(2L).rms === 0.0 &&
+      m(2L).sample_rate === 44100.0)
+    assert(!m(3L).ok && m(3L).err.nonEmpty)
+  }
+
+  test("decodeAudio: claimed-length bomb is rejected in-row via maxFrames") {
+    import spark.implicits._
+    // header claims 2^26 frames; actual data is 4 samples — the decoder
+    // must reject on the CLAIMED length before allocating/reading
+    val bomb = wav(Array[Short](1, 2, 3, 4), 8000, claimFrames = Some(1 << 26))
+    val df = Seq((1L, bomb)).toDF("doc_id", "payload")
+    val a = Multimodal.decodeAudio(df, maxFrames = 1L << 20).collect().head
+    assert(!a.ok && a.err.contains("maxFrames"))
+    assert(a.n_frames === (1L << 26))
+  }
+
   test("resizeStub: huge-but-valid dims are rejected up front (Int overflow guard)") {
     import spark.implicits._
     val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
