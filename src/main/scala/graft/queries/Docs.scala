@@ -1207,6 +1207,41 @@ object Docs {
       Some("""SELECT doc_id, lang, source FROM documents
              |WHERE md5('samp:' || CAST(doc_id AS VARCHAR)) <
              |  '19999999999999999999999999999999'""".stripMargin),
-      "seeded hash-Bernoulli rate sample: shuffle-free, exactly reproducible (north-star: curation)")
+      "seeded hash-Bernoulli rate sample: shuffle-free, exactly reproducible (north-star: curation)"),
+
+    // Heavy hitters via count-min sketch — the term-frequency member of
+    // the mergeable-sketch family (HLL q38, GK quantiles q41, Bloom
+    // decontam): at 100 TB the corpus term distribution is ONE
+    // scan-parallel pass building w×d counter grids that merge
+    // associatively — no shuffle of raw terms, a few hundred KB to the
+    // driver. The exact per-term counts here exist for the GATE (the
+    // q38/q41 envelope pattern: the estimate is reduced to its
+    // one-sided-error verdict, est ≥ exact ∧ est ≤ exact + ⌈ε·N⌉, which
+    // the DuckDB twin asserts as all-true alongside the exact values);
+    // a deployment reads the sketch alone. Fixed seed ⇒ deterministic.
+    Q("d24_heavy_hitters",
+      (s, dir) => {
+        val eps = 0.0005
+        val toks = t(s, dir, "documents")
+          .select(explode(words(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+        // ONE mergeable-sketch pass + the item total, same aggregation
+        val row = toks.agg(
+          expr(s"count_min_sketch(term, ${eps}d, 0.99d, 42)").as("cms"),
+          count(lit(1)).as("n")).head()
+        val slack = math.ceil(eps * row.getLong(1)).toLong
+        val est = graft.functions.CmsExprs.cmsEstimate(col("term"),
+          row.getAs[Array[Byte]](0))
+        toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term").asc).limit(10)
+          .select(col("term"), col("cnt"),
+            (est >= col("cnt") && est <= col("cnt") + lit(slack))
+              .as("within_envelope"))
+      },
+      Some(s"""WITH toks AS (SELECT unnest($dWords) AS term FROM documents),
+              |top AS (SELECT term, COUNT(*) AS cnt FROM toks WHERE term <> ''
+              |  GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 10)
+              |SELECT term, cnt, TRUE AS within_envelope FROM top""".stripMargin),
+      "count-min-sketch heavy hitters with one-sided error envelope (north-star: sketches)")
   )
 }
