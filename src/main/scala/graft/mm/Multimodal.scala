@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * PNG/JPEG/GIF/BMP pixels via the JDK's own `javax.imageio` (r8; no
   * external codec needed) — and so is PCM audio: [[decodeAudio]] reads
   * WAV/AIFF/AU via `javax.sound.sampled` with real level features.
-  * Only video and compressed audio stay stubbed ([[decodeStub]],
-  * [[frameSample]]) — those codecs genuinely aren't in the container —
-  * as deterministic fakes that preserve the real Spark shape (schema,
-  * partition-parallel batch decode via mapPartitions, per-row error
-  * channel). Swapping in a real decoder changes ONE function, none of
-  * the plumbing.
+  * Video CONTAINER metadata is real too — [[decodeVideo]] walks the
+  * MP4/ISO-BMFF box tree and the AVI RIFF header (duration, track
+  * count, dimensions) with pure byte parsing. Only video/compressed-
+  * audio FRAME decode stays stubbed ([[decodeStub]], [[frameSample]]) —
+  * the JDK ships no H.264/VP9/AV1 or MP3/AAC decoder, so those swaps
+  * genuinely need an external codec — as deterministic fakes that
+  * preserve the real Spark shape (schema, partition-parallel batch
+  * decode via mapPartitions, per-row error channel). Swapping in a real
+  * decoder changes ONE function, none of the plumbing.
   */
 object Multimodal {
 
@@ -271,6 +274,185 @@ object Multimodal {
           }
         }
       }(enc)
+  }
+
+  /** Typed result of a REAL video-container metadata decode. */
+  final case class VideoMeta(
+      doc_id: Long, n_bytes: Long, container: String, brand: String,
+      duration_ms: Double, n_tracks: Int, width: Int, height: Int,
+      ok: Boolean, err: String)
+
+  /** REAL video-container metadata decode: walks the MP4/ISO-BMFF box
+    * tree (ftyp brand; moov/mvhd timescale+duration; per-trak tkhd
+    * 16.16-fixed dimensions) and the AVI RIFF header (avih frame timing,
+    * stream count, dimensions) straight off the payload bytes — no codec
+    * library involved, so this runs in any JVM. Frame PIXEL decode is
+    * the one thing that stays stubbed ([[frameSample]]): the JDK ships
+    * no H.264/VP9/AV1 decoder, so that swap genuinely needs an external
+    * codec. Same mapPartitions shape + per-row error channel as every
+    * other decoder here; every multi-byte read is bounds-checked so a
+    * truncated or hostile payload errors instead of throwing. */
+  def decodeVideo(df: DataFrame): Dataset[VideoMeta] = {
+    val enc = Encoders.product[VideoMeta]
+    df.select(col("doc_id"), col("payload"), col("n_bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          val n = r.getLong(2)
+          videoMeta(b) match {
+            case Right(v) =>
+              VideoMeta(id, n, v.container, v.brand, v.durationMs, v.nTracks,
+                v.width, v.height, ok = true, err = "")
+            case Left(e) =>
+              VideoMeta(id, n, "", "", 0.0, 0, 0, 0, ok = false, err = e)
+          }
+        }
+      }(enc)
+  }
+
+  private[mm] final case class ParsedVideo(
+      container: String, brand: String, durationMs: Double,
+      nTracks: Int, width: Int, height: Int)
+
+  private def be32L(b: Array[Byte], i: Int): Long = be32(b, i) & 0xffffffffL
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32L(b, i) << 32) | be32L(b, i + 4)
+  private def le32L(b: Array[Byte], i: Int): Long =
+    (le16(b, i) | (le16(b, i + 2) << 16)).toLong & 0xffffffffL
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Container metadata from MP4/ISO-BMFF or AVI/RIFF bytes. */
+  private[mm] def videoMeta(b: Array[Byte]): Either[String, ParsedVideo] = {
+    if (b == null || b.length < 12) return Left("payload too short")
+    if (fourcc(b, 4) == "ftyp") return mp4Meta(b)
+    if (fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI ") return aviMeta(b)
+    Left("unknown container")
+  }
+
+  /** MP4: top-level box walk. `size==1` means a 64-bit largesize followed
+    * by the type; `size==0` means "to end of file". Box sizes are
+    * unsigned 32-bit — kept in Long so a >2 GiB box can't overflow the
+    * cursor into an infinite loop. */
+  private def mp4Meta(b: Array[Byte]): Either[String, ParsedVideo] = {
+    var brand = ""
+    var durationMs = 0.0
+    var nTracks = 0
+    var width = 0
+    var height = 0
+    var sawMoov = false
+    var i = 0L
+    while (i + 8 <= b.length) {
+      val sz0 = be32L(b, i.toInt)
+      val typ = fourcc(b, i.toInt + 4)
+      val (hdr, sz) =
+        if (sz0 == 1L) {
+          if (i + 16 > b.length) return Left("mp4: truncated largesize box")
+          (16L, be64(b, i.toInt + 8))
+        } else if (sz0 == 0L) (8L, b.length - i)
+        else (8L, sz0)
+      if (sz < hdr || i + sz > b.length) return Left(s"mp4: bad box size $sz for '$typ'")
+      val payload = (i + hdr).toInt
+      val payloadEnd = (i + sz).toInt
+      typ match {
+        case "ftyp" =>
+          if (payloadEnd - payload >= 4) brand = fourcc(b, payload).trim
+        case "moov" =>
+          sawMoov = true
+          // child box walk within moov
+          var j = payload.toLong
+          while (j + 8 <= payloadEnd) {
+            val csz0 = be32L(b, j.toInt)
+            val ctyp = fourcc(b, j.toInt + 4)
+            val (chdr, csz) =
+              if (csz0 == 1L) {
+                if (j + 16 > payloadEnd) return Left("mp4: truncated moov child")
+                (16L, be64(b, j.toInt + 8))
+              } else if (csz0 == 0L) (8L, payloadEnd - j)
+              else (8L, csz0)
+            if (csz < chdr || j + csz > payloadEnd)
+              return Left(s"mp4: bad moov child size $csz for '$ctyp'")
+            val cp = (j + chdr).toInt
+            ctyp match {
+              case "mvhd" =>
+                if (cp >= payloadEnd) return Left("mp4: empty mvhd")
+                val ver = u8(b, cp)
+                if (ver == 1) {
+                  if (cp + 28 + 4 > payloadEnd) return Left("mp4: truncated mvhd v1")
+                  val timescale = be32L(b, cp + 20)
+                  val duration = be64(b, cp + 24)
+                  if (timescale > 0) durationMs = duration * 1000.0 / timescale
+                } else {
+                  if (cp + 20 > payloadEnd) return Left("mp4: truncated mvhd v0")
+                  val timescale = be32L(b, cp + 12)
+                  val duration = be32L(b, cp + 16)
+                  if (timescale > 0) durationMs = duration * 1000.0 / timescale
+                }
+              case "trak" =>
+                nTracks += 1
+                // find tkhd inside trak: width/height are the final two
+                // 16.16 fixed-point words of the box
+                var k = j + chdr
+                while (k + 8 <= j + csz) {
+                  val tsz0 = be32L(b, k.toInt)
+                  val ttyp = fourcc(b, k.toInt + 4)
+                  val tsz = if (tsz0 == 0L) j + csz - k else tsz0
+                  if (tsz < 8 || k + tsz > j + csz)
+                    return Left(s"mp4: bad trak child size $tsz for '$ttyp'")
+                  if (ttyp == "tkhd" && tsz >= 16) {
+                    val wOff = (k + tsz - 8).toInt
+                    val w = (be32L(b, wOff) >> 16).toInt
+                    val h = (be32L(b, wOff + 4) >> 16).toInt
+                    if (w > 0 && h > 0) { width = w; height = h }
+                  }
+                  k += tsz
+                }
+              case _ => ()
+            }
+            j += csz
+          }
+        case _ => ()
+      }
+      i += sz
+    }
+    if (!sawMoov && brand.isEmpty) Left("mp4: no ftyp/moov box")
+    else Right(ParsedVideo("mp4", brand, durationMs, nTracks, width, height))
+  }
+
+  /** AVI: RIFF → LIST hdrl → avih main header (frame timing at +0/+16,
+    * stream count +24, dims +32/+36; all little-endian). */
+  private def aviMeta(b: Array[Byte]): Either[String, ParsedVideo] = {
+    var i = 12L // past RIFF size 'AVI '
+    while (i + 8 <= b.length) {
+      val typ = fourcc(b, i.toInt)
+      val sz = le32L(b, i.toInt + 4)
+      if (i + 8 + sz > b.length) return Left(s"avi: truncated chunk '$typ'")
+      if (typ == "LIST" && sz >= 4 && fourcc(b, i.toInt + 8) == "hdrl") {
+        var j = i + 12
+        val end = i + 8 + sz
+        while (j + 8 <= end) {
+          val ctyp = fourcc(b, j.toInt)
+          val csz = le32L(b, j.toInt + 4)
+          if (j + 8 + csz > end) return Left(s"avi: truncated hdrl chunk '$ctyp'")
+          if (ctyp == "avih") {
+            if (csz < 40) return Left("avi: avih too short")
+            val p = (j + 8).toInt
+            val usPerFrame = le32L(b, p)
+            val totalFrames = le32L(b, p + 16)
+            val streams = le32L(b, p + 24).toInt
+            val w = le32L(b, p + 32).toInt
+            val h = le32L(b, p + 36).toInt
+            return Right(ParsedVideo("avi", "", usPerFrame * totalFrames / 1000.0,
+              streams, w, h))
+          }
+          j += 8 + csz + (csz & 1) // RIFF chunks are word-aligned
+        }
+        return Left("avi: no avih in hdrl")
+      }
+      i += 8 + sz + (sz & 1)
+    }
+    Left("avi: no hdrl LIST")
   }
 
   /** Typed result of the resize stage: payload out, dims as metadata. */

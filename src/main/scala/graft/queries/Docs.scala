@@ -1242,6 +1242,50 @@ object Docs {
               |top AS (SELECT term, COUNT(*) AS cnt FROM toks WHERE term <> ''
               |  GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 10)
               |SELECT term, cnt, TRUE AS within_envelope FROM top""".stripMargin),
-      "count-min-sketch heavy hitters with one-sided error envelope (north-star: sketches)")
+      "count-min-sketch heavy hitters with one-sided error envelope (north-star: sketches)"),
+
+    // Unigram LM surprisal scoring — the CCNet/KenLM-style "perplexity
+    // filter" of a pretraining pipeline: score each document by how
+    // surprising its tokens are under the corpus's own unigram model
+    // (docs full of rare junk score high; boilerplate scores low). The
+    // float-free formulation: per-token surprisal ≈ −log2 p(t) is taken
+    // at integer resolution, bits(N) − bits(c(t)) where bits(x) =
+    // length(bin(x)) = ⌊log2 x⌋ + 1 — exact in both engines (the dynBkt
+    // trick), so sums and the milli-bits-per-token mean (half-away
+    // rational divide) are bit-identical under any partition layout; no
+    // libm call whose last ulp could differ cross-engine. Shuffle shape
+    // = d18's: one doc_id spread, one term-keyed shuffle for the
+    // frequency table, freq broadcast back (AQE self-demotes if a real
+    // vocab outgrows an executor), per-doc rollup on the doc_id
+    // partitioning. Zero-token docs drop from the output in BOTH
+    // engines (nothing to score).
+    Q("d25_lm_surprisal",
+      (s, dir) => {
+        val toks = t(s, dir, "documents").repartition(col("doc_id"))
+          .select(col("doc_id"), explode(words(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+        val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+        val n = toks.agg(count(lit(1)).as("n_total"))
+        def bits(c: Column) = length(bin(c)).cast("long")
+        toks.join(broadcast(freq), Seq("term"))
+          .crossJoin(broadcast(n))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(bits(col("n_total")) - bits(col("c"))).as("surprisal_bits"))
+          .select(col("doc_id"), col("n_tokens"), col("surprisal_bits"),
+            Sim.halfAwayDiv(col("surprisal_bits") * 1000, col("n_tokens"))
+              .as("milli_bits_per_token"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($dWords) AS term FROM documents),
+              |tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+              |freq AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+              |n AS (SELECT COUNT(*) AS n_total FROM tok)
+              |SELECT doc_id,
+              |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              |  CAST(SUM(length(bin(n.n_total)) - length(bin(f.c))) AS BIGINT) AS surprisal_bits,
+              |  CAST(${Sim.halfAwayDivSql("SUM(length(bin(n.n_total)) - length(bin(f.c))) * 1000", "COUNT(*)")} AS BIGINT) AS milli_bits_per_token
+              |FROM tok JOIN freq f USING (term), n
+              |GROUP BY doc_id""".stripMargin),
+      "unigram LM surprisal quality score, exact integer log2 (north-star: quality filtering)")
   )
 }

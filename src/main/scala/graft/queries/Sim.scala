@@ -55,13 +55,13 @@ object Sim {
     * bit-identically — unlike engine `CAST(double AS DECIMAL)`, whose
     * half-way handling on arbitrary floats is engine-defined. The long
     * outputs then sum EXACTLY, in any order, on any partition layout. */
-  private def microQ(vf: Column): Column = {
+  private[queries] def microQ(vf: Column): Column = {
     val d = vf.cast("double") * lit(1000000.0)
     when(d >= 0, floor(d + lit(0.5))).otherwise(-floor(-d + lit(0.5))).cast("long")
   }
 
   /** DuckDB twin of [[microQ]] over a double column named `v`. */
-  private val microQSql: String =
+  private[queries] val microQSql: String =
     "CAST(CASE WHEN v * 1000000.0 >= 0 THEN FLOOR(v * 1000000.0 + 0.5) " +
       "ELSE -FLOOR(-(v * 1000000.0) + 0.5) END AS BIGINT)"
 
@@ -69,7 +69,7 @@ object Sim {
     * long arithmetic — the order-independent replacement for
     * `round(avg, k)` once values are micro-quantized: every operand is
     * exact, so the result is identical across engines and runs. */
-  private def halfAwayDiv(num: Column, den: Column): Column = {
+  private[queries] def halfAwayDiv(num: Column, den: Column): Column = {
     import org.apache.spark.sql.catalyst.expressions.IntegralDivide
     def ldiv(a: Column, b: Column): Column =
       org.apache.spark.sql.GraftShim.column(new IntegralDivide(
@@ -82,7 +82,7 @@ object Sim {
 
   /** DuckDB twin of [[halfAwayDiv]] (`//` truncates; operands kept
     * non-negative per branch so truncation==floor there too). */
-  private def halfAwayDivSql(num: String, den: String): String =
+  private[queries] def halfAwayDivSql(num: String, den: String): String =
     s"(CASE WHEN $num >= 0 THEN (2*($num) + ($den)) // (2*($den)) " +
       s"ELSE -((2*(-($num)) + ($den)) // (2*($den))) END)"
 
@@ -805,6 +805,70 @@ object Sim {
               |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id ASC) AS rk
               |  FROM pairs) WHERE rk <= 3""".stripMargin),
       "KNN join at the PRODUCTION planesFor(n) geometry (oracle recomputes the plane count)"),
+
+    // Scalar-quantization (int8) ANN — the embedding-COMPRESSION member
+    // of the ANN family (IVF e03/e07 prunes cells, LSH e04/e12 prunes
+    // buckets; SQ shrinks every vector 4×: float32 → one byte/dim).
+    // At 100 TB of embeddings the codes table is what you scan — 1/4 the
+    // bytes, integer SIMD dot products — and the exact re-rank touches
+    // only the top candidates. Arithmetic is exact end-to-end
+    // (micro-quantize → per-dim long min/max → integer affine code →
+    // integer ADC dot), so both engines pick bit-identical codes and an
+    // identical candidate set; only the final re-rank cosine is float,
+    // rounded like e02. Per-dim stats: one map-side-combinable agg whose
+    // output is dim rows (broadcast back — a real deployment trains
+    // min/max once on a sample and stores codes). Null components drop
+    // out of the per-pos join in BOTH engines (contribute nothing), the
+    // e08-pinned semantics for partially-null vectors.
+    Q("e13_sq_ann",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+        val comps = e
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+          .filter(col("vf").isNotNull)
+          .select(col("vec_id"), col("pos"), microQ(col("vf")).as("m"))
+        val stats = comps.groupBy(col("pos"))
+          .agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+        val coded = comps.join(broadcast(stats), Seq("pos"))
+          .select(col("vec_id"), col("pos"),
+            when(col("hi") === col("lo"), lit(0L))
+              .otherwise(halfAwayDiv((col("m") - col("lo")) * 255, col("hi") - col("lo")))
+              .as("q"))
+        val qv = coded.filter(col("vec_id") === 0)
+          .select(col("pos"), col("q").as("qq"))
+        val cand = coded.filter(col("vec_id") =!= 0)
+          .join(broadcast(qv), Seq("pos"))
+          .groupBy(col("vec_id")).agg(sum(col("q") * col("qq")).as("adc"))
+          .orderBy(col("adc").desc, col("vec_id").asc).limit(20)
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        cand.join(e, Seq("vec_id")).crossJoin(broadcast(q))
+          .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(5)
+          .select(col("vec_id"), col("adc"), col("cos_sim"))
+      },
+      Some(s"""WITH u AS (
+              |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+              |         unnest(embedding::DOUBLE[]) AS v
+              |  FROM embeddings WHERE embedding IS NOT NULL),
+              |m AS (SELECT vec_id, pos, $microQSql AS m FROM u WHERE v IS NOT NULL),
+              |st AS (SELECT pos, MIN(m) AS lo, MAX(m) AS hi FROM m GROUP BY pos),
+              |coded AS (SELECT vec_id, m.pos,
+              |    CASE WHEN hi = lo THEN 0
+              |      ELSE ${halfAwayDivSql("(m - lo) * 255", "hi - lo")} END AS q
+              |  FROM m JOIN st ON m.pos = st.pos),
+              |qv AS (SELECT pos, q AS qq FROM coded WHERE vec_id = 0),
+              |cand AS (
+              |  SELECT c.vec_id, CAST(SUM(c.q * qv.qq) AS BIGINT) AS adc
+              |  FROM coded c JOIN qv ON c.pos = qv.pos
+              |  WHERE c.vec_id <> 0 GROUP BY c.vec_id
+              |  ORDER BY adc DESC, c.vec_id ASC LIMIT 20),
+              |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+              |SELECT cand.vec_id, adc,
+              |  ROUND(${dDot("e.embedding", "q.qe")} /
+              |    (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("q.qe", "q.qe")})), 4) AS cos_sim
+              |FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id, q
+              |ORDER BY cos_sim DESC, cand.vec_id ASC LIMIT 5""".stripMargin),
+      "int8 scalar-quantization ANN: exact-integer codes + ADC candidates + exact re-rank (north-star)"),
 
     // Multimodal-column plumbing: opaque bytes + typed metadata + a
     // clearly-fake deterministic "decode" (real decode is stubbed — media

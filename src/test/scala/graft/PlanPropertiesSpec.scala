@@ -114,6 +114,25 @@ class PlanPropertiesSpec extends SparkSpec {
       "df branch must reuse the doc_id spread exchange")
   }
 
+  test("d25: freq table broadcasts back; token stream reuses the doc_id spread") {
+    val p = planOf("d25_lm_surprisal")
+    assert(p.contains("BroadcastHashJoin"), s"freq join not broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"), "token stream must not re-shuffle for the join")
+    val df = Registry.queries("d25_lm_surprisal")(spark, sfDir)
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    assert(ep.contains("ReusedExchange"),
+      "freq branch must reuse the doc_id spread exchange")
+  }
+
+  test("e13: SQ codes join tiny broadcast sides only — no cartesian, no sort-merge") {
+    val p = planOf("e13_sq_ann")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-dim stats / query-code joins must broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"), "corpus-sized code stream must not sort-merge")
+    assert(!p.contains("CartesianProduct"), "only the 1-row query side may nest-loop")
+  }
+
   test("e10: semdedup edge generation is bucket-join bounded — no cartesian") {
     val p = planOf("e10_semdedup")
     assert(!p.contains("CartesianProduct"), "edge generation went all-pairs")

@@ -138,6 +138,72 @@ class MultimodalSpec extends SparkSpec {
     assert(a.n_frames === (1L << 26))
   }
 
+  /** Minimal-but-valid MP4: ftyp(isom) + moov{ mvhd v0(timescale,
+    * duration), trak{ tkhd with 16.16-fixed dims in its last 8 bytes } }. */
+  private def mp4(timescale: Int, duration: Int, w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + 28 + 8 + 24 + 8)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+    bb.putInt(8 + 28 + 8 + 24 + 8).put("moov".getBytes)
+    // mvhd v0: ver+flags, creation, modification, timescale, duration (+pad)
+    bb.putInt(8 + 28).put("mvhd".getBytes)
+      .putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(duration)
+      .putInt(0).putInt(0)
+    // trak { tkhd: 16-byte payload whose last 8 bytes are w/h in 16.16 }
+    bb.putInt(8 + 24).put("trak".getBytes)
+    bb.putInt(24).put("tkhd".getBytes).putInt(0).putInt(0)
+      .putInt(w << 16).putInt(h << 16)
+    bb.array()
+  }
+
+  /** Minimal AVI: RIFF/AVI + LIST hdrl + 56-byte avih main header. */
+  private def avi(usPerFrame: Int, totalFrames: Int, streams: Int,
+      w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + 12 + 8 + 56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(12 + 8 + 56 + 4).put("AVI ".getBytes)
+    bb.put("LIST".getBytes).putInt(4 + 8 + 56).put("hdrl".getBytes)
+    bb.put("avih".getBytes).putInt(56)
+      .putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+      .putInt(totalFrames).putInt(0).putInt(streams).putInt(0)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.array()
+  }
+
+  test("decodeVideo: real MP4 box walk — brand, duration, tracks, 16.16 dims") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, mp4(timescale = 1000, duration = 5000, w = 640, h = 360)),
+      (2L, avi(usPerFrame = 40000, totalFrames = 250, streams = 2, w = 320, h = 240)),
+      (3L, "definitely not a video".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+    val m = Multimodal.decodeVideo(df).collect().map(v => v.doc_id -> v).toMap
+    assert(m(1L).ok && m(1L).container === "mp4" && m(1L).brand === "isom")
+    assert(m(1L).duration_ms === 5000.0 && m(1L).n_tracks === 1)
+    assert(m(1L).width === 640 && m(1L).height === 360)
+    assert(m(2L).ok && m(2L).container === "avi")
+    assert(m(2L).duration_ms === 10000.0 && m(2L).n_tracks === 2)
+    assert(m(2L).width === 320 && m(2L).height === 240)
+    assert(!m(3L).ok && m(3L).err === "unknown container")
+  }
+
+  test("decodeVideo: truncated/hostile boxes use the error channel, never throw") {
+    import spark.implicits._
+    val good = mp4(1000, 5000, 640, 360)
+    val truncated = good.take(30) // cuts inside moov
+    // box claims a 2 GiB size: unsigned read + Long cursor must reject it
+    val hostile = good.clone()
+    hostile(16) = 0x80.toByte // moov size high byte → huge unsigned
+    val df = Seq((1L, truncated), (2L, hostile), (3L, Array.emptyByteArray))
+      .toDF("doc_id", "payload")
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+    val m = Multimodal.decodeVideo(df).collect().map(v => v.doc_id -> v).toMap
+    assert(!m(1L).ok && m(1L).err.startsWith("mp4:"))
+    assert(!m(2L).ok && m(2L).err.startsWith("mp4:"))
+    assert(!m(3L).ok && m(3L).err === "payload too short")
+  }
+
   test("resizeStub: huge-but-valid dims are rejected up front (Int overflow guard)") {
     import spark.implicits._
     val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")

@@ -53,6 +53,30 @@ class ClusteringSpec extends SparkSpec {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("e13: int8 codes, ADC ranking, and exact re-rank match hand computation") {
+    val dir = Files.createTempDirectory("graft-sq").toString
+    import spark.implicits._
+    // per-dim micro ranges: pos0 lo=0 hi=1e6, pos1 lo=0 hi=1e6
+    // codes (0..255): q=[255,0]; v1=[255,0]; v2=[0,255]; v3=[128,128]
+    // (0.5 → 127.5 rounds HALF-AWAY to 128 — the boundary the spec pins)
+    Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.0f, 1.0f), 0),
+      (3L, Seq(0.5f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val rows = Registry.queries("e13_sq_ann")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 3L, 2L)) // cos order
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) === 255L * 255L)
+    assert(byId(3L).getLong(1) === 128L * 255L)
+    assert(byId(2L).getLong(1) === 0L)
+    assert(byId(1L).getDouble(2) === 1.0)
+    assert(byId(3L).getDouble(2) === 0.7071)
+    assert(byId(2L).getDouble(2) === 0.0)
+  }
+
   test("e08: broadcast-model argmin assignment equals the long-format argmin") {
     val dir = "/root/testdata/sf0.001"
     val e = Registry.t(spark, dir, "embeddings")

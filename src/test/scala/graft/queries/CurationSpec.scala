@@ -202,6 +202,23 @@ class CurationSpec extends SparkSpec {
       s"rate ${a.length.toDouble / n} too far from 0.1 (n=$n)")
   }
 
+  test("d25: surprisal bits and milli-bits/token match hand computation") {
+    val dir = fixture(Seq(
+      (1L, "a a a a", "en", "s"), // 4× the common token
+      (2L, "a b", "en", "s"),     // one common + one rare
+      (3L, "c", "en", "s")))      // one rare
+    // corpus: N=7 tokens; counts a=5, b=1, c=1
+    // bits(7)=3, bits(5)=3, bits(1)=1 → surprisal a=0, b=2, c=2
+    val out = Registry.queries("d25_lm_surprisal")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 4L && out(1L).getLong(2) === 0L &&
+      out(1L).getLong(3) === 0L)
+    assert(out(2L).getLong(1) === 2L && out(2L).getLong(2) === 2L &&
+      out(2L).getLong(3) === 1000L)
+    assert(out(3L).getLong(1) === 1L && out(3L).getLong(2) === 2L &&
+      out(3L).getLong(3) === 2000L)
+  }
+
   test("d17: crafted email+phone are redacted and counted") {
     val dir = fixture(Seq(
       (1L, "reach me at john.doe@example.com or 555-123-4567 now", "en", "s"),
