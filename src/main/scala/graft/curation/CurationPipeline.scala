@@ -15,7 +15,9 @@ import graft.queries.Docs
   * spec-asserted in CurationPipelineSpec):
   *
   *   1. `01_gated`    min-token + dup-token-fraction repetition gate,
-  *                    plus any caller-supplied gate (lang ID, quality
+  *                    optional unigram-LM surprisal gate (d25's shape,
+  *                    `Config.maxSurprisalMilliBits`), plus any
+  *                    caller-supplied gate (lang ID, quality
   *                    classifier, ...)
   *   2. `02_exact`    exact dedup — keep the min doc_id per text hash
   *   3. `03_clean`    benchmark decontamination — drop held-out docs
@@ -75,6 +77,14 @@ object CurationPipeline {
         * error: real hits are never missed; ~fpp of clean docs are
         * conservatively over-dropped. */
       decontamBloomFpp: Option[Double] = None,
+      /** Unigram-LM surprisal quality gate (d25's shape, part of stage
+        * 1): drop docs whose mean surprisal under the corpus's OWN
+        * unigram model exceeds this many milli-bits/token — the
+        * CCNet-style "high-perplexity junk" cut, in exact integer
+        * arithmetic. The model is trained on the RAW input corpus
+        * (pre-gate — more data, and stable under gate-config changes).
+        * None disables the gate. */
+      maxSurprisalMilliBits: Option[Long] = None,
       chunk: Boolean = true,
       partitionCol: String = "lang",
       maxRecordsPerFile: Long = 100000L,
@@ -120,10 +130,22 @@ object CurationPipeline {
     val dupFrac = lit(1.0) -
       size(array_distinct(col("ws"))).cast("double") / nTok.cast("double")
 
-    // stage 1: repetition/length gates + caller's gate
-    val gated = stage("01_gated", customGate(
-      base.withColumn("n_tokens", nTok)
-        .filter(col("n_tokens") >= cfg.minTokens && dupFrac <= cfg.maxDupTokenFrac)))
+    // stage 1: repetition/length gates (+ optional surprisal gate) +
+    // caller's gate. The surprisal cut is a semi-join against the d25
+    // scores of the RAW corpus: docs at or under the threshold survive
+    // (zero-token docs have no score and are already dead to minTokens).
+    val gated = stage("01_gated", customGate {
+      val g = base.withColumn("n_tokens", nTok)
+        .filter(col("n_tokens") >= cfg.minTokens && dupFrac <= cfg.maxDupTokenFrac)
+      cfg.maxSurprisalMilliBits match {
+        case Some(maxMb) =>
+          val keep = Docs.surprisalDf(docs)
+            .filter(col("milli_bits_per_token") <= maxMb)
+            .select(col("doc_id"))
+          g.join(keep, Seq("doc_id"), "left_semi")
+        case None => g
+      }
+    })
 
     // stage 2: exact dedup — groupBy(hash)→min(id) + doc_id semi-join
     // back (same shape as d13): the hash exchange ships (md5, doc_id)

@@ -106,6 +106,53 @@ object Docs {
     ("0" * 32 + t.toString(16)).takeRight(32)
   }
 
+  /** The d17 PII patterns (shared with the streaming redaction twin so
+    * batch and stream redact identically — see the optimization notes at
+    * the d17 gate for why the email pattern is possessive + run-start
+    * anchored). */
+  private[graft] val piiEmailRe = "(?<![a-z0-9._%+-])[a-z0-9._%+-]++@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val piiPhoneRe = "\\+?[0-9][0-9-]{6,}+"
+
+  /** DataFrame-in redaction body shared batch≡stream: replace emails and
+    * phone numbers in `text` with `<EMAIL>`/`<PHONE>` tags and attach
+    * per-doc match counts — ONE compiled-regex pass per pattern
+    * ([[graft.functions.RedactExprs]]). Pure per-row map: no state, no
+    * shuffle, safe on an unbounded stream. */
+  private[graft] def redactDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val r = graft.functions.RedactExprs.redactStats(col("text"), piiEmailRe, piiPhoneRe)
+    docs.withColumn("_r", r)
+      .withColumn("text", col("_r").getField("redacted"))
+      .withColumn("n_emails", col("_r").getField("n_emails"))
+      .withColumn("n_phones", col("_r").getField("n_phones"))
+      .drop("_r")
+  }
+
+  /** DataFrame-in body of d25 (shared with CurationPipeline's surprisal
+    * gate, so the pipeline stage is oracle-pinned by construction):
+    * per-doc unigram LM surprisal under the corpus's own model, in
+    * EXACT integer arithmetic — per-token surprisal = bits(N) − bits(c)
+    * with bits(x) = length(bin(x)) = ⌊log2 x⌋ + 1, mean emitted as
+    * milli-bits/token via the half-away rational divide. Shuffle shape:
+    * one doc_id spread (reused by the freq branch), one term shuffle,
+    * freq broadcast back (AQE self-demotes if a real vocab outgrows an
+    * executor). Zero-token docs drop from the output. */
+  private[graft] def surprisalDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val n = toks.agg(count(lit(1)).as("n_total"))
+    def bits(c: Column) = length(bin(c)).cast("long")
+    toks.join(broadcast(freq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(bits(col("n_total")) - bits(col("c"))).as("surprisal_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("surprisal_bits"),
+        Sim.halfAwayDiv(col("surprisal_bits") * 1000, col("n_tokens"))
+          .as("milli_bits_per_token"))
+  }
+
   /** Compile a benchmark gram set into a serialized Bloom filter for
     * [[decontamFilterDf]]. Built distributed (`stat.bloomFilter` runs a
     * Spark aggregate over xxhash64(gram)); only the filter's bytes —
@@ -1045,8 +1092,6 @@ object Docs {
         // IS preceded by a digit. The DuckDB twin keeps the plain-greedy
         // spelling (RE2 has no possessive/lookbehind syntax and no
         // backtracking to need either); the oracle compares RESULTS.
-        val emailRe = "(?<![a-z0-9._%+-])[a-z0-9._%+-]++@[a-z0-9.-]+\\.[a-z]{2,}"
-        val phoneRe = "\\+?[0-9][0-9-]{6,}+"
         val withPii = concat(col("text"),
           lit(" contact user"), col("doc_id").cast("string"),
           lit("@mail.example.com or +1-555-000"), col("doc_id").cast("string"))
@@ -1055,7 +1100,7 @@ object Docs {
         // four passes (extract_all + replace per pattern). Same engine,
         // same patterns ⇒ identical match semantics; RedactSpec pins
         // equality against the 4-pass formulation property-wise.
-        val r = graft.functions.RedactExprs.redactStats(withPii, emailRe, phoneRe)
+        val r = graft.functions.RedactExprs.redactStats(withPii, piiEmailRe, piiPhoneRe)
         t(s, dir, "documents").select(
           col("doc_id"),
           r.getField("n_emails").as("n_emails"),
@@ -1260,22 +1305,7 @@ object Docs {
     // partitioning. Zero-token docs drop from the output in BOTH
     // engines (nothing to score).
     Q("d25_lm_surprisal",
-      (s, dir) => {
-        val toks = t(s, dir, "documents").repartition(col("doc_id"))
-          .select(col("doc_id"), explode(words(col("text"))).as("term"))
-          .filter(col("term") =!= "")
-        val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
-        val n = toks.agg(count(lit(1)).as("n_total"))
-        def bits(c: Column) = length(bin(c)).cast("long")
-        toks.join(broadcast(freq), Seq("term"))
-          .crossJoin(broadcast(n))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tokens"),
-            sum(bits(col("n_total")) - bits(col("c"))).as("surprisal_bits"))
-          .select(col("doc_id"), col("n_tokens"), col("surprisal_bits"),
-            Sim.halfAwayDiv(col("surprisal_bits") * 1000, col("n_tokens"))
-              .as("milli_bits_per_token"))
-      },
+      (s, dir) => surprisalDf(t(s, dir, "documents")),
       Some(s"""WITH toks AS (SELECT doc_id, unnest($dWords) AS term FROM documents),
               |tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
               |freq AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
@@ -1286,6 +1316,73 @@ object Docs {
               |  CAST(${Sim.halfAwayDivSql("SUM(length(bin(n.n_total)) - length(bin(f.c))) * 1000", "COUNT(*)")} AS BIGINT) AS milli_bits_per_token
               |FROM tok JOIN freq f USING (term), n
               |GROUP BY doc_id""".stripMargin),
-      "unigram LM surprisal quality score, exact integer log2 (north-star: quality filtering)")
+      "unigram LM surprisal quality score, exact integer log2 (north-star: quality filtering)"),
+
+    // Typo-pair mining over the corpus vocabulary — the SymSpell /
+    // deletion-neighborhood trick, which is THE scale story for fuzzy
+    // matching: a naive edit-distance-1 self-join is O(V²) distance
+    // computations, but two words at distance 1 MUST share a member of
+    // {word} ∪ del1(word) (delete the inserted char / the substituted
+    // char on either side), so generating the ≤(len+1) deletion variants
+    // per word (index explode — the safe generator shape) and
+    // equi-joining on the variant string turns the problem into one
+    // linear expansion + one hash shuffle on the variant key; the exact
+    // levenshtein check then runs only on candidates that share a
+    // variant (it also kills the transposition-shaped distance-2 pairs
+    // the neighborhood admits). Vocabulary is [a-z]{4,20} words — the
+    // normalization/typo-clustering primitive of corpus cleaning.
+    Q("d26_typo_pairs",
+      (s, dir) => {
+        // The synthetic corpus's fixed word list contains no distance-1
+        // pairs, so (the d17 pattern: the corpus has no PII either) a
+        // deterministic typo stream is injected in BOTH engines —
+        // insertion "sparkk", deletion "valu", substitution "streem",
+        // and the transposition "ordre", which generates candidates but
+        // sits at distance 2 and must be killed by the exact check.
+        val typod = t(s, dir, "documents").withColumn("text",
+          concat(col("text"), lit(" "),
+            element_at(array(lit("sparkk"), lit("valu"), lit("streem"), lit("ordre")),
+              (pmod(col("doc_id"), lit(4)) + 1).cast("int"))))
+        val vocab = typod
+          .select(explode(words(col("text"))).as("term"))
+          .filter(col("term").rlike("^[a-z]{4,20}$"))
+          .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        val vars = vocab
+          .select(col("term"), col("freq"),
+            explode(sequence(lit(0), length(col("term")))).as("i"))
+          .select(col("term"), col("freq"),
+            when(col("i") === 0, col("term"))
+              .otherwise(concat(
+                expr("substring(term, 1, i - 1)"),
+                expr("substring(term, i + 1)"))).as("v"))
+        // merge-hinted on BOTH sides (the d20 lesson): the variant table
+        // is corpus-derived and post-agg size estimates are garbage — a
+        // planner broadcast here would OOM the driver at real vocab
+        // sizes. SMJ of a self-join also reuses one exchange.
+        val a = vars.select(col("term").as("term_a"), col("freq").as("freq_a"), col("v"))
+          .hint("merge")
+        val b = vars.select(col("term").as("term_b"), col("freq").as("freq_b"), col("v"))
+          .hint("merge")
+        a.join(b, Seq("v"))
+          .filter(col("term_a") < col("term_b") &&
+            levenshtein(col("term_a"), col("term_b")) === 1)
+          .select(col("term_a"), col("term_b"), col("freq_a"), col("freq_b"))
+          .distinct()
+      },
+      Some(s"""WITH typod AS (SELECT doc_id,
+              |  text || ' ' || (['sparkk','valu','streem','ordre'])[(((doc_id % 4) + 4) % 4 + 1)] AS text
+              |  FROM documents),
+              |toks AS (SELECT unnest(${dWords.replace("text", "typod.text")}) AS term FROM typod),
+              |vocab AS (SELECT term, COUNT(*) AS freq FROM toks
+              |  WHERE regexp_full_match(term, '[a-z]{4,20}') GROUP BY term),
+              |vars AS (SELECT term, freq,
+              |    CASE WHEN i = 0 THEN term
+              |      ELSE substr(term, 1, i - 1) || substr(term, i + 1) END AS v
+              |  FROM (SELECT term, freq, unnest(range(0, length(term) + 1)) AS i FROM vocab))
+              |SELECT DISTINCT a.term AS term_a, b.term AS term_b,
+              |  a.freq AS freq_a, b.freq AS freq_b
+              |FROM vars a JOIN vars b ON a.v = b.v
+              |WHERE a.term < b.term AND levenshtein(a.term, b.term) = 1""".stripMargin),
+      "SymSpell deletion-neighborhood typo pairs at edit distance 1 (north-star: fuzzy matching)")
   )
 }

@@ -50,6 +50,17 @@ object StreamingBuckets {
   def decontamStream(docs: DataFrame, bloomBytes: Array[Byte]): DataFrame =
     graft.queries.Docs.decontamFilterDf(docs, bloomBytes)
 
+  /** Streaming twin of d17 PII redaction, as a transform: emails/phones
+    * replaced with `<EMAIL>`/`<PHONE>` tags + per-doc match counts, via
+    * ONE compiled-regex pass per pattern (the d17 gate's codegen'd
+    * RedactStats expression, same patterns — batch and stream redact
+    * byte-identically). A pure stateless per-row map: no state, no
+    * watermark, no shuffle, so it composes with the other ingest stages
+    * at any point in the stream. Completes the stateless curation twin
+    * set: quality gate, rate sample, decontam, redact. */
+  def redactStream(docs: DataFrame): DataFrame =
+    graft.queries.Docs.redactDf(docs)
+
   /** Tumbling bucket counts/sums per (event_type, window). For streaming
     * input, `withWatermark` bounds state; for batch input it's a no-op
     * column-metadata marker. */

@@ -133,6 +133,15 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "only the 1-row query side may nest-loop")
   }
 
+  test("d26: variant join is a keyed shuffle join — no cartesian, no broadcast of a corpus-derived side") {
+    val p = planOf("d26_typo_pairs")
+    assert(!p.contains("CartesianProduct"), "typo mining went all-pairs")
+    // both join sides are the corpus-derived variant expansion: neither
+    // may broadcast (vocab grows with the corpus — the d20 lesson)
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"corpus-derived variant side must not broadcast:\n${p.take(800)}")
+  }
+
   test("e10: semdedup edge generation is bucket-join bounded — no cartesian") {
     val p = planOf("e10_semdedup")
     assert(!p.contains("CartesianProduct"), "edge generation went all-pairs")

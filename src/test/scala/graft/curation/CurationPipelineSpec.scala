@@ -85,6 +85,32 @@ class CurationPipelineSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("surprisal gate: stage 1 equals the d25 scores cut at the threshold") {
+    val out = Files.createTempDirectory("graft-curation-surp").toString
+    val docs = Registry.t(spark, sfDir, "documents")
+    // pick a mid-distribution threshold so the gate actually splits
+    val scores = Registry.queries("d25_lm_surprisal")(spark, sfDir)
+      .select(col("doc_id"), col("milli_bits_per_token"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val thr = scores.values.toSeq.sorted.apply(scores.size / 2)
+    val counts = CurationPipeline.run(spark, docs, out,
+      cfg = CurationPipeline.Config(maxSurprisalMilliBits = Some(thr)),
+      customGate = langGate).toMap
+
+    val gatedIds = spark.read.parquet(s"$out/01_gated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gatedIds.nonEmpty && counts("01_gated") === gatedIds.size.toLong)
+    // every survivor scores at or under the threshold (oracle-pinned d25)
+    assert(gatedIds.forall(id => scores(id) <= thr))
+    // and the gate dropped ONLY over-threshold docs: re-running without
+    // the surprisal gate and cutting by the d25 scores gives the same set
+    val out2 = Files.createTempDirectory("graft-curation-surp2").toString
+    CurationPipeline.run(spark, docs, out2, customGate = langGate)
+    val plainIds = spark.read.parquet(s"$out2/01_gated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gatedIds === plainIds.filter(id => scores(id) <= thr))
+  }
+
   test("ClusterBalanced selection keeps <= quota per cluster, sampled from survivors") {
     val out = Files.createTempDirectory("graft-curation-cb").toString
     val docs = Registry.t(spark, sfDir, "documents")

@@ -219,6 +219,20 @@ class CurationSpec extends SparkSpec {
       out(3L).getLong(3) === 2000L)
   }
 
+  test("d26: deletion-neighborhood pairs at distance 1; transpositions excluded") {
+    val dir = fixture(Seq(
+      (1L, "hello hello hallo helo", "en", "s"),
+      (2L, "world wordl tiny abc", "en", "s"))) // abc: <4 chars, out of vocab
+    val out = Registry.queries("d26_typo_pairs")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // substitution (hallo↔hello) and deletion (helo↔hello) pair up;
+    // world/wordl share deletion variants but sit at distance 2
+    // (transposition) and must be killed by the exact check
+    assert(out.keySet === Set(("hallo", "hello"), ("hello", "helo")))
+    assert(out(("hallo", "hello")) === ((1L, 2L)))
+    assert(out(("hello", "helo")) === ((2L, 1L)))
+  }
+
   test("d17: crafted email+phone are redacted and counted") {
     val dir = fixture(Seq(
       (1L, "reach me at john.doe@example.com or 555-123-4567 now", "en", "s"),

@@ -248,6 +248,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("redactStream == batch redaction; PII never survives, counts exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = System.currentTimeMillis()
+    def at(min: Long) = new Timestamp(base + min * 60000L)
+    val docs = Seq(
+      StreamDoc(1L, "mail bob.smith@corp.example.org or call +1-555-0100 now", at(0)),
+      StreamDoc(2L, "no pii in this document at all", at(1)),
+      StreamDoc(3L, "two mails a@b.io c@d.net one phone 555-1234-777", at(2)))
+    val stream = MemoryStream[StreamDoc]
+    val query = StreamingBuckets.redactStream(stream.toDF())
+      .writeStream.format("memory").queryName("redact")
+      .outputMode("append").start()
+    try {
+      // arbitrary trigger split: per-row map must not care
+      stream.addData(docs.take(1))
+      query.processAllAvailable()
+      stream.addData(docs.drop(1))
+      query.processAllAvailable()
+      val streamed = spark.table("redact")
+        .select("doc_id", "text", "n_emails", "n_phones")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+      val batch = graft.queries.Docs.redactDf(docs.toDF())
+        .select("doc_id", "text", "n_emails", "n_phones")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+      assert(streamed === batch)
+      assert(streamed(1L) === (("mail <EMAIL> or call <PHONE> now", 1L, 1L)))
+      assert(streamed(2L) === (("no pii in this document at all", 0L, 0L)))
+      assert(streamed(3L)._2 === 2L && streamed(3L)._3 === 1L)
+      assert(!streamed.values.exists(v => v._1.contains("@") || v._1.contains("555-0100")))
+    } finally query.stop()
+  }
+
   test("dedupStream drops duplicate event_ids within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
