@@ -472,6 +472,20 @@ object Docs {
   private def dMinhash(i: Int) =
     s"list_min(list_transform(hh, h -> (h.h1 + $i * h.h2) % 1000000007))"
 
+  /** DuckDB twin of [[surprisalDf]] as a CTE chain ending in `scored`
+    * (shared by the d25 gate and d27's importance sampler). */
+  private lazy val dSurprisal =
+    s"""toks AS (SELECT doc_id, unnest($dWords) AS term FROM documents),
+       |tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+       |freq AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_total FROM tok),
+       |scored AS (SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(length(bin(n.n_total)) - length(bin(f.c))) AS BIGINT) AS surprisal_bits,
+       |  CAST(${Sim.halfAwayDivSql("SUM(length(bin(n.n_total)) - length(bin(f.c))) * 1000", "COUNT(*)")} AS BIGINT) AS milli_bits_per_token
+       |FROM tok JOIN freq f USING (term), n
+       |GROUP BY doc_id)""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     Q("d01_token_count",
@@ -1306,16 +1320,8 @@ object Docs {
     // engines (nothing to score).
     Q("d25_lm_surprisal",
       (s, dir) => surprisalDf(t(s, dir, "documents")),
-      Some(s"""WITH toks AS (SELECT doc_id, unnest($dWords) AS term FROM documents),
-              |tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
-              |freq AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
-              |n AS (SELECT COUNT(*) AS n_total FROM tok)
-              |SELECT doc_id,
-              |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
-              |  CAST(SUM(length(bin(n.n_total)) - length(bin(f.c))) AS BIGINT) AS surprisal_bits,
-              |  CAST(${Sim.halfAwayDivSql("SUM(length(bin(n.n_total)) - length(bin(f.c))) * 1000", "COUNT(*)")} AS BIGINT) AS milli_bits_per_token
-              |FROM tok JOIN freq f USING (term), n
-              |GROUP BY doc_id""".stripMargin),
+      Some(s"""WITH $dSurprisal
+              |SELECT doc_id, n_tokens, surprisal_bits, milli_bits_per_token FROM scored""".stripMargin),
       "unigram LM surprisal quality score, exact integer log2 (north-star: quality filtering)"),
 
     // Typo-pair mining over the corpus vocabulary — the SymSpell /
@@ -1383,6 +1389,94 @@ object Docs {
               |  a.freq AS freq_a, b.freq AS freq_b
               |FROM vars a JOIN vars b ON a.v = b.v
               |WHERE a.term < b.term AND levenshtein(a.term, b.term) = 1""".stripMargin),
-      "SymSpell deletion-neighborhood typo pairs at edit distance 1 (north-star: fuzzy matching)")
+      "SymSpell deletion-neighborhood typo pairs at edit distance 1 (north-star: fuzzy matching)"),
+
+    // Quality-weighted importance sampling — the data-MIXING primitive
+    // (DoReMi-style reweighting applied at selection time): each doc is
+    // kept with probability proportional to its quality, not at one
+    // global rate. Composes the d25 scorer with the d23 hash-Bernoulli
+    // trick at a PER-ROW rate: keep iff the first 60 bits of
+    // md5(seed‖doc_id), read as an integer fraction of 2⁶⁰, fall below
+    // rate(doc)·2⁶⁰ — rate(doc) ramps linearly from 1 at ≤4000
+    // milli-bits down to 0 at ≥6000 (the corpus's organic scores sit at
+    // 5000–5400, so the ramp actually grades), evaluated in EXACT
+    // integer arithmetic (clamp(6000 − mb, 0, 2000) · ⌊2⁶⁰/2000⌋), so
+    // the keep/drop verdict is bit-deterministic in both engines,
+    // shuffle-free given the scores, and mergeable across shards.
+    // Shuffle shape = d25's (the score computation); the sampling
+    // itself adds zero exchanges.
+    Q("d27_importance_sample",
+      (s, dir) => {
+        val unit = 576460752303423L // floor(2^60 / 2000)
+        val hashFrac = conv(
+          substring(md5(concat(lit("qs:"), col("doc_id").cast("string")).cast("binary")), 1, 15),
+          16, 10).cast("long")
+        surprisalDf(t(s, dir, "documents"))
+          .filter(hashFrac <
+            least(greatest(lit(6000L) - col("milli_bits_per_token"), lit(0L)), lit(2000L)) * lit(unit))
+          .select(col("doc_id"), col("n_tokens"), col("milli_bits_per_token"))
+      },
+      Some(s"""WITH $dSurprisal
+              |SELECT doc_id, n_tokens, milli_bits_per_token FROM scored
+              |WHERE ('0x' || substr(md5('qs:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT <
+              |  LEAST(GREATEST(6000 - milli_bits_per_token, 0), 2000) * 576460752303423""".stripMargin),
+      "quality-weighted importance sampling: per-doc keep rate from the d25 score (north-star: data mixing)"),
+
+    // Deterministic training-order shuffle + shard assignment — the
+    // LAST step of a pretraining pipeline: every doc gets a shard (of
+    // 8) and an exact position within its shard's training order, both
+    // derived from md5(ord:‖doc_id) so the order is reproducible,
+    // seed-switchable, and independent of input layout. The global
+    // per-shard position is computed WITHOUT a shard-serial sort (the
+    // d22 lesson): rank within (shard, bucket) plus broadcast
+    // per-bucket base offsets (a 256-row side computed from bucket
+    // counts). The bucket MUST be an order-consistent PREFIX of the
+    // sort key — the full leading hex BYTE (0..255), so that k order ≡
+    // (bucket, k) order within a shard; a narrower slice (say the 2nd
+    // nibble alone) interleaves across 1st nibbles and breaks the
+    // decomposition. At 100 TB each bucket sort is spillable and
+    // parallel; nothing serializes through one task.
+    Q("d28_train_order",
+      (s, dir) => {
+        val keyed = t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull)
+          .select(col("doc_id"),
+            md5(concat(lit("ord:"), col("doc_id").cast("string")).cast("binary")).as("k"))
+          .withColumn("shard", conv(substring(col("k"), 1, 1), 16, 10).cast("long") % 8)
+          .withColumn("bucket", conv(substring(col("k"), 1, 2), 16, 10).cast("long"))
+        val counts = keyed.groupBy(col("shard"), col("bucket"))
+          .agg(count(lit(1)).as("n"))
+        val wOff = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("bucket"))
+        val offsets = counts
+          .withColumn("base", sum(col("n")).over(wOff) - col("n"))
+          .select(col("shard"), col("bucket"), col("base"))
+        val wRk = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"), col("bucket"))
+          .orderBy(col("k"), col("doc_id"))
+        keyed
+          .withColumn("rk", row_number().over(wRk).cast("long"))
+          .join(broadcast(offsets), Seq("shard", "bucket"))
+          .select(col("doc_id"), col("shard"),
+            (col("base") + col("rk") - 1).as("train_pos"))
+      },
+      Some("""WITH keyed AS (SELECT doc_id,
+             |    md5('ord:' || CAST(doc_id AS VARCHAR)) AS k
+             |  FROM documents WHERE doc_id IS NOT NULL),
+             |kb AS (SELECT doc_id, k,
+             |    ('0x' || substr(k, 1, 1))::BIGINT % 8 AS shard,
+             |    ('0x' || substr(k, 1, 2))::BIGINT AS bucket
+             |  FROM keyed),
+             |counts AS (SELECT shard, bucket, COUNT(*) AS n FROM kb GROUP BY shard, bucket),
+             |offsets AS (SELECT shard, bucket,
+             |    SUM(n) OVER (PARTITION BY shard ORDER BY bucket) - n AS base
+             |  FROM counts),
+             |rk AS (SELECT doc_id, shard, bucket, k,
+             |    ROW_NUMBER() OVER (PARTITION BY shard, bucket ORDER BY k, doc_id) AS rk
+             |  FROM kb)
+             |SELECT r.doc_id, r.shard,
+             |  CAST(o.base + r.rk - 1 AS BIGINT) AS train_pos
+             |FROM rk r JOIN offsets o ON r.shard = o.shard AND r.bucket = o.bucket""".stripMargin),
+      "deterministic training-order shuffle: shard + exact position, two-level (no shard-serial sort) (north-star)")
   )
 }

@@ -142,6 +142,24 @@ class PlanPropertiesSpec extends SparkSpec {
       s"corpus-derived variant side must not broadcast:\n${p.take(800)}")
   }
 
+  test("d27: sampling filter adds no exchange over the d25 score shape") {
+    val p25 = planOf("d25_lm_surprisal")
+    val p27 = planOf("d27_importance_sample")
+    def nEx(p: String) = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(nEx(p27) === nEx(p25),
+      s"importance sampling must be a pure filter over the score plan: ${nEx(p27)} vs ${nEx(p25)}")
+    assert(!p27.contains("SortMergeJoin") && !p27.contains("CartesianProduct"))
+  }
+
+  test("d28: rank window partitions by (shard, bucket) — no shard-serial sort; offsets broadcast") {
+    val p = planOf("d28_train_order")
+    assert("""row_number\(\) windowspecdefinition\(shard#\d+L?, bucket#\d+""".r
+      .findFirstIn(p).isDefined,
+      s"two-level rank lost its bucket key — a dominant shard would serialize:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"), "128-row offsets side must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("e10: semdedup edge generation is bucket-join bounded — no cartesian") {
     val p = planOf("e10_semdedup")
     assert(!p.contains("CartesianProduct"), "edge generation went all-pairs")

@@ -219,6 +219,41 @@ class CurationSpec extends SparkSpec {
       out(3L).getLong(3) === 2000L)
   }
 
+  test("d27: rate-1 docs always kept, rate-0 docs always dropped") {
+    // corpus: 62 copies of the common token + 2 unique rare tokens →
+    // N=64 (7 bits); common c=62 (6 bits) → 1000 milli-bits (rate 1);
+    // rare c=1 (1 bit) → 6000 milli-bits (rate 0)
+    val dir = fixture(Seq(
+      (1L, Seq.fill(62)("x").mkString(" "), "en", "s"),
+      (2L, "qqqq zzzz", "en", "s")))
+    val out = Registry.queries("d27_importance_sample")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 1000L)) // doc 1 kept at rate 1; doc 2 rate 0
+  }
+
+  test("d28: two-level positions equal the naive shard-serial window; permutation per shard") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Registry.queries("d28_train_order")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // independent naive formulation: ONE window per shard (the shape the
+    // two-level decomposition replaces), same keys
+    val naive = Registry.t(spark, dir, "documents")
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        md5(concat(lit("ord:"), col("doc_id").cast("string")).cast("binary")).as("k"))
+      .withColumn("shard", conv(substring(col("k"), 1, 1), 16, 10).cast("long") % 8)
+      .withColumn("train_pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+          .orderBy(col("k"), col("doc_id"))).cast("long") - 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out === naive)
+    // per-shard positions are a 0-based permutation
+    out.groupBy(_._2._1).foreach { case (_, rows) =>
+      val ps = rows.values.map(_._2).toSeq.sorted
+      assert(ps === (0L until ps.size.toLong))
+    }
+  }
+
   test("d26: deletion-neighborhood pairs at distance 1; transpositions excluded") {
     val dir = fixture(Seq(
       (1L, "hello hello hallo helo", "en", "s"),
