@@ -332,6 +332,58 @@ object Sim {
         col("score"), col("rk"))
   }
 
+  /** Per-dim micro-unit (lo, hi) stats for scalar quantization — the
+    * e13 gate's stats pass, collected (dim-sized, like a k-means model).
+    * One map-side-combinable aggregation; a real deployment trains this
+    * once on a sample and stores it beside the codes table. */
+  def sqStats(e0: org.apache.spark.sql.DataFrame): (Array[Long], Array[Long]) = {
+    val rows = e0.filter(col("embedding").isNotNull)
+      .select(posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .filter(col("vf").isNotNull)
+      .select(col("pos"), microQ(col("vf")).as("m"))
+      .groupBy(col("pos")).agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    (rows.map(_._2), rows.map(_._3))
+  }
+
+  /** The PRODUCTION codes table: vec_id + one packed byte per dimension
+    * ([[graft.functions.SqExprs.sqEncode]], whole-stage codegen) — 4×
+    * smaller than float32, computed in one scan-parallel pass. This is
+    * what an SQ deployment scans; the e13 gate keeps the long format
+    * because the DuckDB oracle has no byte-array kernel. */
+  def sqCodesDf(e0: org.apache.spark.sql.DataFrame,
+      lo: Array[Long], hi: Array[Long]): org.apache.spark.sql.DataFrame =
+    e0.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        graft.functions.SqExprs.sqEncode(col("embedding"), lo, hi).as("codes"))
+
+  /** PRODUCTION SQ ANN search over the packed codes: integer ADC scan
+    * (codegen'd [[graft.functions.SqAdc]]) → top-`overfetch` candidates
+    * → exact cosine re-rank → top-`k`. Identical tie rules to e13
+    * (integer adc desc / vec_id asc, then rounded cosine desc / vec_id
+    * asc), so SqSpec pins full output equality with the oracle-checked
+    * gate. Only the dim-sized stats and the one query row ever reach
+    * the driver. */
+  def sqSearch(s: org.apache.spark.sql.SparkSession, dir: String,
+      queryVecId: Long = 0L, k: Int = 5, overfetch: Int = 20): org.apache.spark.sql.DataFrame = {
+    val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+    val (lo, hi) = sqStats(e)
+    val codes = sqCodesDf(e, lo, hi)
+    val qRows = codes.filter(col("vec_id") === queryVecId).select(col("codes")).collect()
+    require(qRows.nonEmpty,
+      s"sqSearch: query vec_id=$queryVecId not present (or null embedding) in $dir/embeddings")
+    val qCodes = qRows.head.getAs[Array[Byte]](0)
+    val cand = codes.filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        graft.functions.SqExprs.sqAdc(col("codes"), qCodes).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc).limit(overfetch)
+    val q = e.filter(col("vec_id") === queryVecId).select(col("embedding").as("qe"))
+    cand.join(e, Seq("vec_id")).crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(k)
+      .select(col("vec_id"), col("adc"), col("cos_sim"))
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Pairwise cosine on consecutive ids: the embedding near-dup primitive.
