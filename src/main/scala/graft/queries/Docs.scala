@@ -644,10 +644,28 @@ object Docs {
     // candidates + exact verify beats either extreme.
     Q("d20_neardup_verified",
       (s, dir) => {
-        val sig = withShingles(s, dir).select(
-          col("doc_id") +: (0 until 8).map(i => minhash(col("mh"), i).as(s"mh$i")): _*)
-        val sets = withShingles(s, dir)
-          .select(col("doc_id"), array_distinct(col("sh")).as("ss"))
+        // ONE shared shingle-SET stage: every consumer — the signature/
+        // candidate branch AND both verification join sides — needs
+        // exactly (doc_id, ss), so column pruning cannot diverge the
+        // three subtrees and the set exchange is reused verbatim at
+        // runtime (ExecPlan-verified; same discipline as d22's
+        // totals-off-the-cumsum). Before, the corpus-sized
+        // split→shingle→distinct pass ran once per consumer (the
+        // raw-text exchange reused, the compute above it did not). The
+        // signature is derived FROM the set: every minhash family value
+        // is a MIN over the shingles, so array_distinct cannot change
+        // it — bit-identical to the multiset signature the oracle
+        // computes. The explicit doc_id filter mirrors the join-side
+        // inferred key filter so all subtrees canonicalize identically.
+        val sets = t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"),
+            array_distinct(shingles(words(col("text")))).as("ss"))
+          .repartition(col("doc_id"))
+        val sig = sets
+          .withColumn("mh", graft.functions.MinHashExprs.minHashSig(col("ss")))
+          .select(col("doc_id") +: (0 until 8).map(i => minhash(col("mh"), i).as(s"mh$i")): _*)
         val pairs = lshCandidatePairs(sig)
         val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
         val uni = (size(col("sa")) + size(col("sb"))).cast("double") - inter
@@ -1145,16 +1163,33 @@ object Docs {
     Q("d18_tfidf",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val toks = docs.repartition(col("doc_id"))
+        // tf packed as (term, dt = struct(doc_id, tf)) below ONE term
+        // exchange: both consumers — the df aggregate (count(dt), which
+        // cannot be pruned because dt is referenced; a struct is never
+        // null so count(dt) ≡ count(1)) and the probe join — need the
+        // same two columns, so the exchange subtrees canonicalize
+        // identically and the token explode + (doc,term) aggregate run
+        // ONCE at runtime (they ran once per consumer before;
+        // ExecPlan-verified). groupBy+broadcast-join (not a count
+        // window over term) deliberately: partial aggregation collapses
+        // a stopword's rows map-side, where a window would stream the
+        // whole term group through one task at 100 TB. dt is unpacked
+        // only ABOVE the join so nested-field aliasing can't specialize
+        // the shared exchange per branch.
+        val tf2 = docs.repartition(col("doc_id"))
           .select(col("doc_id"), explode(words(col("text"))).as("term"))
-        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .select(col("term"), struct(col("doc_id"), col("tf")).as("dt"))
+          .repartition(col("term"))
+        val df = tf2.groupBy(col("term")).agg(count(col("dt")).as("df"))
         val n = docs.agg(count(lit(1)).as("n"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
-        tf.join(broadcast(df), Seq("term"))
+        tf2.join(broadcast(df), Seq("term"))
           .crossJoin(broadcast(n))
+          .select(col("dt.doc_id").as("doc_id"), col("term"),
+            col("dt.tf").as("tf"), col("df"), col("n"))
           .withColumn("tfidf", round(col("tf") *
             log(col("n").cast("double") / col("df").cast("double")), 4))
           .withColumn("rk", row_number().over(w).cast("long"))
@@ -1198,11 +1233,18 @@ object Docs {
     // for the per-doc rollup.
     Q("d21_dup_chunks",
       (s, dir) => {
+        // doc_id rides inside a struct so the frequency branch can
+        // reference it (count(dt) ≡ count(1): a struct is never null)
+        // and column pruning cannot specialize the shared chunk_md5
+        // exchange per consumer — without this the chunk explode + md5
+        // ran once per branch (only the raw-text exchange reused;
+        // ExecPlan-verified, same fix as d18/d20/d25).
         val byMd5 = chunked(s, dir)
-          .select(col("doc_id"), col("chunk_md5"))
+          .select(col("chunk_md5"), struct(col("doc_id")).as("dt"))
           .repartition(col("chunk_md5"))
-        val freq = byMd5.groupBy(col("chunk_md5")).agg(count(lit(1)).as("n_occ"))
+        val freq = byMd5.groupBy(col("chunk_md5")).agg(count(col("dt")).as("n_occ"))
         byMd5.join(freq, Seq("chunk_md5"))
+          .select(col("dt.doc_id").as("doc_id"), col("n_occ"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_chunks"),
             sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("dup_chunks"))
