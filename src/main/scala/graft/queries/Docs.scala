@@ -644,25 +644,31 @@ object Docs {
     // candidates + exact verify beats either extreme.
     Q("d20_neardup_verified",
       (s, dir) => {
-        // ONE shared shingle-SET stage: every consumer — the signature/
-        // candidate branch AND both verification join sides — needs
-        // exactly (doc_id, ss), so column pruning cannot diverge the
-        // three subtrees and the set exchange is reused verbatim at
-        // runtime (ExecPlan-verified; same discipline as d22's
-        // totals-off-the-cumsum). Before, the corpus-sized
-        // split→shingle→distinct pass ran once per consumer (the
-        // raw-text exchange reused, the compute above it did not). The
-        // signature is derived FROM the set: every minhash family value
-        // is a MIN over the shingles, so array_distinct cannot change
-        // it — bit-identical to the multiset signature the oracle
-        // computes. The explicit doc_id filter mirrors the join-side
-        // inferred key filter so all subtrees canonicalize identically.
+        // Shingle SETS on BOUND columns — two aliased projections (`ws`
+        // then `ss`), the withShingles shape: CollapseProject refuses to
+        // inline a multiply-referenced alias, so `words` tokenizes each
+        // doc exactly ONCE and the HOF lambdas inside `shingles` see a
+        // bound attribute, not a free expression. (The r9 inline
+        // composition shingles(words(text)) re-tokenized the doc inside
+        // every element_at — O(tokens²)/doc — and the intended "shared
+        // set stage" never materialized: the projection floated above
+        // the exchange, which shipped raw text, so the quadratic pass
+        // ran in all THREE consumer subtrees. Matched-pair 2.4→29 s.
+        // BENCH_NOTES documents both traps; PlanGuardSpec now enforces
+        // them.) The signature is derived FROM the set: every minhash
+        // family value is a MIN over the shingles, so array_distinct
+        // cannot change it — bit-identical to the multiset signature
+        // the oracle computes. ONE repartition spreads the
+        // single-row-group testdata scan; the linear-per-doc shingle
+        // compute above it runs once per consumer subtree off the
+        // reused text exchange — deliberately NOT shared as a computed
+        // exchange, which would ship corpus-sized shingle arrays
+        // (several × the raw text) through a second wide-row shuffle.
         val sets = t(s, dir, "documents")
           .filter(col("doc_id").isNotNull)
           .repartition(col("doc_id"))
-          .select(col("doc_id"),
-            array_distinct(shingles(words(col("text")))).as("ss"))
-          .repartition(col("doc_id"))
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .select(col("doc_id"), array_distinct(shingles(col("ws"))).as("ss"))
         val sig = sets
           .withColumn("mh", graft.functions.MinHashExprs.minHashSig(col("ss")))
           .select(col("doc_id") +: (0 until 8).map(i => minhash(col("mh"), i).as(s"mh$i")): _*)
