@@ -1,0 +1,62 @@
+package graft
+
+import graft.queries.Registry
+import org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL
+
+/** Executed-plan guards for the shared-stage document queries — the
+  * class of defect the result oracle CANNOT catch (output identical,
+  * runtime catastrophically worse). Round 9 shipped a 12× regression in
+  * d20 exactly this way: a free-variable lambda re-tokenized every doc
+  * per shingle and the "shared" exchange shipped raw text, all while
+  * CORRECTNESS stayed green. These specs pin the healthy plan shape.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** The deliberate repartition(doc_id) spread is the ONLY exchange
+    * allowed to carry raw document text; any ENSURE_REQUIREMENTS (join /
+    * agg / window) exchange shipping `text` means a corpus-sized payload
+    * is riding a shuffle that should carry computed columns. */
+  private def assertTextOnlyRidesTheSpread(name: String): Unit = {
+    val df = Registry.queries(name)(spark, sfDir)
+    df.collect()
+    val sh = PlanInspect.shuffles(df)
+    val textEx = sh.filter(_.output.exists(_.name == "text"))
+    textEx.foreach { e =>
+      assert(e.shuffleOrigin == REPARTITION_BY_COL,
+        s"$name: a ${e.shuffleOrigin} exchange carries raw text: ${e.output.map(_.name)}")
+    }
+    assert(textEx.size <= 1,
+      s"$name: ${textEx.size} exchanges carry raw text — the corpus is being spread twice")
+    assert(PlanInspect.reused(df).nonEmpty,
+      s"$name: consumers must reuse the doc_id spread exchange, not re-shuffle the corpus")
+  }
+
+  test("tripwire: NO battery query re-evaluates tokenization inside a lambda") {
+    // the optimized logical plan is where CollapseProject inlining
+    // happens — no execution needed, so this sweeps the whole battery
+    val offenders = Registry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      PlanInspect.freeTokenizationLambdas(fn(spark, sfDir)).map(b => s"$name: $b")
+    }
+    assert(offenders.isEmpty,
+      s"free-variable tokenization lambdas (bind via two aliased projections):\n${offenders.mkString("\n")}")
+  }
+
+  test("d20: computed shingle sets ride the verification-join exchanges; text only rides the spread") {
+    val df = Registry.queries("d20_neardup_verified")(spark, sfDir)
+    df.collect()
+    val sh = PlanInspect.shuffles(df)
+    // the join exchanges must carry (doc_id, computed sets) — if sa/sb
+    // vanish from every exchange payload, the set compute floated above
+    // the joins and is re-running downstream of the shuffle
+    assert(sh.exists(_.output.exists(a => a.name == "sa" || a.name == "sb")),
+      s"no exchange carries the computed shingle sets:\n${sh.map(_.output.map(_.name)).mkString("\n")}")
+    assertTextOnlyRidesTheSpread("d20_neardup_verified")
+  }
+
+  test("d18/d21/d25: shared-stage queries never ship text through a join/agg exchange") {
+    Seq("d18_tfidf", "d21_dup_chunks", "d25_lm_surprisal")
+      .foreach(assertTextOnlyRidesTheSpread)
+  }
+}
