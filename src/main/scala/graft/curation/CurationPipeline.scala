@@ -14,8 +14,14 @@ import graft.queries.Docs
   * cross-engine correctness twin of this code path — equivalence is
   * spec-asserted in CurationPipelineSpec):
   *
+  *   0. `00_stoplist` optional heavy-hitter stoplist of the raw corpus
+  *                    (d24's shape, `Config.stopTopK`) — a (term, cnt)
+  *                    artifact, and the term source for the
+  *                    stop-fraction gate
   *   1. `01_gated`    min-token + dup-token-fraction repetition gate,
-  *                    optional unigram-LM surprisal gate (d25's shape,
+  *                    optional stoplist-fraction boilerplate gate
+  *                    (`Config.maxStopFrac`), optional unigram-LM
+  *                    surprisal gate (d25's shape,
   *                    `Config.maxSurprisalMilliBits`), plus any
   *                    caller-supplied gate (lang ID, quality
   *                    classifier, ...)
@@ -28,12 +34,16 @@ import graft.queries.Docs
   *                    written via [[graft.sources.CorpusSink]]
   *                    (partitioned, size-bounded, sorted)
   *   4b. `04b_selected` optional [[Selection]] strategy over the
-  *                    survivors: seeded rate sample (d23) or
-  *                    cluster-balanced quota sample (e09)
+  *                    survivors: seeded rate sample (d23),
+  *                    cluster-balanced quota sample (e09), or
+  *                    quality-weighted importance sample (d27)
   *   5. `05_chunks`   32-token / stride-24 context windows of the
   *                    selected corpus (skipped when `chunk = false`)
   *   6. `06_pack`     context-length packing offsets (d22) of the
   *                    selected corpus (when `packCtx` is set)
+  *   7. `07_order`    deterministic train-order shuffle + shard
+  *                    assignment (d28) of the selected corpus (when
+  *                    `orderShards` is set)
   *
   * Scale notes: every stage is the same shape as its gate query —
   * per-row maps for the gates, one window exchange for exact dedup, a
@@ -60,6 +70,17 @@ object CurationPipeline {
     * docs — coverage of small clusters instead of letting dense regions
     * crowd them out. */
   final case class ClusterBalanced(embeddings: DataFrame, quota: Int = 20) extends Selection
+  /** Quality-weighted importance sample (d27's shape — the DoReMi-style
+    * mixing primitive): each survivor is kept with probability ramping
+    * linearly from 1 at ≤ `fullKeepMilliBits` surprisal down to 0 at
+    * ≥ `zeroKeepMilliBits`, decided in exact integer arithmetic against
+    * md5(seed‖doc_id) — bit-deterministic and mergeable across shards.
+    * Scores come from the SURVIVING corpus's own unigram model
+    * ([[graft.queries.Docs.importanceSampleDf]]). */
+  final case class ImportanceSample(
+      fullKeepMilliBits: Long = 4000L,
+      zeroKeepMilliBits: Long = 6000L,
+      seed: String = "qs:") extends Selection
 
   final case class Config(
       minTokens: Int = 10,
@@ -93,6 +114,27 @@ object CurationPipeline {
         * + context-bin span — the bookkeeping a packed-pretraining
         * writer needs. None disables the stage. */
       packCtx: Option[Long] = None,
+      /** Top-K heavy-hitter stoplist (d24's exact-count shape, stage
+        * `00_stoplist`): the K most frequent terms of the RAW corpus,
+        * written as a (term, cnt) artifact. K is bounded and small, so
+        * collecting it to the driver for the gate literal is the
+        * K×dim-model pattern, not an unbounded collect. None disables
+        * the stage. */
+      stopTopK: Option[Int] = None,
+      /** Boilerplate cut (stage 1, requires `stopTopK`): drop docs
+        * whose fraction of stoplist tokens exceeds this — a doc that is
+        * mostly top-K glue words carries no signal. The membership test
+        * is a scan-parallel lambda over the bound `ws` column against
+        * the K-term literal array (O(tokens·K)/doc; for K beyond a few
+        * hundred swap the literal for a Bloom filter, the decontam
+        * pattern). None disables the gate. */
+      maxStopFrac: Option[Double] = None,
+      /** Deterministic train-order stage (`07_order`, d28's shape over
+        * the SELECTED corpus): every selected doc gets a shard (of this
+        * many) and an exact, reproducible position within its shard's
+        * training order — the last artifact a pretraining pipeline
+        * emits. None disables the stage. */
+      orderShards: Option[Int] = None,
       /** Skip any stage whose output dir already carries a `_SUCCESS`
         * marker and read it back instead — a crashed or re-configured
         * run resumes from the last good stage without recomputing (or
@@ -130,13 +172,34 @@ object CurationPipeline {
     val dupFrac = lit(1.0) -
       size(array_distinct(col("ws"))).cast("double") / nTok.cast("double")
 
-    // stage 1: repetition/length gates (+ optional surprisal gate) +
-    // caller's gate. The surprisal cut is a semi-join against the d25
-    // scores of the RAW corpus: docs at or under the threshold survive
-    // (zero-token docs have no score and are already dead to minTokens).
+    // stage 0 (optional): heavy-hitter stoplist of the RAW corpus
+    // (d24's exact-count shape) — an artifact downstream tooling reads,
+    // and the term source for the stop-fraction gate below. Read back
+    // from the stage dir so a resumed run never recomputes it.
+    val stopTerms: Option[Array[String]] = cfg.stopTopK.map { k =>
+      stage("00_stoplist", Docs.topTermsDf(docs, k))
+        .select(col("term")).collect().map(_.getString(0)).sorted
+    }
+
+    // stage 1: repetition/length gates (+ optional stop-fraction and
+    // surprisal gates) + caller's gate. The surprisal cut is a
+    // semi-join against the d25 scores of the RAW corpus: docs at or
+    // under the threshold survive (zero-token docs have no score and
+    // are already dead to minTokens).
     val gated = stage("01_gated", customGate {
-      val g = base.withColumn("n_tokens", nTok)
+      val g0 = base.withColumn("n_tokens", nTok)
         .filter(col("n_tokens") >= cfg.minTokens && dupFrac <= cfg.maxDupTokenFrac)
+      val g = (cfg.maxStopFrac, stopTerms) match {
+        case (Some(maxFrac), Some(terms)) =>
+          val stopLit = array(terms.map(lit(_)): _*)
+          val stopFrac = when(col("n_tokens") === 0, lit(0.0))
+            .otherwise(size(filter(col("ws"), w => array_contains(stopLit, w)))
+              .cast("double") / col("n_tokens").cast("double"))
+          g0.filter(stopFrac <= maxFrac)
+        case (Some(_), None) =>
+          throw new IllegalArgumentException("maxStopFrac requires stopTopK")
+        case _ => g0
+      }
       cfg.maxSurprisalMilliBits match {
         case Some(maxMb) =>
           val keep = Docs.surprisalDf(docs)
@@ -213,6 +276,15 @@ object CurationPipeline {
             .select(col("vec_id").as("doc_id"))
           corpus.join(picked, Seq("doc_id"), "left_semi")
         })
+      case ImportanceSample(lo, hi, seed) =>
+        stage("04b_selected", {
+          // per-doc keep rate from the surviving corpus's own unigram
+          // surprisal (d27's shape); the coin flip is a pure filter over
+          // the score plan — zero exchanges beyond the scorer's
+          val keep = Docs.importanceSampleDf(corpus, lo, hi, seed)
+            .select(col("doc_id"))
+          corpus.join(keep, Seq("doc_id"), "left_semi")
+        })
     }
 
     // stage 5: context-window chunks of the selected corpus
@@ -224,6 +296,13 @@ object CurationPipeline {
     // stage 6: context-length packing offsets of the selected corpus
     cfg.packCtx.foreach { ctx =>
       stage("06_pack", Docs.sequencePack(selected, ctx))
+      ()
+    }
+
+    // stage 7: deterministic train order + shard assignment of the
+    // selected corpus (d28's two-level shape — no shard-serial sort)
+    cfg.orderShards.foreach { n =>
+      stage("07_order", Docs.trainOrderDf(selected, n))
       ()
     }
     counts.toSeq

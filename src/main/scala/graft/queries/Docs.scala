@@ -153,6 +153,78 @@ object Docs {
           .as("milli_bits_per_token"))
   }
 
+  /** DataFrame-in body of d24's exact top-K heavy hitters (shared with
+    * CurationPipeline's stoplist stage): one explode → one term-keyed
+    * partial-agg shuffle → global top-K. The battery twin additionally
+    * asserts the count-min-sketch one-sided-error envelope over these
+    * rows; a deployment that only needs the stoplist can run the
+    * mergeable sketch alone (one scan-parallel pass, no term shuffle). */
+  private[graft] def topTermsDf(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame =
+    docs.select(explode(words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(k)
+
+  /** DataFrame-in body of d27 (shared with CurationPipeline's
+    * ImportanceSample selection): quality-weighted importance sampling —
+    * keep each doc with probability ramping linearly from 1 at
+    * `fullKeepMb` milli-bits/token down to 0 at `zeroKeepMb`, decided by
+    * comparing the first 60 bits of md5(seed‖doc_id) against
+    * rate(doc)·2⁶⁰ in EXACT integer arithmetic (clamp(hi − mb, 0, range)
+    * · ⌊2⁶⁰/range⌋), so the verdict is bit-deterministic, shuffle-free
+    * given the scores, and mergeable across shards. Returns the filtered
+    * [[surprisalDf]] rows (scores are computed over `docs`' OWN unigram
+    * model). */
+  private[graft] def importanceSampleDf(docs: org.apache.spark.sql.DataFrame,
+      fullKeepMb: Long = 4000L, zeroKeepMb: Long = 6000L,
+      seed: String = "qs:"): org.apache.spark.sql.DataFrame = {
+    require(zeroKeepMb > fullKeepMb, "zeroKeepMb must exceed fullKeepMb")
+    val range = zeroKeepMb - fullKeepMb
+    val unit = (1L << 60) / range
+    val hashFrac = conv(
+      substring(md5(concat(lit(seed), col("doc_id").cast("string")).cast("binary")), 1, 15),
+      16, 10).cast("long")
+    surprisalDf(docs)
+      .filter(hashFrac <
+        least(greatest(lit(zeroKeepMb) - col("milli_bits_per_token"), lit(0L)),
+          lit(range)) * lit(unit))
+  }
+
+  /** DataFrame-in body of d28 (shared with CurationPipeline's train-order
+    * stage): deterministic training-order shuffle + shard assignment —
+    * every doc gets a shard and an exact position within its shard's
+    * training order, derived from md5(seed‖doc_id) so the order is
+    * reproducible and layout-independent. Two-level decomposition (the
+    * d22 lesson): rank within (shard, leading-hash-BYTE bucket) plus
+    * broadcast per-bucket base offsets — the bucket is an
+    * order-consistent PREFIX of the sort key, so no shard ever
+    * serializes through one sort task. */
+  private[graft] def trainOrderDf(docs: org.apache.spark.sql.DataFrame,
+      nShards: Int = 8, seed: String = "ord:"): org.apache.spark.sql.DataFrame = {
+    val keyed = docs
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        md5(concat(lit(seed), col("doc_id").cast("string")).cast("binary")).as("k"))
+      .withColumn("shard", conv(substring(col("k"), 1, 1), 16, 10).cast("long") % nShards)
+      .withColumn("bucket", conv(substring(col("k"), 1, 2), 16, 10).cast("long"))
+    val counts = keyed.groupBy(col("shard"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("bucket"))
+    val offsets = counts
+      .withColumn("base", sum(col("n")).over(wOff) - col("n"))
+      .select(col("shard"), col("bucket"), col("base"))
+    val wRk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("bucket"))
+      .orderBy(col("k"), col("doc_id"))
+    keyed
+      .withColumn("rk", row_number().over(wRk).cast("long"))
+      .join(broadcast(offsets), Seq("shard", "bucket"))
+      .select(col("doc_id"), col("shard"),
+        (col("base") + col("rk") - 1).as("train_pos"))
+  }
+
   /** Compile a benchmark gram set into a serialized Bloom filter for
     * [[decontamFilterDf]]. Built distributed (`stat.bloomFilter` runs a
     * Spark aggregate over xxhash64(gram)); only the filter's bytes —
@@ -1339,8 +1411,7 @@ object Docs {
         val slack = math.ceil(eps * row.getLong(1)).toLong
         val est = graft.functions.CmsExprs.cmsEstimate(col("term"),
           row.getAs[Array[Byte]](0))
-        toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("term").asc).limit(10)
+        topTermsDf(t(s, dir, "documents"), 10)
           .select(col("term"), col("cnt"),
             (est >= col("cnt") && est <= col("cnt") + lit(slack))
               .as("within_envelope"))
@@ -1454,16 +1525,8 @@ object Docs {
     // Shuffle shape = d25's (the score computation); the sampling
     // itself adds zero exchanges.
     Q("d27_importance_sample",
-      (s, dir) => {
-        val unit = 576460752303423L // floor(2^60 / 2000)
-        val hashFrac = conv(
-          substring(md5(concat(lit("qs:"), col("doc_id").cast("string")).cast("binary")), 1, 15),
-          16, 10).cast("long")
-        surprisalDf(t(s, dir, "documents"))
-          .filter(hashFrac <
-            least(greatest(lit(6000L) - col("milli_bits_per_token"), lit(0L)), lit(2000L)) * lit(unit))
-          .select(col("doc_id"), col("n_tokens"), col("milli_bits_per_token"))
-      },
+      (s, dir) => importanceSampleDf(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("milli_bits_per_token")),
       Some(s"""WITH $dSurprisal
               |SELECT doc_id, n_tokens, milli_bits_per_token FROM scored
               |WHERE ('0x' || substr(md5('qs:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT <
@@ -1485,29 +1548,7 @@ object Docs {
     // decomposition. At 100 TB each bucket sort is spillable and
     // parallel; nothing serializes through one task.
     Q("d28_train_order",
-      (s, dir) => {
-        val keyed = t(s, dir, "documents")
-          .filter(col("doc_id").isNotNull)
-          .select(col("doc_id"),
-            md5(concat(lit("ord:"), col("doc_id").cast("string")).cast("binary")).as("k"))
-          .withColumn("shard", conv(substring(col("k"), 1, 1), 16, 10).cast("long") % 8)
-          .withColumn("bucket", conv(substring(col("k"), 1, 2), 16, 10).cast("long"))
-        val counts = keyed.groupBy(col("shard"), col("bucket"))
-          .agg(count(lit(1)).as("n"))
-        val wOff = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("shard")).orderBy(col("bucket"))
-        val offsets = counts
-          .withColumn("base", sum(col("n")).over(wOff) - col("n"))
-          .select(col("shard"), col("bucket"), col("base"))
-        val wRk = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("shard"), col("bucket"))
-          .orderBy(col("k"), col("doc_id"))
-        keyed
-          .withColumn("rk", row_number().over(wRk).cast("long"))
-          .join(broadcast(offsets), Seq("shard", "bucket"))
-          .select(col("doc_id"), col("shard"),
-            (col("base") + col("rk") - 1).as("train_pos"))
-      },
+      (s, dir) => trainOrderDf(t(s, dir, "documents")),
       Some("""WITH keyed AS (SELECT doc_id,
              |    md5('ord:' || CAST(doc_id AS VARCHAR)) AS k
              |  FROM documents WHERE doc_id IS NOT NULL),

@@ -189,6 +189,94 @@ class CurationPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$outB/04_corpus").count() > 0)
   }
 
+  test("stoplist stage equals d24's top-K terms; stop-fraction gate drops exactly the boilerplate docs") {
+    val docs = Registry.t(spark, sfDir, "documents")
+    // choose a threshold that actually splits the corpus: median of the
+    // per-doc top-20-stop-term fraction
+    val stops = graft.queries.Docs.topTermsDf(docs, 20)
+      .select("term").collect().map(_.getString(0)).sorted
+    val stopLit = array(stops.map(lit(_)): _*)
+    val ws = graft.queries.Docs.words(col("text"))
+    val fracs = docs.select(col("doc_id"),
+      (size(filter(ws, w => array_contains(stopLit, w))).cast("double") /
+        size(ws).cast("double")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val thr = fracs.values.toSeq.sorted.apply(fracs.size / 2)
+
+    val out = Files.createTempDirectory("graft-curation-stop").toString
+    val counts = CurationPipeline.run(spark, docs, out,
+      cfg = CurationPipeline.Config(stopTopK = Some(20), maxStopFrac = Some(thr)),
+      customGate = langGate).toMap
+    assert(counts.contains("00_stoplist") && counts("00_stoplist") === 20L)
+
+    // artifact == the oracle-checked d24 shape's exact top-K
+    val stageTerms = spark.read.parquet(s"$out/00_stoplist")
+      .select("term").collect().map(_.getString(0)).sorted
+    assert(stageTerms === stops)
+
+    // gate equivalence: a run WITHOUT the stop gate, cut by the
+    // spec-computed fractions, gives the same stage-1 set
+    val out2 = Files.createTempDirectory("graft-curation-stop2").toString
+    CurationPipeline.run(spark, docs, out2, customGate = langGate)
+    val gated = spark.read.parquet(s"$out/01_gated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val plain = spark.read.parquet(s"$out2/01_gated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gated === plain.filter(id => fracs(id) <= thr))
+    assert(gated.nonEmpty && gated.size < plain.size, "threshold did not split")
+  }
+
+  test("ImportanceSample selection equals the shared d27 body over the surviving corpus") {
+    val out = Files.createTempDirectory("graft-curation-imp").toString
+    val docs = Registry.t(spark, sfDir, "documents")
+    val counts = CurationPipeline.run(spark, docs, out,
+      customGate = langGate,
+      selection = CurationPipeline.ImportanceSample(
+        fullKeepMilliBits = 4000L, zeroKeepMilliBits = 6000L)).toMap
+
+    val corpus = spark.read.parquet(s"$out/04_corpus")
+    val selected = spark.read.parquet(s"$out/04b_selected")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the shared DataFrame body over the survivors IS the stage — same
+    // model (survivor unigram), same integer coin flip
+    val expect = graft.queries.Docs.importanceSampleDf(corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(selected === expect)
+    assert(counts("04b_selected") === selected.size.toLong)
+    val survivors = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(selected.nonEmpty && selected.subsetOf(survivors))
+    assert(selected.size < survivors.size, "importance coin dropped nothing")
+    // chunks follow the selection
+    val chunkIds = spark.read.parquet(s"$out/05_chunks")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(chunkIds === selected)
+  }
+
+  test("train-order stage equals the shared d28 body; per-shard positions are a contiguous bijection") {
+    val out = Files.createTempDirectory("graft-curation-ord").toString
+    val docs = Registry.t(spark, sfDir, "documents")
+    val counts = CurationPipeline.run(spark, docs, out,
+      cfg = CurationPipeline.Config(chunk = false, orderShards = Some(8)),
+      customGate = langGate).toMap
+
+    val order = spark.read.parquet(s"$out/07_order")
+    val got = order.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val selected = spark.read.parquet(s"$out/04_corpus")
+    val expect = graft.queries.Docs.trainOrderDf(selected, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sorted === expect.sorted)
+    assert(counts("07_order") === got.length.toLong)
+    // every selected doc is ordered exactly once
+    assert(got.map(_._1).sorted ===
+      selected.select("doc_id").collect().map(_.getLong(0)).sorted)
+    // within each shard, train_pos is exactly 0..n-1 (no gaps, no dups)
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      val pos = rows.map(_._3).sorted
+      assert(pos === (0L until rows.length.toLong).toArray,
+        s"shard $shard positions not contiguous: ${pos.take(5).mkString(",")}...")
+    }
+  }
+
   test("benchMod = 0 disables decontamination") {
     val out = Files.createTempDirectory("graft-curation-nodc").toString
     val docs = Registry.t(spark, sfDir, "documents")
