@@ -199,13 +199,19 @@ object Multimodal {
 
   /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
     * PCM readers ship with the JRE, headless-safe — the same "no
-    * external codec" retirement decodePixels did for images; only video
-    * and compressed audio stay stubbed). Emits the stream parameters
+    * external codec" retirement decodePixels did for images). Non-PCM
+    * encodings probe the runtime SPI registry for a PCM transcoder:
+    * μ-law/a-law telephony clips decode for real on a stock JDK, and a
+    * registered MP3/OGG provider jar lights that path up with no code
+    * change; with no transcoder the row degrades to the error channel
+    * with its container params intact. Emits the stream parameters
     * plus channel-folded peak/RMS level in [0,1] — the cheap
     * feature-extraction a corpus audit runs per clip. Same
     * mapPartitions shape: per-row error channel, `maxFrames` bounds the
-    * per-row allocation (reject the 100 TB corpus's inevitable
-    * malformed-length bomb in-row, don't OOM the task). */
+    * per-row allocation on BOTH the header-claimed and the decoded
+    * stream (reject the 100 TB corpus's inevitable malformed-length
+    * bomb in-row, don't OOM the task). Only compressed-video frame
+    * pixel decode stays stubbed (the JDK ships no H.264/VP9 codec). */
   def decodeAudio(df: DataFrame, maxFrames: Long = 1L << 24): Dataset[AudioMeta] = {
     val enc = Encoders.product[AudioMeta]
     df.select(col("doc_id"), col("payload"))
@@ -233,35 +239,52 @@ object Multimodal {
                   AudioMeta(id, f.getEncoding.toString, f.getChannels, f.getSampleRate.toDouble,
                     bits, frames, durMs, 0.0, 0.0, ok = false,
                     err = s"$frames frames exceeds maxFrames=$maxFrames")
-                else if (!pcmSigned && !pcmUnsigned || (bits != 8 && bits != 16))
-                  // params still real — only the level stats need PCM samples
-                  AudioMeta(id, f.getEncoding.toString, f.getChannels, f.getSampleRate.toDouble,
-                    bits, frames, durMs, 0.0, 0.0, ok = false,
-                    err = s"unsupported sample layout: ${f.getEncoding}/$bits-bit")
-                else {
-                  val data = in.readAllBytes()
-                  val bytesPer = bits / 8
-                  val n = data.length / bytesPer
-                  var peak = 0.0
-                  var sumSq = 0.0
-                  var i = 0
-                  while (i < n) {
-                    val v =
-                      if (bits == 16) {
-                        val off = i * 2
-                        val s = if (f.isBigEndian)
-                          ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
-                        else
-                          ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
-                        s / 32768.0
-                      } else if (pcmSigned) data(i) / 128.0
-                      else ((data(i) & 0xff) - 128) / 128.0
-                    val a = math.abs(v)
-                    if (a > peak) peak = a
-                    sumSq += v * v
-                    i += 1
+                else if (!pcmSigned && !pcmUnsigned || (bits != 8 && bits != 16)) {
+                  // COMPRESSED / non-linear encoding: probe the runtime
+                  // SPI registry for a PCM transcoder instead of giving
+                  // up. Stock JDK converts μ-law/a-law (so AU/WAV
+                  // telephony clips decode for real); an MP3/OGG
+                  // provider jar on the classpath lights this path up
+                  // with no code change — and with none registered the
+                  // row degrades to the error channel, params intact.
+                  val target = new javax.sound.sampled.AudioFormat(
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+                    f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+                    f.getSampleRate, false)
+                  if (!javax.sound.sampled.AudioSystem.isConversionSupported(target, f))
+                    AudioMeta(id, f.getEncoding.toString, f.getChannels, f.getSampleRate.toDouble,
+                      bits, frames, durMs, 0.0, 0.0, ok = false,
+                      err = s"no PCM transcoder SPI registered for ${f.getEncoding}/$bits-bit")
+                  else {
+                    val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+                    try {
+                      // bomb bound on the DECODED stream: a compressed
+                      // source may report NOT_SPECIFIED (-1) frames, so
+                      // cap the transcoded read instead of trusting the
+                      // header (maxFrames × frameSize stays < 2 GiB for
+                      // any sane channel count; clamp defensively)
+                      val capBytes = math.min(
+                        maxFrames * target.getFrameSize, (Int.MaxValue - 8).toLong).toInt
+                      val data = pcm.readNBytes(capBytes)
+                      if (data.length == capBytes && pcm.read() != -1)
+                        AudioMeta(id, f.getEncoding.toString, f.getChannels,
+                          f.getSampleRate.toDouble, bits, frames, durMs, 0.0, 0.0,
+                          ok = false, err = s"decoded stream exceeds maxFrames=$maxFrames")
+                      else {
+                        val framesRead = data.length / target.getFrameSize
+                        val dur = if (durMs > 0) durMs
+                          else if (target.getFrameRate > 0)
+                            framesRead * 1000.0 / target.getFrameRate else 0.0
+                        val (peak, rms) = levelStats(data, 16, bigEndian = false, signed = true)
+                        AudioMeta(id, s"${f.getEncoding}->PCM_SIGNED", f.getChannels,
+                          f.getSampleRate.toDouble, bits, framesRead.toLong, dur,
+                          peak, rms, ok = true, err = "")
+                      }
+                    } finally pcm.close()
                   }
-                  val rms = if (n > 0) math.sqrt(sumSq / n) else 0.0
+                } else {
+                  val data = in.readAllBytes()
+                  val (peak, rms) = levelStats(data, bits, f.isBigEndian, pcmSigned)
                   AudioMeta(id, f.getEncoding.toString, f.getChannels, f.getSampleRate.toDouble,
                     bits, frames, durMs, peak, rms, ok = true, err = "")
                 }
@@ -274,6 +297,33 @@ object Multimodal {
           }
         }
       }(enc)
+  }
+
+  /** Channel-folded peak/RMS over a raw PCM byte buffer in [0,1]. */
+  private def levelStats(data: Array[Byte], bits: Int, bigEndian: Boolean,
+      signed: Boolean): (Double, Double) = {
+    val bytesPer = bits / 8
+    val n = data.length / bytesPer
+    var peak = 0.0
+    var sumSq = 0.0
+    var i = 0
+    while (i < n) {
+      val v =
+        if (bits == 16) {
+          val off = i * 2
+          val s = if (bigEndian)
+            ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
+          else
+            ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
+          s / 32768.0
+        } else if (signed) data(i) / 128.0
+        else ((data(i) & 0xff) - 128) / 128.0
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      sumSq += v * v
+      i += 1
+    }
+    (peak, if (n > 0) math.sqrt(sumSq / n) else 0.0)
   }
 
   /** Typed result of a REAL video-container metadata decode. */

@@ -127,6 +127,63 @@ class MultimodalSpec extends SparkSpec {
     assert(!m(3L).ok && m(3L).err.nonEmpty)
   }
 
+  test("decodeAudio: μ-law AU transcodes through the SPI probe — levels within quantization error") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // full-scale-half square wave again (peak = rms = 0.5 in the PCM
+    // source); μ-law is 8-bit companded, so the round-trip level must
+    // land within ~2% of the source (measured ~1.2% high), not on it
+    val square = Array.tabulate(8000)(i => if (i % 2 == 0) 16384 else -16384)
+      .map(_.toShort)
+    val pcmBytes = {
+      val bb = java.nio.ByteBuffer.allocate(square.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      square.foreach(bb.putShort)
+      bb.array()
+    }
+    val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val src = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcmBytes), pcmFmt, square.length.toLong)
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(AudioSystem.getAudioInputStream(ulawFmt, src),
+      AudioFileFormat.Type.AU, baos)
+
+    val df = Seq((1L, baos.toByteArray)).toDF("doc_id", "payload")
+    val a = Multimodal.decodeAudio(df).collect().head
+    assert(a.ok, s"ulaw decode failed: ${a.err}")
+    assert(a.encoding === "ULAW->PCM_SIGNED" && a.channels === 1)
+    assert(a.sample_rate === 8000.0 && a.n_frames === 8000L)
+    assert(math.abs(a.peak - 0.5) < 0.02 && math.abs(a.rms - 0.5) < 0.02,
+      s"companded levels off: peak=${a.peak} rms=${a.rms}")
+  }
+
+  test("decodeAudio: non-PCM input is bomb-bounded by maxFrames before transcoding") {
+    // a well-formed AU declares its frame count, so the header bound
+    // fires before the SPI transcode; the in-branch decoded-stream cap
+    // additionally covers providers that report NOT_SPECIFIED (-1)
+    // frames (MP3/OGG SPIs), which a stock JDK cannot fabricate
+    import spark.implicits._
+    import javax.sound.sampled._
+    val tone = Array.fill(4096)(1000.toShort)
+    val pcmBytes = {
+      val bb = java.nio.ByteBuffer.allocate(tone.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      tone.foreach(bb.putShort)
+      bb.array()
+    }
+    val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val src = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcmBytes), pcmFmt, tone.length.toLong)
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(AudioSystem.getAudioInputStream(ulawFmt, src),
+      AudioFileFormat.Type.AU, baos)
+    val df = Seq((1L, baos.toByteArray)).toDF("doc_id", "payload")
+    val a = Multimodal.decodeAudio(df, maxFrames = 1024L).collect().head
+    assert(!a.ok && a.err.contains("maxFrames"), s"expected bomb rejection, got: $a")
+  }
+
   test("decodeAudio: claimed-length bomb is rejected in-row via maxFrames") {
     import spark.implicits._
     // header claims 2^26 frames; actual data is 4 samples — the decoder
