@@ -1566,6 +1566,83 @@ object Docs {
              |SELECT r.doc_id, r.shard,
              |  CAST(o.base + r.rk - 1 AS BIGINT) AS train_pos
              |FROM rk r JOIN offsets o ON r.shard = o.shard AND r.bucket = o.bucket""".stripMargin),
-      "deterministic training-order shuffle: shard + exact position, two-level (no shard-serial sort) (north-star)")
+      "deterministic training-order shuffle: shard + exact position, two-level (no shard-serial sort) (north-star)"),
+
+    // Cross-corpus NEAR-dup decontamination — the fuzzy complement of
+    // d15's exact 5-gram anti-join: drop every TARGET doc whose shingle
+    // Jaccard with any REFERENCE doc (the held-out/eval snapshot,
+    // doc_id % 10 = 0 — d15's benchMod convention) reaches 0.5, so a
+    // lightly-paraphrased eval document is caught, not just a verbatim
+    // one. Same machinery as d20 (ONE signature pass over the union
+    // corpus, band-bucket candidates, exact verify on bound shingle
+    // sets — all the PlanGuardSpec disciplines apply), with candidates
+    // restricted to cross pairs: an in-corpus duplicate never blocks a
+    // target doc. Scale shape: the reference corpus is an eval suite
+    // (tiny vs 100 TB), so the cross restriction prunes the bucket pair
+    // generation to |bucket∩ref|·|bucket∩tgt| — the decontamination
+    // regime, far below the in-corpus pair count.
+    Q("d29_cross_neardup",
+      (s, dir) => {
+        val isRef = (c: org.apache.spark.sql.Column) => c % 10 === 0
+        // bound-column shingle sets (the withShingles shape; see d20)
+        val sets = t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .select(col("doc_id"), array_distinct(shingles(col("ws"))).as("ss"))
+        val sig = sets
+          .withColumn("mh", graft.functions.MinHashExprs.minHashSig(col("ss")))
+          .select(col("doc_id") +: (0 until 8).map(i => minhash(col("mh"), i).as(s"mh$i")): _*)
+        val pairs = lshCandidatePairs(sig)
+          .filter(isRef(col("doc_id_a")) =!= isRef(col("doc_id_b")))
+        val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+        val uni = (size(col("sa")) + size(col("sb"))).cast("double") - inter
+        // merge-hinted shuffle joins, the d20 lesson: neither side is
+        // bounded and the post-agg pair estimate is garbage-small
+        val contaminated = pairs
+          .join(sets.select(col("doc_id").as("doc_id_a"), col("ss").as("sa")).hint("merge"),
+            Seq("doc_id_a"))
+          .join(sets.select(col("doc_id").as("doc_id_b"), col("ss").as("sb")).hint("merge"),
+            Seq("doc_id_b"))
+          .filter(inter / uni >= 0.5)
+          .select(when(isRef(col("doc_id_a")), col("doc_id_b"))
+            .otherwise(col("doc_id_a")).as("doc_id"))
+          .distinct()
+        t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull && !isRef(col("doc_id")))
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some {
+        val mh = (0 until 8).map(i => s"  ${dMinhash(i)} AS mh$i").mkString(",\n")
+        val bands = (0 until 4).map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || ':' || mh${2 * b + 1} AS band_key FROM sig")
+          .mkString("\n  UNION ALL ")
+        s"""WITH w AS (SELECT doc_id, $dWords ws FROM documents),
+           |s AS (SELECT doc_id,
+           |  list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) sh
+           |  FROM w),
+           |h AS (SELECT doc_id, sh, $dHh hh FROM s),
+           |sig AS (SELECT doc_id,
+           |$mh
+           |FROM h),
+           |banded AS (
+           |  $bands),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+           |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |  WHERE (a.doc_id % 10 = 0) <> (b.doc_id % 10 = 0)),
+           |sets AS (SELECT doc_id, list_distinct(sh) AS ss FROM h),
+           |contaminated AS (
+           |  SELECT DISTINCT CASE WHEN p.doc_id_a % 10 = 0 THEN p.doc_id_b
+           |    ELSE p.doc_id_a END AS doc_id
+           |  FROM pairs p
+           |  JOIN sets sa ON p.doc_id_a = sa.doc_id
+           |  JOIN sets sb ON p.doc_id_b = sb.doc_id
+           |  WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+           |    (CAST(len(sa.ss) + len(sb.ss) AS DOUBLE) - CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)) >= 0.5)
+           |SELECT d.doc_id, d.lang, d.source FROM documents d
+           |WHERE d.doc_id % 10 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
+      },
+      "cross-corpus near-dup decontamination: fuzzy-drop targets matching the reference snapshot (north-star: dedup)")
   )
 }

@@ -43,20 +43,33 @@ class PlanGuardSpec extends SparkSpec {
       s"free-variable tokenization lambdas (bind via two aliased projections):\n${offenders.mkString("\n")}")
   }
 
-  test("d20: computed shingle sets ride the verification-join exchanges; text only rides the spread") {
-    val df = Registry.queries("d20_neardup_verified")(spark, sfDir)
-    df.collect()
-    val sh = PlanInspect.shuffles(df)
-    // the join exchanges must carry (doc_id, computed sets) — if sa/sb
-    // vanish from every exchange payload, the set compute floated above
-    // the joins and is re-running downstream of the shuffle
-    assert(sh.exists(_.output.exists(a => a.name == "sa" || a.name == "sb")),
-      s"no exchange carries the computed shingle sets:\n${sh.map(_.output.map(_.name)).mkString("\n")}")
-    assertTextOnlyRidesTheSpread("d20_neardup_verified")
+  test("d20/d29: computed shingle sets ride the verification-join exchanges; text only rides the spread") {
+    for (name <- Seq("d20_neardup_verified", "d29_cross_neardup")) {
+      val df = Registry.queries(name)(spark, sfDir)
+      df.collect()
+      val sh = PlanInspect.shuffles(df)
+      // the join exchanges must carry (doc_id, computed sets) — if sa/sb
+      // vanish from every exchange payload, the set compute floated above
+      // the joins and is re-running downstream of the shuffle
+      assert(sh.exists(_.output.exists(a => a.name == "sa" || a.name == "sb")),
+        s"$name: no exchange carries the computed shingle sets:\n${sh.map(_.output.map(_.name)).mkString("\n")}")
+      assertTextOnlyRidesTheSpread(name)
+    }
   }
 
   test("d18/d21/d25: shared-stage queries never ship text through a join/agg exchange") {
     Seq("d18_tfidf", "d21_dup_chunks", "d25_lm_surprisal")
       .foreach(assertTextOnlyRidesTheSpread)
+  }
+
+  test("d29: candidate generation never broadcasts an unbounded side; no cartesian") {
+    val p = {
+      val df = Registry.queries("d29_cross_neardup")(spark, sfDir)
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+      out.toString
+    }
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cross near-dup went all-pairs:\n${p.take(800)}")
   }
 }
