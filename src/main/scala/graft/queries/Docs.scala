@@ -280,6 +280,59 @@ object Docs {
       .drop("__ws")
   }
 
+  /** Full-signature string per doc (all 8 MinHash families, ':'-joined)
+    * on BOUND columns — the band-free special case of LSH: signature
+    * equality ⇒ very-high-Jaccard near-duplicate. Shingle-less docs
+    * (<3 tokens, null text) get a NULL signature so they can never
+    * collide. Shared by the batch reference-compile and the streaming
+    * cross-corpus filter so both sides hash identically. */
+  private[graft] def sigStr(textCol: Column): Column = {
+    // two nested aliased layers cannot be expressed inside one Column,
+    // so callers bind ws first; here the input is the bound ws column
+    val sh = shingles(textCol)
+    when(size(sh) >= 1,
+      concat_ws(":", graft.functions.MinHashExprs.minHashSig(sh).cast("array<string>")))
+  }
+
+  /** Compile a REFERENCE corpus (the held-out/eval snapshot) into a
+    * Bloom filter over its full MinHash signature strings, for
+    * [[graft.streaming.StreamingBuckets.crossNeardupStream]] — the
+    * cross-corpus analogue of [[benchBloomBytes]]: eval suites are tiny
+    * vs the ingest, so the filter stays broadcast-sized at any corpus
+    * scale. Shingle-less reference docs are excluded (a NULL signature
+    * must never poison the filter into dropping every short doc). */
+  def refSigBloomBytes(refDocs: org.apache.spark.sql.DataFrame,
+      textCol: String = "text", expectedItems: Long = 1000000L,
+      fpp: Double = 0.001): Array[Byte] =
+    benchBloomBytes(
+      refDocs.withColumn("__ws", words(col(textCol)))
+        .select(sigStr(col("__ws")).as("sig"))
+        .filter(col("sig").isNotNull),
+      gramCol = "sig", expectedItems = expectedItems, fpp = fpp)
+
+  /** Stateless cross-corpus near-dup FILTER: drop any doc whose full
+    * signature appears in the (Bloom-compiled) reference set. Pure
+    * per-row expression — no state, no join, no shuffle — so it runs
+    * identically over a batch frame or an unbounded stream. Banded
+    * candidate generation + exact Jaccard verify (docs similar to a
+    * reference doc but not signature-identical) stay on the batch d29
+    * path, exactly as nearDedupStream defers banding to the batch
+    * compactor. Shingle-less docs always pass (their signature is NULL
+    * and matches nothing). */
+  def crossNeardupFilterDf(docs: org.apache.spark.sql.DataFrame,
+      refSigBloom: Array[Byte], textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val bloom = Literal(refSigBloom, BinaryType)
+    def mightContain(v: Column): Column =
+      org.apache.spark.sql.GraftShim.column(
+        BloomFilterMightContain(bloom, org.apache.spark.sql.GraftShim.expression(v)))
+    val sig = sigStr(col("__ws"))
+    docs.withColumn("__ws", words(col(textCol)))
+      .filter(sig.isNull || !mightContain(xxhash64(sig)))
+      .drop("__ws")
+  }
+
   /** The d12 gate's exact edge list (md5 Carter–Wegman signatures →
     * star edges), exposed so ScaleCheck can verify the clustering
     * against an independent connected-components formulation at SFs the

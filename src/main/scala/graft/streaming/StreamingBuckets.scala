@@ -61,6 +61,22 @@ object StreamingBuckets {
   def redactStream(docs: DataFrame): DataFrame =
     graft.queries.Docs.redactDf(docs)
 
+  /** Streaming twin of d29 cross-corpus near-dup decontamination, as a
+    * filter: drop any streamed doc whose FULL 8-family MinHash
+    * signature appears in the reference snapshot's signature set,
+    * compiled once to a Bloom filter
+    * ([[graft.queries.Docs.refSigBloomBytes]]) and shipped as a
+    * literal. Signature equality is the band-free special case of LSH
+    * (the nearDedupStream note): it catches signature-identical
+    * near-dups of eval docs on the hot ingest path with a pure
+    * stateless per-row expression — no state, no watermark, no join —
+    * while banded candidates + exact Jaccard verify (the paraphrase
+    * tail) stay on the batch d29 compactor. One-sided error: a
+    * signature-identical match is never missed; ~fpp of clean docs are
+    * conservatively over-dropped. Shingle-less docs always pass. */
+  def crossNeardupStream(docs: DataFrame, refSigBloomBytes: Array[Byte]): DataFrame =
+    graft.queries.Docs.crossNeardupFilterDf(docs, refSigBloomBytes)
+
   /** Tumbling bucket counts/sums per (event_type, window). For streaming
     * input, `withWatermark` bounds state; for batch input it's a no-op
     * column-metadata marker. */

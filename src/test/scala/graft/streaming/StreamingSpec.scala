@@ -248,6 +248,44 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("crossNeardupStream == batch filter; signature-identical eval docs never survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = System.currentTimeMillis()
+    def at(min: Long) = new Timestamp(base + min * 60000L)
+    // the reference (eval) snapshot: two docs, one of them short
+    // (shingle-less — must NOT poison the filter)
+    val refBloom = graft.queries.Docs.refSigBloomBytes(
+      Seq("the capital of france is paris and everyone knows it",
+        "tiny doc").toDF("text"),
+      expectedItems = 100L)
+    val docs = Seq(
+      // signature-identical to ref doc 1 (verbatim) -> MUST be dropped
+      StreamDoc(1L, "the capital of france is paris and everyone knows it", at(0)),
+      StreamDoc(2L, "completely unrelated text about spark shuffle partitions", at(1)),
+      // short doc: NULL signature -> always survives even though the
+      // ref set also contains a short doc
+      StreamDoc(3L, "tiny doc", at(2)),
+      StreamDoc(4L, "clean corpus text with many plain ordinary words inside", at(3)))
+    val stream = MemoryStream[StreamDoc]
+    val query = StreamingBuckets.crossNeardupStream(stream.toDF(), refBloom)
+      .writeStream.format("memory").queryName("crossneardup")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs.take(2))
+      query.processAllAvailable()
+      stream.addData(docs.drop(2))
+      query.processAllAvailable()
+      val streamed = spark.table("crossneardup").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val batch = graft.queries.Docs.crossNeardupFilterDf(docs.toDF(), refBloom)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      // trigger split must not change the verdict
+      assert(streamed === batch)
+      assert(streamed === Seq(2L, 3L, 4L))
+    } finally query.stop()
+  }
+
   test("redactStream == batch redaction; PII never survives, counts exact") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
