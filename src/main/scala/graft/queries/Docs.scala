@@ -1696,6 +1696,95 @@ object Docs {
            |SELECT d.doc_id, d.lang, d.source FROM documents d
            |WHERE d.doc_id % 10 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
       },
-      "cross-corpus near-dup decontamination: fuzzy-drop targets matching the reference snapshot (north-star: dedup)")
+      "cross-corpus near-dup decontamination: fuzzy-drop targets matching the reference snapshot (north-star: dedup)"),
+
+    // C4-style duplicate-SPAN removal: cut every document into
+    // non-overlapping 16-token blocks, keep exactly ONE corpus-wide
+    // occurrence of each block's content (the lexicographically first
+    // (doc_id, k) — C4 "discard all but one of any span occurring more
+    // than once"), and reconstruct each document from its surviving
+    // blocks. d21 measures chunk-level duplication; this REMOVES it and
+    // emits the cleaned text fingerprint — the curation step that
+    // strips boilerplate paragraphs repeated across a crawl.
+    //
+    // Shuffle shape (the 100 TB budget): the corpus text rides ONLY the
+    // deliberate doc_id spread; the dedup pipeline ships narrow
+    // (md5, doc_id, k) tuples through one block-hash exchange (shared by
+    // the keeper aggregate and the probe join — the d21 struct-pack
+    // pattern, PlanGuardSpec-enforced) and the kept-flags return through
+    // one narrow doc_id exchange. Block construction is recomputed from
+    // the columnar scan in the flag subtree rather than shuffling block
+    // content a second time — recompute-from-scan beats a second
+    // corpus-sized wide shuffle. Keeper selection is a map-side-
+    // combinable min(struct), NOT a per-hash window: a boilerplate block
+    // occurring 10⁸ times collapses to one row per map task instead of
+    // streaming 10⁸ rows through one window task. The flags join and the
+    // final rollup both run on the existing HashPartitioning(doc_id) —
+    // no further exchanges.
+    Q("d30_dupspan_removal",
+      (s, dir) => {
+        // doc_id notnull is filtered EXPLICITLY (not left to join-key
+        // constraint inference): the flags join infers IsNotNull(doc_id)
+        // on its probe subtree only, which de-canonicalizes the keeper
+        // and probe subtrees — both the doc_id spread and the block-hash
+        // exchange then materialize twice (ExecPlan-verified before the
+        // fix: two REPARTITION_BY_COL h exchanges, two corpus spreads).
+        val blocks = t(s, dir, "documents")
+          .filter(col("text").isNotNull && col("doc_id").isNotNull)
+          .repartition(col("doc_id"))
+          .withColumn("ws", words(col("text")))
+          .withColumn("n", size(col("ws")).cast("long"))
+          .select(col("doc_id"), col("ws"), col("n"),
+            explode(sequence(lit(0L), expr("(n + 15) DIV 16 - 1"))).as("k"))
+          .withColumn("bstart", lit(1L) + col("k") * 16L)
+          .withColumn("btok", least(lit(16L), col("n") - col("bstart") + 1L))
+          .select(col("doc_id"), col("k"), col("btok"),
+            array_join(slice(col("ws"), col("bstart").cast("int"), col("btok").cast("int")), " ")
+              .as("content"))
+        // narrow (h, dt) stream: ONE block-hash exchange feeds both the
+        // keeper aggregate and the probe join (count(dt) ≡ count(1): a
+        // struct is never null — the d18/d21 reuse discipline)
+        val byH = blocks
+          .select(md5(col("content").cast("binary")).as("h"),
+            struct(col("doc_id"), col("k")).as("dt"))
+          .repartition(col("h"))
+        val keeper = byH.groupBy(col("h"))
+          .agg(min(col("dt")).as("keep_dt"))
+        val flags = byH.join(keeper, Seq("h"))
+          .select(col("dt.doc_id").as("doc_id"), col("dt.k").as("k"),
+            (col("dt") === col("keep_dt")).as("kept"))
+          .repartition(col("doc_id"))
+        blocks.join(flags, Seq("doc_id", "k"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_blocks"),
+            sum(when(col("kept"), 0L).otherwise(1L)).as("removed_blocks"),
+            sum(when(col("kept"), col("btok")).otherwise(0L)).as("clean_tokens"),
+            md5(array_join(
+              transform(
+                array_sort(collect_list(when(col("kept"), struct(col("k"), col("content"))))),
+                x => x.getField("content")),
+              " ").cast("binary")).as("clean_md5"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $dWords AS ws FROM documents
+              |  WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+              |nn AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+              |kk AS (SELECT doc_id, ws, n, unnest(range(0, (n + 15) // 16)) AS k FROM nn),
+              |blocks AS (SELECT doc_id, CAST(k AS BIGINT) AS k,
+              |    CAST(least(16, n - (1 + k*16) + 1) AS BIGINT) AS btok,
+              |    array_to_string(ws[(1 + k*16):least(k*16 + 16, n)], ' ') AS content
+              |  FROM kk),
+              |hashed AS (SELECT doc_id, k, btok, content, md5(content) AS h FROM blocks),
+              |keeper AS (SELECT h, MIN(ROW(doc_id, k)) AS keep_dt FROM hashed GROUP BY h),
+              |flagged AS (SELECT b.doc_id, b.k, b.btok, b.content,
+              |    (ROW(b.doc_id, b.k) = k2.keep_dt) AS kept
+              |  FROM hashed b JOIN keeper k2 USING (h))
+              |SELECT doc_id,
+              |  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+              |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS removed_blocks,
+              |  CAST(SUM(CASE WHEN kept THEN btok ELSE 0 END) AS BIGINT) AS clean_tokens,
+              |  md5(COALESCE(string_agg(CASE WHEN kept THEN content END, ' ' ORDER BY k), '')) AS clean_md5
+              |FROM flagged GROUP BY doc_id""".stripMargin),
+      "C4-style duplicate-span removal: keep one corpus-wide copy of each 16-token block, rebuild docs (north-star: dedup)")
   )
 }

@@ -922,6 +922,66 @@ object Sim {
               |ORDER BY cos_sim DESC, cand.vec_id ASC LIMIT 5""".stripMargin),
       "int8 scalar-quantization ANN: exact-integer codes + ADC candidates + exact re-rank (north-star)"),
 
+    // Cross-corpus SEMANTIC decontamination — the embedding-space
+    // complement of d29's shingle near-dup: drop every TARGET vector
+    // (vec_id % 10 ≠ 0) whose rounded cosine with any REFERENCE vector
+    // (vec_id % 10 = 0 — the held-out eval snapshot, d15/d29's benchMod
+    // convention) reaches 0.2, catching a REWRITTEN eval document whose
+    // embedding still sits next to the original even though no shingle
+    // survives. Scale shape: the reference corpus is an eval suite —
+    // broadcast-sized at ANY corpus scale — so the per-bucket reference
+    // side is BROADCAST and the 100 TB target corpus never shuffles:
+    // one scan computes each target's bucket (codegen'd per-row map),
+    // hash-probes the broadcast reference buckets, and only bucket
+    // collisions pay a cosine. The contaminated-id set (bounded by the
+    // match count, not the corpus) then prunes via left_anti, which AQE
+    // turns into a broadcast join at runtime. Gate uses the
+    // oracle-pinned static 8-plane geometry (e04); a deployment scales
+    // recall/bucket-occupancy with planesFor + OR-amplification exactly
+    // as e06/e11 document.
+    Q("e14_semantic_decontam",
+      (s, dir) => {
+        val isRef = (c: Column) => c % 10 === 0
+        val e = t(s, dir, "embeddings")
+          .withColumn("bkt", graft.functions.PlaneBucketExpr.planeBucketCode(col("embedding")))
+        val ref = e.filter(isRef(col("vec_id")))
+          .select(col("bkt"), col("vec_id").as("ref_id"), col("embedding").as("re"))
+        val tgt = e.filter(!isRef(col("vec_id")))
+          .select(col("bkt"), col("vec_id"), col("embedding"))
+        val contaminated = tgt.join(broadcast(ref), Seq("bkt"))
+          .filter(round(cosineFast(col("embedding"), col("re")), 4) >= 0.2)
+          .select(col("vec_id")).distinct()
+        t(s, dir, "embeddings")
+          .filter(!isRef(col("vec_id")))
+          .select(col("vec_id"), col("label").cast("long").as("label"))
+          .join(contaminated, Seq("vec_id"), "left_anti")
+      },
+      Some {
+        val sums = (0 until 8).map(j =>
+          s"  SUM(v * ((((pos - 1) * 37 + $j * 101) % 19) - 9)) AS s$j").mkString(",\n")
+        val code = (0 until 8).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        s"""WITH unnested AS (
+           |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+           |         unnest(embedding::DOUBLE[]) AS v
+           |  FROM embeddings),
+           |sums AS (SELECT vec_id,
+           |$sums
+           |FROM unnested GROUP BY vec_id),
+           |bkt AS (SELECT vec_id, CAST($code AS BIGINT) AS bkt FROM sums),
+           |e AS (SELECT embeddings.vec_id, embedding, bkt
+           |      FROM embeddings JOIN bkt ON embeddings.vec_id = bkt.vec_id),
+           |contaminated AS (
+           |  SELECT DISTINCT tg.vec_id
+           |  FROM e tg JOIN e r ON tg.bkt = r.bkt
+           |    AND tg.vec_id % 10 <> 0 AND r.vec_id % 10 = 0
+           |  WHERE ROUND(${dDot("tg.embedding", "r.embedding")} /
+           |    (sqrt(${dDot("tg.embedding", "tg.embedding")}) * sqrt(${dDot("r.embedding", "r.embedding")})), 4) >= 0.2)
+           |SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+           |WHERE vec_id % 10 <> 0
+           |  AND vec_id NOT IN (SELECT vec_id FROM contaminated)""".stripMargin
+      },
+      "semantic decontamination: fuzzy-drop targets near the eval snapshot in embedding space (north-star: curation)"),
+
     // Multimodal-column plumbing: opaque bytes + typed metadata + a
     // clearly-fake deterministic "decode" (real decode is stubbed — media
     // libs aren't in the container; see graft.mm.Multimodal for the

@@ -57,9 +57,40 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
-  test("d18/d21/d25: shared-stage queries never ship text through a join/agg exchange") {
-    Seq("d18_tfidf", "d21_dup_chunks", "d25_lm_surprisal")
+  test("d18/d21/d25/d30: shared-stage queries never ship text through a join/agg exchange") {
+    Seq("d18_tfidf", "d21_dup_chunks", "d25_lm_surprisal", "d30_dupspan_removal")
       .foreach(assertTextOnlyRidesTheSpread)
+  }
+
+  test("d30: the block-hash exchange ships narrow (h, dt) tuples, never block content") {
+    val df = Registry.queries("d30_dupspan_removal")(spark, sfDir)
+    df.collect()
+    val sh = PlanInspect.shuffles(df)
+    val hEx = sh.filter(_.output.exists(_.name == "h"))
+    assert(hEx.nonEmpty, "d30: no exchange keyed on the block hash found")
+    hEx.foreach { e =>
+      assert(!e.output.exists(a => a.name == "content" || a.name == "text" || a.name == "ws"),
+        s"d30: the block-hash exchange carries block content: ${e.output.map(_.name)}")
+    }
+    // keeper aggregate + probe join must consume ONE materialized h
+    // exchange — a second h exchange means the dedup pipeline shuffles
+    // the block stream twice (the pre-fix shape: join-key constraint
+    // inference de-canonicalized the two subtrees)
+    assert(hEx.size <= 1,
+      s"d30: ${hEx.size} distinct block-hash exchanges — keeper/probe no longer share the stage")
+  }
+
+  test("e14: semantic decontam joins per-bucket with a broadcast reference; no cartesian") {
+    val p = {
+      val df = Registry.queries("e14_semantic_decontam")(spark, sfDir)
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+      out.toString
+    }
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semantic decontam went all-pairs:\n${p.take(800)}")
+    assert(p.contains("BroadcastExchange"),
+      "e14: the eval-suite reference side must broadcast (it is tiny at any corpus scale)")
   }
 
   test("d29: candidate generation never broadcasts an unbounded side; no cartesian") {

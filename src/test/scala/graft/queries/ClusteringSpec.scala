@@ -238,4 +238,26 @@ class ClusteringSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(e09ids === Set(1L, 2L))
   }
+
+  test("e14: exact copies of reference vectors are dropped; orthogonal/opposite targets survive") {
+    val dir = Files.createTempDirectory("graft-semdecon").toString
+    import spark.implicits._
+    Seq(
+      (0L, Seq(1.0f, 0.0f), 0),   // reference (vec_id % 10 == 0)
+      (10L, Seq(0.0f, 1.0f), 0),  // reference
+      (1L, Seq(1.0f, 0.0f), 1),   // identical to ref 0: same bucket, cos 1.0 → dropped
+      (2L, Seq(0.0f, 1.0f), 1),   // identical to ref 10 → dropped
+      (3L, Seq(-1.0f, 0.0f), 1),  // cos -1 / 0 vs refs → kept
+      (4L, Seq(0.0f, -1.0f), 1))  // cos 0 / -1 vs refs → kept
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val out = Registry.queries("e14_semantic_decontam")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set(3L, 4L), s"kept set wrong: ${out.keySet}")
+    assert(out(3L) === 1L && out(4L) === 1L) // labels ride through
+    // determinism: a second run selects the identical set
+    val again = Registry.queries("e14_semantic_decontam")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === Set(3L, 4L))
+  }
 }

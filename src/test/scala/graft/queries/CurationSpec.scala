@@ -284,4 +284,36 @@ class CurationSpec extends SparkSpec {
     val red = Registry.queries("d17_pii_redact")(spark, dir2).collect()
     assert(red.forall(_.getLong(2) === 2L)) // in-text + appended phone
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("d30: duplicate 16-token blocks keep exactly one corpus-wide copy; docs rebuild from survivors") {
+    val blockA = (1 to 16).map(i => s"a$i").mkString(" ")
+    val blockB = (1 to 16).map(i => s"b$i").mkString(" ")
+    val blockC = (1 to 16).map(i => s"c$i").mkString(" ")
+    val blockD = (1 to 16).map(i => s"d$i").mkString(" ")
+    val dir = fixture(Seq(
+      (1L, s"$blockA $blockB", "en", "s"),   // first occurrence of A and B → untouched
+      (2L, s"$blockA $blockC", "en", "s"),   // A is (2,0), keeper is (1,0) → removed
+      (3L, "u1 u2 u3 u4 u5", "en", "s"),     // one short unique block
+      (4L, s"$blockD $blockD", "en", "s")))  // in-DOC repeat: second copy removed
+    val out = Registry.queries("d30_dupspan_removal")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 2L && out(1L).getLong(2) === 0L)
+    assert(out(1L).getLong(3) === 32L)
+    assert(out(1L).getString(4) === md5hex(s"$blockA $blockB"))
+    assert(out(2L).getLong(2) === 1L)                     // blockA stripped
+    assert(out(2L).getLong(3) === 16L)
+    assert(out(2L).getString(4) === md5hex(blockC))
+    assert(out(3L).getLong(1) === 1L && out(3L).getLong(3) === 5L)
+    assert(out(3L).getString(4) === md5hex("u1 u2 u3 u4 u5"))
+    assert(out(4L).getLong(2) === 1L)                     // internal dup removed too
+    assert(out(4L).getString(4) === md5hex(blockD))
+    // corpus invariant: survivors = distinct block contents (each block
+    // content kept exactly once, anywhere)
+    val kept = out.values.map(r => r.getLong(1) - r.getLong(2)).sum
+    assert(kept === 5L)                                   // A B C D + the short block
+  }
 }
