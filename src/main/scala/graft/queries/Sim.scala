@@ -922,6 +922,100 @@ object Sim {
               |ORDER BY cos_sim DESC, cand.vec_id ASC LIMIT 5""".stripMargin),
       "int8 scalar-quantization ANN: exact-integer codes + ADC candidates + exact re-rank (north-star)"),
 
+    // Product-quantization ANN — the CODEBOOK member of the ANN family
+    // (IVF-PQ is the de-facto production shape for billion-vector
+    // search; e13 covers per-dim scalar compression, this covers
+    // subspace codebooks): the 64-dim space splits into 8 contiguous
+    // 8-dim subspaces, each vector's subvector is replaced by the id of
+    // its nearest per-subspace centroid (8 bytes/vector at K ≤ 256 —
+    // 32× smaller than the floats), and the query scans CODES ONLY via
+    // an additive distance table. Codebooks are the e08 seed model kept
+    // in EXACT micro-units (label × pos rounded means BEFORE the /1e6
+    // narrowing), so centroids, micro components, subspace distances,
+    // PQ codes, the query's distance table, and every ADC sum are pure
+    // long arithmetic — bit-identical across engines and partition
+    // layouts; the only floating point is the final exact-cosine
+    // re-rank of the top-20 (e02's rounded-rank discipline).
+    //
+    // Scale shape: ONE vec_id spread (whole arrays, pre-explode)
+    // feeds micro components; every aggregation downstream —
+    // (vec_id, sub, label) distances, per-(vec_id, sub) argmin codes,
+    // per-vec ADC — is keyed on a vec_id prefix, so nothing re-shuffles
+    // after the spread. The codebook (K × 64 longs) and the query's
+    // 8 × K distance table are broadcast; the K-way distance fan-out is
+    // map-side (broadcast join + partial agg collapses it back to
+    // K × 8 rows per vector before any exchange could see it).
+    Q("e15_pq_ann",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+        // per-(label, pos) codebook centroid in exact micro-units
+        val cent = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+          .filter(col("vf").isNotNull)
+          .select(col("label"), col("pos"), microQ(col("vf")).as("m"))
+          .groupBy(col("label"), col("pos"))
+          .agg(sum(col("m")).as("sm"), count(lit(1)).as("n"))
+          .select(col("label"), col("pos"), halfAwayDiv(col("sm"), col("n")).as("cm"))
+        val micro = e.repartition(col("vec_id"))
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+          .filter(col("vf").isNotNull)
+          .select(col("vec_id"), col("pos"), expr("pos DIV 8").as("sub"),
+            microQ(col("vf")).as("m"))
+        // exact integer distance of every subvector to every centroid
+        val d2 = micro.join(broadcast(cent), Seq("pos"))
+          .groupBy(col("vec_id"), col("sub"), col("label"))
+          .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
+        // PQ code: argmin centroid per (vector, subspace); ties → smaller label
+        val codes = d2.groupBy(col("vec_id"), col("sub"))
+          .agg(min(struct(col("d2"), col("label"))).as("best"))
+          .select(col("vec_id"), col("sub"), col("best").getField("label").as("code"))
+        // the query's additive distance table, then ADC over codes only
+        val qdt = d2.filter(col("vec_id") === 0)
+          .select(col("sub"), col("label").as("code"), col("d2").as("qd2"))
+        val cand = codes.filter(col("vec_id") =!= 0)
+          .join(broadcast(qdt), Seq("sub", "code"))
+          .groupBy(col("vec_id")).agg(sum(col("qd2")).as("adc"))
+          .orderBy(col("adc").asc, col("vec_id").asc).limit(20)
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        cand.join(e, Seq("vec_id")).crossJoin(broadcast(q))
+          .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(5)
+          .select(col("vec_id"), col("adc"), col("cos_sim"))
+      },
+      Some(s"""WITH u AS (
+              |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+              |         unnest(embedding::DOUBLE[]) AS v
+              |  FROM embeddings WHERE embedding IS NOT NULL),
+              |m AS (SELECT vec_id, pos, (pos - 1) // 8 AS sub, $microQSql AS m
+              |  FROM u WHERE v IS NOT NULL),
+              |cu AS (SELECT e.label, generate_subscripts(e.embedding, 1) AS pos,
+              |         unnest(e.embedding::DOUBLE[]) AS v
+              |  FROM embeddings e WHERE e.embedding IS NOT NULL),
+              |cm AS (SELECT label, pos, ${halfAwayDivSql("SUM(m)", "COUNT(*)")} AS cm
+              |  FROM (SELECT label, pos, $microQSql AS m FROM cu WHERE v IS NOT NULL)
+              |  GROUP BY label, pos),
+              |d2 AS (SELECT m.vec_id, m.sub, c.label,
+              |    SUM((m.m - c.cm) * (m.m - c.cm)) AS d2
+              |  FROM m JOIN cm c ON m.pos = c.pos
+              |  GROUP BY m.vec_id, m.sub, c.label),
+              |codes AS (SELECT vec_id, sub, label AS code FROM (
+              |  SELECT vec_id, sub, label,
+              |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, label ASC) AS rn
+              |  FROM d2) WHERE rn = 1),
+              |qdt AS (SELECT sub, label AS code, d2 AS qd2 FROM d2 WHERE vec_id = 0),
+              |cand AS (
+              |  SELECT c.vec_id, CAST(SUM(q.qd2) AS BIGINT) AS adc
+              |  FROM codes c JOIN qdt q USING (sub, code)
+              |  WHERE c.vec_id <> 0 GROUP BY c.vec_id
+              |  ORDER BY adc ASC, c.vec_id ASC LIMIT 20),
+              |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+              |SELECT cand.vec_id, adc,
+              |  ROUND(${dDot("e.embedding", "q.qe")} /
+              |    (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("q.qe", "q.qe")})), 4) AS cos_sim
+              |FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id, q
+              |ORDER BY cos_sim DESC, cand.vec_id ASC LIMIT 5""".stripMargin),
+      "product-quantization ANN: per-subspace codebooks, integer ADC over codes, exact re-rank (north-star)"),
+
     // Cross-corpus SEMANTIC decontamination — the embedding-space
     // complement of d29's shingle near-dup: drop every TARGET vector
     // (vec_id % 10 ≠ 0) whose rounded cosine with any REFERENCE vector

@@ -133,6 +133,18 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "only the 1-row query side may nest-loop")
   }
 
+  test("e15: codebook + distance table broadcast; the code pipeline never sort-merges; non-query filter reaches the scan") {
+    val p = planOf("e15_pq_ann")
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook / distance-table joins must broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"), "corpus-sized code stream must not sort-merge")
+    assert(!p.contains("CartesianProduct"), "only the 1-row query side may nest-loop")
+    // candidate generation must exclude the query BEFORE the scan, not
+    // filter it downstream of the K-way distance fan-out
+    assert(p.contains("Not(EqualTo(vec_id,0))"),
+      s"vec_id<>0 not pushed to the parquet scan:\n${p.take(800)}")
+  }
+
   test("d26: variant join is a keyed shuffle join — no cartesian, no broadcast of a corpus-derived side") {
     val p = planOf("d26_typo_pairs")
     assert(!p.contains("CartesianProduct"), "typo mining went all-pairs")

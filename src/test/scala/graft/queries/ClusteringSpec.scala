@@ -239,6 +239,33 @@ class ClusteringSpec extends SparkSpec {
     assert(e09ids === Set(1L, 2L))
   }
 
+  test("e15: PQ codes, integer ADC, and re-rank match hand computation") {
+    val dir = Files.createTempDirectory("graft-pq").toString
+    import spark.implicits._
+    // dim 2 < 8 → one subspace: PQ degenerates to plain vector
+    // quantization, small enough to hand-compute exactly.
+    Seq(
+      (0L, Seq(1.0f, 0.0f), 0),   // query
+      (1L, Seq(1.0f, 0.2f), 0),
+      (2L, Seq(0.0f, 1.0f), 1),
+      (3L, Seq(0.2f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    // codebook: c0 = mean(v0, v1) = (1.0, 0.1); c1 = mean(v2, v3) = (0.1, 1.0)
+    // codes: v1 → c0 (d2 = 1e10), v2/v3 → c1 (d2 = 1e10 each)
+    // query distance table: d(q, c0) = 0 + (1e5)² = 1e10
+    //                       d(q, c1) = (9e5)² + (1e6)² = 1.81e12
+    val out = Registry.queries("e15_pq_ann")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq === Seq(1L, 3L, 2L)) // cosine re-rank order
+    val adc = out.toMap
+    assert(adc(1L)._1 === 10000000000L)
+    assert(adc(2L)._1 === 1810000000000L && adc(3L)._1 === 1810000000000L)
+    assert(adc(1L)._2 === BigDecimal(1.0 / math.sqrt(1.04))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(adc(2L)._2 === 0.0)
+  }
+
   test("e14: exact copies of reference vectors are dropped; orthogonal/opposite targets survive") {
     val dir = Files.createTempDirectory("graft-semdecon").toString
     import spark.implicits._
