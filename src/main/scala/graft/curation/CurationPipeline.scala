@@ -33,6 +33,10 @@ import graft.queries.Docs
   *                    connected components, cluster min survives),
   *                    written via [[graft.sources.CorpusSink]]
   *                    (partitioned, size-bounded, sorted)
+  *   4a. `04a_spans`  optional C4-style duplicate-span removal (d30's
+  *                    shape, `Config.spanDedup`): keep one corpus-wide
+  *                    copy of each 16-token block, rebuild docs from
+  *                    their surviving blocks
   *   4b. `04b_selected` optional [[Selection]] strategy over the
   *                    survivors: seeded rate sample (d23),
   *                    cluster-balanced quota sample (e09), or
@@ -135,6 +139,16 @@ object CurationPipeline {
         * training order — the last artifact a pretraining pipeline
         * emits. None disables the stage. */
       orderShards: Option[Int] = None,
+      /** C4-style duplicate-SPAN removal (`04a_spans`, d30's shape over
+        * the near-dup survivors): every 16-token block keeps exactly ONE
+        * corpus-wide occurrence (min (doc_id, k)) and each doc is
+        * rebuilt from its surviving blocks — strips boilerplate
+        * paragraphs that doc-level dedup can't touch (the docs
+        * themselves are not duplicates). Docs that lose every block are
+        * dropped; `n_chars` is recomputed on the rebuilt text. Runs via
+        * the shared [[graft.queries.Docs.spanDedupDf]] body, so the
+        * stage is pinned by the d30 oracle by construction. */
+      spanDedup: Boolean = false,
       /** Skip any stage whose output dir already carries a `_SUCCESS`
         * marker and read it back instead — a crashed or re-configured
         * run resumes from the last good stage without recomputing (or
@@ -257,8 +271,15 @@ object CurationPipeline {
       graft.sources.CorpusSink.write(survivors, s"$outDir/04_corpus",
         partitionCol = cfg.partitionCol, maxRecordsPerFile = cfg.maxRecordsPerFile)
     }
-    val corpus = spark.read.parquet(s"$outDir/04_corpus")
-    counts += "04_corpus" -> corpus.count()
+    val corpus0 = spark.read.parquet(s"$outDir/04_corpus")
+    counts += "04_corpus" -> corpus0.count()
+
+    // stage 4a (optional): C4-style duplicate-span removal over the
+    // near-dup survivors — rebuild each doc from the blocks that are
+    // the corpus-wide canonical copy of their content
+    val corpus =
+      if (!cfg.spanDedup) corpus0
+      else stage("04a_spans", Docs.spanDedupDf(corpus0))
 
     // stage 4b: selection strategy over the dedup survivors
     val selected = selection match {

@@ -571,6 +571,71 @@ object Docs {
           " ").cast("binary")).as("chunk_md5"))
   }
 
+  /** Non-overlapping 16-token blocks with corpus-wide keep flags — the
+    * d30 span-dedup body, shared with CurationPipeline's span stage so
+    * the pipeline is oracle-pinned by construction. Returns
+    * (doc_id, k, btok, content, kept): kept is true for exactly ONE
+    * corpus-wide occurrence of each block content (the min (doc_id, k)).
+    * See the d30 gate for the shuffle-budget commentary (narrow
+    * (md5, doc_id, k) tuples on one shared block-hash exchange,
+    * map-side-combinable min(struct) keeper, flags returned through one
+    * narrow doc_id exchange). */
+  private[graft] def spanBlocksFlagged(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // doc_id notnull is filtered EXPLICITLY (not left to join-key
+    // constraint inference): the flags join infers IsNotNull(doc_id)
+    // on its probe subtree only, which de-canonicalizes the keeper
+    // and probe subtrees — both the doc_id spread and the block-hash
+    // exchange then materialize twice (ExecPlan-verified before the
+    // fix: two REPARTITION_BY_COL h exchanges, two corpus spreads).
+    val blocks = docs
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+      .repartition(col("doc_id"))
+      .withColumn("ws", words(col("text")))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(0L), expr("(n + 15) DIV 16 - 1"))).as("k"))
+      .withColumn("bstart", lit(1L) + col("k") * 16L)
+      .withColumn("btok", least(lit(16L), col("n") - col("bstart") + 1L))
+      .select(col("doc_id"), col("k"), col("btok"),
+        array_join(slice(col("ws"), col("bstart").cast("int"), col("btok").cast("int")), " ")
+          .as("content"))
+    // narrow (h, dt) stream: ONE block-hash exchange feeds both the
+    // keeper aggregate and the probe join (count(dt) ≡ count(1): a
+    // struct is never null — the d18/d21 reuse discipline)
+    val byH = blocks
+      .select(md5(col("content").cast("binary")).as("h"),
+        struct(col("doc_id"), col("k")).as("dt"))
+      .repartition(col("h"))
+    val keeper = byH.groupBy(col("h"))
+      .agg(min(col("dt")).as("keep_dt"))
+    val flags = byH.join(keeper, Seq("h"))
+      .select(col("dt.doc_id").as("doc_id"), col("dt.k").as("k"),
+        (col("dt") === col("keep_dt")).as("kept"))
+      .repartition(col("doc_id"))
+    blocks.join(flags, Seq("doc_id", "k"))
+  }
+
+  /** Ordered rebuild of each doc's text from its surviving blocks (the
+    * d30 clean_md5 content, as text): docs whose every block was removed
+    * disappear (nothing left to train on). Shared with CurationPipeline. */
+  private[graft] def spanDedupDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val rebuilt = spanBlocksFlagged(docs)
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("kept"), 1L).otherwise(0L)).as("_kept_blocks"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"), struct(col("k"), col("content"))))),
+            x => x.getField("content")),
+          " ").as("_clean"))
+      .filter(col("_kept_blocks") > 0)
+      .select(col("doc_id"), col("_clean"))
+    docs.join(rebuilt, Seq("doc_id"))
+      .withColumn("text", col("_clean"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("_clean")
+  }
+
   /** DuckDB twin of [[chunked]] (shared by d19/d21 oracles). */
   private def dChunks = {
     s"""w AS (SELECT doc_id, $dWords AS ws FROM documents WHERE text IS NOT NULL),
@@ -1723,38 +1788,7 @@ object Docs {
     // no further exchanges.
     Q("d30_dupspan_removal",
       (s, dir) => {
-        // doc_id notnull is filtered EXPLICITLY (not left to join-key
-        // constraint inference): the flags join infers IsNotNull(doc_id)
-        // on its probe subtree only, which de-canonicalizes the keeper
-        // and probe subtrees — both the doc_id spread and the block-hash
-        // exchange then materialize twice (ExecPlan-verified before the
-        // fix: two REPARTITION_BY_COL h exchanges, two corpus spreads).
-        val blocks = t(s, dir, "documents")
-          .filter(col("text").isNotNull && col("doc_id").isNotNull)
-          .repartition(col("doc_id"))
-          .withColumn("ws", words(col("text")))
-          .withColumn("n", size(col("ws")).cast("long"))
-          .select(col("doc_id"), col("ws"), col("n"),
-            explode(sequence(lit(0L), expr("(n + 15) DIV 16 - 1"))).as("k"))
-          .withColumn("bstart", lit(1L) + col("k") * 16L)
-          .withColumn("btok", least(lit(16L), col("n") - col("bstart") + 1L))
-          .select(col("doc_id"), col("k"), col("btok"),
-            array_join(slice(col("ws"), col("bstart").cast("int"), col("btok").cast("int")), " ")
-              .as("content"))
-        // narrow (h, dt) stream: ONE block-hash exchange feeds both the
-        // keeper aggregate and the probe join (count(dt) ≡ count(1): a
-        // struct is never null — the d18/d21 reuse discipline)
-        val byH = blocks
-          .select(md5(col("content").cast("binary")).as("h"),
-            struct(col("doc_id"), col("k")).as("dt"))
-          .repartition(col("h"))
-        val keeper = byH.groupBy(col("h"))
-          .agg(min(col("dt")).as("keep_dt"))
-        val flags = byH.join(keeper, Seq("h"))
-          .select(col("dt.doc_id").as("doc_id"), col("dt.k").as("k"),
-            (col("dt") === col("keep_dt")).as("kept"))
-          .repartition(col("doc_id"))
-        blocks.join(flags, Seq("doc_id", "k"))
+        spanBlocksFlagged(t(s, dir, "documents"))
           .groupBy(col("doc_id"))
           .agg(
             count(lit(1)).as("n_blocks"),

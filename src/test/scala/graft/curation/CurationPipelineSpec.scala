@@ -277,6 +277,40 @@ class CurationPipelineSpec extends SparkSpec {
     }
   }
 
+  test("span-dedup stage: rebuilt text fingerprints equal the d30 gate on the same corpus") {
+    val out = Files.createTempDirectory("graft-curation-span").toString
+    val docs = Registry.t(spark, sfDir, "documents")
+    CurationPipeline.run(spark, docs, out,
+      cfg = CurationPipeline.Config(spanDedup = true, chunk = false),
+      customGate = langGate)
+    val spans = spark.read.parquet(s"$out/04a_spans")
+    // the stage runs over the 04_corpus survivors via the SHARED d30
+    // body — the gate's clean_md5 over the same input must equal the
+    // md5 of the stage's rebuilt text, doc by doc
+    val corpus = spark.read.parquet(s"$out/04_corpus")
+    val gate = graft.queries.Docs.spanBlocksFlagged(corpus)
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("kb"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"), struct(col("k"), col("content"))))),
+            x => x.getField("content")),
+          " ").cast("binary")).as("clean_md5"))
+    val gateMap = gate.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val stageMap = spans.select(col("doc_id"), md5(col("text").cast("binary")).as("m"),
+        length(col("text")).cast("long").as("len"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(stageMap.keySet === gateMap.filter(_._2._1 > 0).keySet,
+      "stage must keep exactly the docs with >= 1 surviving block")
+    stageMap.foreach { case (id, (m, len, nchars)) =>
+      assert(m === gateMap(id)._2, s"doc $id rebuilt text diverges from the d30 body")
+      assert(nchars === len, s"doc $id n_chars not recomputed")
+    }
+    // downstream schema unchanged (selection/chunk/pack read it)
+    assert(spans.columns.sorted === corpus.columns.sorted)
+  }
+
   test("benchMod = 0 disables decontamination") {
     val out = Files.createTempDirectory("graft-curation-nodc").toString
     val docs = Registry.t(spark, sfDir, "documents")
