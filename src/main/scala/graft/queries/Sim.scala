@@ -302,6 +302,32 @@ object Sim {
       .select(col("cell"), col("vec_id"), col("cos_sim"))
   }
 
+  /** Shared batch≡stream body of e14 semantic decontamination: keep the
+    * rows of `tgt` that have NO `ref` vector in the same hyperplane
+    * bucket at rounded cosine ≥ `threshold`. The reference side is an
+    * eval suite — broadcast-sized at any corpus scale — so this is ONE
+    * stateless left-anti broadcast join: the target side never
+    * shuffles, and because a stream-static anti join needs no state or
+    * watermark, the SAME body runs over an unbounded target stream
+    * ([[graft.streaming.StreamingBuckets.semanticDecontamStream]]) —
+    * batch backfill and stream keep the identical set by construction.
+    * The equi-bucket conjunct keys the broadcast hash join; the cosine
+    * test rides as the join filter, paid only on bucket collisions. */
+  def semanticDecontamKeepDf(
+      tgt: org.apache.spark.sql.DataFrame,
+      ref: org.apache.spark.sql.DataFrame,
+      threshold: Double = 0.2): org.apache.spark.sql.DataFrame = {
+    val bucket = (c: Column) => graft.functions.PlaneBucketExpr.planeBucketCode(c)
+    val refB = broadcast(ref
+      .select(bucket(col("embedding")).as("_rbkt"), col("embedding").as("_re")))
+    tgt.withColumn("_bkt", bucket(col("embedding")))
+      .join(refB,
+        col("_bkt") === col("_rbkt") &&
+          round(cosineFast(col("embedding"), col("_re")), 4) >= threshold,
+        "left_anti")
+      .drop("_bkt")
+  }
+
   /** Cluster-balanced quota sample (e09's exact body, DataFrame-in so
     * CurationPipeline can use it as a selection strategy): assign every
     * vector to its nearest seed centroid, keep each cluster's `quota`
@@ -1037,18 +1063,10 @@ object Sim {
       (s, dir) => {
         val isRef = (c: Column) => c % 10 === 0
         val e = t(s, dir, "embeddings")
-          .withColumn("bkt", graft.functions.PlaneBucketExpr.planeBucketCode(col("embedding")))
-        val ref = e.filter(isRef(col("vec_id")))
-          .select(col("bkt"), col("vec_id").as("ref_id"), col("embedding").as("re"))
-        val tgt = e.filter(!isRef(col("vec_id")))
-          .select(col("bkt"), col("vec_id"), col("embedding"))
-        val contaminated = tgt.join(broadcast(ref), Seq("bkt"))
-          .filter(round(cosineFast(col("embedding"), col("re")), 4) >= 0.2)
-          .select(col("vec_id")).distinct()
-        t(s, dir, "embeddings")
-          .filter(!isRef(col("vec_id")))
+        semanticDecontamKeepDf(
+          e.filter(!isRef(col("vec_id"))),
+          e.filter(isRef(col("vec_id"))))
           .select(col("vec_id"), col("label").cast("long").as("label"))
-          .join(contaminated, Seq("vec_id"), "left_anti")
       },
       Some {
         val sums = (0 until 8).map(j =>

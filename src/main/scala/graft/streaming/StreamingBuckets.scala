@@ -77,6 +77,17 @@ object StreamingBuckets {
   def crossNeardupStream(docs: DataFrame, refSigBloomBytes: Array[Byte]): DataFrame =
     graft.queries.Docs.crossNeardupFilterDf(docs, refSigBloomBytes)
 
+  /** Streaming twin of e14 semantic decontamination: drop any streamed
+    * vector whose rounded cosine with a same-bucket reference vector
+    * reaches `threshold`. EXACT (no Bloom, no one-sided error): the
+    * reference is a STATIC eval-suite table on the broadcast side of a
+    * stream-static left-anti join — stateless, no watermark, so batch
+    * backfill and stream keep the identical set by construction (shared
+    * [[graft.queries.Sim.semanticDecontamKeepDf]] body). */
+  def semanticDecontamStream(vecs: DataFrame, refVectors: DataFrame,
+      threshold: Double = 0.2): DataFrame =
+    graft.queries.Sim.semanticDecontamKeepDf(vecs, refVectors, threshold)
+
   /** Tumbling bucket counts/sums per (event_type, window). For streaming
     * input, `withWatermark` bounds state; for batch input it's a no-op
     * column-metadata marker. */

@@ -10,6 +10,7 @@ import graft.SparkSpec
   * and on the equivalent batch DataFrame. */
 case class StreamEv(event_id: Long, ts: Timestamp, event_type: String, value: Double)
 case class StreamDoc(doc_id: Long, text: String, ts: Timestamp)
+case class StreamVec(vec_id: Long, embedding: Seq[Float], label: Int)
 
 class StreamingSpec extends SparkSpec {
   private type Ev = StreamEv
@@ -316,6 +317,36 @@ class StreamingSpec extends SparkSpec {
       assert(streamed(2L) === (("no pii in this document at all", 0L, 0L)))
       assert(streamed(3L)._2 === 2L && streamed(3L)._3 === 1L)
       assert(!streamed.values.exists(v => v._1.contains("@") || v._1.contains("555-0100")))
+    } finally query.stop()
+  }
+
+  test("semanticDecontamStream == batch keep set; copies of reference vectors never survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (10L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val vecs = Seq(
+      StreamVec(1L, Seq(1.0f, 0.0f), 1),   // identical to ref 0 → dropped
+      StreamVec(2L, Seq(0.0f, 1.0f), 1),   // identical to ref 10 → dropped
+      StreamVec(3L, Seq(-1.0f, 0.0f), 1),  // opposite/orthogonal → kept
+      StreamVec(4L, Seq(0.0f, -1.0f), 1))
+    val stream = MemoryStream[StreamVec]
+    val query = StreamingBuckets.semanticDecontamStream(stream.toDF(), ref)
+      .writeStream.format("memory").queryName("semdecon")
+      .outputMode("append").start()
+    try {
+      // arbitrary trigger split: the stateless anti join must not care
+      stream.addData(vecs.take(2))
+      query.processAllAvailable()
+      stream.addData(vecs.drop(2))
+      query.processAllAvailable()
+      val streamed = spark.table("semdecon").select("vec_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val batch = graft.queries.Sim.semanticDecontamKeepDf(vecs.toDF(), ref)
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(streamed === batch)
+      assert(streamed === Seq(3L, 4L))
     } finally query.stop()
   }
 
