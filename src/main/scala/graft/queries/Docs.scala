@@ -1819,6 +1819,61 @@ object Docs {
               |  CAST(SUM(CASE WHEN kept THEN btok ELSE 0 END) AS BIGINT) AS clean_tokens,
               |  md5(COALESCE(string_agg(CASE WHEN kept THEN content END, ' ' ORDER BY k), '')) AS clean_md5
               |FROM flagged GROUP BY doc_id""".stripMargin),
-      "C4-style duplicate-span removal: keep one corpus-wide copy of each 16-token block, rebuild docs (north-star: dedup)")
+      "C4-style duplicate-span removal: keep one corpus-wide copy of each 16-token block, rebuild docs (north-star: dedup)"),
+
+    // PMI collocation mining — the phrase-extraction member of the text-
+    // analysis family (word2vec-phrases / NPMI boilerplate detection):
+    // corpus-wide bigrams with count ≥ 5 scored by pointwise mutual
+    // information ln(N·c(ab) / (c(a)·c(b))), global top-50. Every count
+    // is an exact integer; the PMI argument is computed as ONE double
+    // ratio of exact ≤2⁵³ products, so both engines feed ln the same
+    // bits and round(,4) absorbs the last-ulp libm gap (the d18 log
+    // discipline). Ordering ties break on the bigram itself.
+    //
+    // Shuffle shape: one doc_id spread, one bigram-keyed aggregation
+    // and one unigram aggregation (both map-side combinable — a
+    // stopword bigram collapses per task); the unigram table joins back
+    // BROADCAST twice (post min-count the scored vocab fits an
+    // executor; AQE self-demotes if not), so the bigram stream never
+    // re-shuffles; the global top-50 is a TakeOrdered, not a sort.
+    Q("d31_collocations",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), words(col("text")).as("ws"))
+        val uni = base.select(explode(col("ws")).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("ct"))
+        val nTok = base.agg(sum(size(col("ws"))).cast("long").as("n"))
+        val bi = base
+          .select(col("ws"),
+            explode(when(size(col("ws")) >= 2, sequence(lit(1), size(col("ws")) - 1))).as("i"))
+          .select(element_at(col("ws"), col("i")).as("a"),
+            element_at(col("ws"), col("i") + 1).as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+          .filter(col("cab") >= 5)
+        bi.join(broadcast(uni.select(col("t").as("a"), col("ct").as("ca"))), Seq("a"))
+          .join(broadcast(uni.select(col("t").as("b"), col("ct").as("cb"))), Seq("b"))
+          .crossJoin(broadcast(nTok))
+          .withColumn("pmi", round(log(
+            (col("cab").cast("double") * col("n").cast("double")) /
+              (col("ca").cast("double") * col("cb").cast("double"))), 4))
+          .orderBy(col("pmi").desc, col("a").asc, col("b").asc).limit(50)
+          .select(col("a"), col("b"), col("cab"), col("pmi"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $dWords AS ws FROM documents WHERE text IS NOT NULL),
+              |n AS (SELECT CAST(SUM(len(ws)) AS BIGINT) AS n FROM w),
+              |uni AS (SELECT unnest(ws) AS t FROM w),
+              |uc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS ct FROM uni GROUP BY t),
+              |bi AS (SELECT ws[i] AS a, ws[i + 1] AS b
+              |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w)),
+              |bc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM bi
+              |  GROUP BY a, b HAVING COUNT(*) >= 5)
+              |SELECT a, b, cab,
+              |  ROUND(ln((CAST(cab AS DOUBLE) * CAST(n.n AS DOUBLE)) /
+              |    (CAST(ua.ct AS DOUBLE) * CAST(ub.ct AS DOUBLE))), 4) AS pmi
+              |FROM bc JOIN uc ua ON bc.a = ua.t JOIN uc ub ON bc.b = ub.t, n
+              |ORDER BY pmi DESC, a ASC, b ASC LIMIT 50""".stripMargin),
+      "PMI collocation mining: top-50 bigram phrases by pointwise mutual information (north-star: text analysis)")
   )
 }

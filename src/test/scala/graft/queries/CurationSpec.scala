@@ -289,6 +289,27 @@ class CurationSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("d31: PMI value, min-count cut, and ordering match hand computation") {
+    // "new york" appears 5x (passes min count), "of the" 10x (low PMI —
+    // both words are frequent), "odd duo" only 4x (cut)
+    val docs = (1L to 5L).map(i =>
+      (i, "new york of the stuff and of the other rare pair thing", "en", "s")) ++
+      (7L to 10L).map(i => (i, "odd duo here", "en", "s"))
+    val dir = fixture(docs)
+    val out = Registry.queries("d31_collocations")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // corpus: 5 docs x 12 tokens + 4 x 3 = 72 tokens
+    // c(new)=5 c(york)=5 c(new york)=5 -> pmi = ln(72*5/25)
+    assert(out.contains(("new", "york")))
+    assert(out(("new", "york"))._1 === 5L)
+    assert(out(("new", "york"))._2 === BigDecimal(math.log(72.0 * 5 / 25))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // c(of)=10 c(the)=10 c(of the)=10 -> pmi = ln(72*10/100), far lower
+    assert(out(("of", "the"))._1 === 10L)
+    assert(out(("of", "the"))._2 < out(("new", "york"))._2)
+    assert(!out.contains(("odd", "duo")), "4 occurrences must not pass the min-count cut")
+  }
+
   test("d30: duplicate 16-token blocks keep exactly one corpus-wide copy; docs rebuild from survivors") {
     val blockA = (1 to 16).map(i => s"a$i").mkString(" ")
     val blockB = (1 to 16).map(i => s"b$i").mkString(" ")
