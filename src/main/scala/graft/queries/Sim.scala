@@ -302,6 +302,93 @@ object Sim {
       .select(col("cell"), col("vec_id"), col("cos_sim"))
   }
 
+  /** Exact micro-unit PQ codebook (label, pos, cm): the e08 seed model
+    * BEFORE its /1e6 narrowing, so every downstream subspace distance
+    * is pure long arithmetic. Shared by the e15 gate and
+    * [[ivfPqSearch]]. */
+  private[queries] def pqCodebookDf(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .filter(col("vf").isNotNull)
+      .select(col("label"), col("pos"), microQ(col("vf")).as("m"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("m")).as("sm"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), halfAwayDiv(col("sm"), col("n")).as("cm"))
+
+  /** Integer subspace distances (vec_id, sub, label, d2) of every
+    * vector in `vecs` to every codebook centroid: ONE vec_id spread
+    * (whole arrays, pre-explode), broadcast codebook join, map-side
+    * partial agg — every downstream aggregation is keyed on a vec_id
+    * prefix, so nothing re-shuffles after the spread. */
+  private[queries] def pqD2Df(vecs: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    vecs.repartition(col("vec_id"))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .filter(col("vf").isNotNull)
+      .select(col("vec_id"), col("pos"), expr("pos DIV 8").as("sub"),
+        microQ(col("vf")).as("m"))
+      .join(broadcast(cent), Seq("pos"))
+      .groupBy(col("vec_id"), col("sub"), col("label"))
+      .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
+
+  /** PQ codes: argmin centroid per (vector, subspace), ties → smaller
+    * label; exact integer comparison, map-side-combinable min(struct). */
+  private[queries] def pqCodesDf(d2: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    d2.groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("label"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best").getField("label").as("code"))
+
+  /** PRODUCTION IVF-PQ search — the composition the e15 Scaladoc
+    * promises: a trained coarse quantizer ([[kmeansIterate]] cells,
+    * codegen'd [[graft.functions.KMeansArgMin]] assignment) prunes the
+    * scan to the query's `nprobe` nearest cells, and ONLY those cells'
+    * vectors pay the PQ pipeline (integer subspace distances → codes →
+    * additive distance-table ranking) before the exact-cosine re-rank
+    * of the top-20. Codebooks are global (trained on the full corpus,
+    * as a real index trains them); the cell filter is the scan-pruning
+    * lever. With nprobe = K this is spec-pinned EQUAL to the
+    * oracle-checked e15 gate (ClusteringSpec), so the production path
+    * inherits the gate's cross-engine signal. */
+  def ivfPqSearch(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queryVecId: Long = 0L,
+      k: Int = 5,
+      nprobe: Int = 2,
+      trainIters: Int = 3): org.apache.spark.sql.DataFrame = {
+    val (model, _) = kmeansIterate(s, dir, trainIters)
+    val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+    val cells = e.withColumn("cell",
+      graft.functions.KMeansExprs.assignCluster(col("embedding"), model))
+    val qRows = cells.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).collect()
+    require(qRows.nonEmpty,
+      s"ivfPqSearch: query vec_id=$queryVecId not present (or null embedding) in $dir/embeddings")
+    val qv = qRows.head.getSeq[Float](0).toArray
+    // nprobe nearest cells, scored on the driver: same c·c − 2·q·c
+    // ordering and tie rule as the assignment expression
+    val probes = model.map { case (l, c) =>
+      val cc = c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      val dot = c.zip(qv).foldLeft(0.0) { case (a, (x, y)) => a + x.toDouble * y.toDouble }
+      (l, cc - 2.0 * dot)
+    }.sortBy { case (l, sc) => (sc, l) }.take(nprobe).map(_._1)
+    val probed = cells
+      .filter(col("cell").isin(probes: _*) || col("vec_id") === queryVecId)
+      .select(col("vec_id"), col("embedding"))
+    val d2 = pqD2Df(probed, pqCodebookDf(e))
+    val codes = pqCodesDf(d2)
+    val qdt = d2.filter(col("vec_id") === queryVecId)
+      .select(col("sub"), col("label").as("code"), col("d2").as("qd2"))
+    val cand = codes.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(qdt), Seq("sub", "code"))
+      .groupBy(col("vec_id")).agg(sum(col("qd2")).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc).limit(20)
+    val q = e.filter(col("vec_id") === queryVecId).select(col("embedding").as("qe"))
+    cand.join(e, Seq("vec_id")).crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(k)
+      .select(col("vec_id"), col("adc"), col("cos_sim"))
+  }
+
   /** Shared batch≡stream body of e14 semantic decontamination: keep the
     * rows of `tgt` that have NO `ref` vector in the same hyperplane
     * bucket at rounded cosine ≥ `threshold`. The reference side is an
@@ -974,27 +1061,10 @@ object Sim {
     Q("e15_pq_ann",
       (s, dir) => {
         val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
-        // per-(label, pos) codebook centroid in exact micro-units
-        val cent = e
-          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "vf")))
-          .filter(col("vf").isNotNull)
-          .select(col("label"), col("pos"), microQ(col("vf")).as("m"))
-          .groupBy(col("label"), col("pos"))
-          .agg(sum(col("m")).as("sm"), count(lit(1)).as("n"))
-          .select(col("label"), col("pos"), halfAwayDiv(col("sm"), col("n")).as("cm"))
-        val micro = e.repartition(col("vec_id"))
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
-          .filter(col("vf").isNotNull)
-          .select(col("vec_id"), col("pos"), expr("pos DIV 8").as("sub"),
-            microQ(col("vf")).as("m"))
-        // exact integer distance of every subvector to every centroid
-        val d2 = micro.join(broadcast(cent), Seq("pos"))
-          .groupBy(col("vec_id"), col("sub"), col("label"))
-          .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
-        // PQ code: argmin centroid per (vector, subspace); ties → smaller label
-        val codes = d2.groupBy(col("vec_id"), col("sub"))
-          .agg(min(struct(col("d2"), col("label"))).as("best"))
-          .select(col("vec_id"), col("sub"), col("best").getField("label").as("code"))
+        // exact-micro-unit codebook, integer subspace distances, argmin
+        // codes (shared with the ivfPqSearch production composition)
+        val d2 = pqD2Df(e, pqCodebookDf(e))
+        val codes = pqCodesDf(d2)
         // the query's additive distance table, then ADC over codes only
         val qdt = d2.filter(col("vec_id") === 0)
           .select(col("sub"), col("label").as("code"), col("d2").as("qd2"))

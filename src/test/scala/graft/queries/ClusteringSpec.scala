@@ -266,6 +266,31 @@ class ClusteringSpec extends SparkSpec {
     assert(adc(2L)._2 === 0.0)
   }
 
+  test("ivfPqSearch: nprobe=K equals the e15 gate; nprobe=1 candidates stay in probed cells") {
+    val dir = "/root/testdata/sf0.001"
+    // all cells probed -> no pruning -> the production path must equal
+    // the oracle-checked gate row for row
+    val full = Sim.ivfPqSearch(spark, dir, nprobe = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val gate = Registry.queries("e15_pq_ann")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(full === gate, "ivfPqSearch(nprobe=K) must equal the e15 gate")
+    // nprobe=1: every result must live in the query's own cell
+    val (model, _) = Sim.kmeansIterate(spark, dir, 3)
+    val cells = Registry.t(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        graft.functions.KMeansExprs.assignCluster(col("embedding"), model).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val one = Sim.ivfPqSearch(spark, dir, nprobe = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(one.nonEmpty)
+    one.foreach { id =>
+      assert(cells(id) === cells(0L),
+        s"nprobe=1 returned vec $id from cell ${cells(id)}, query cell is ${cells(0L)}")
+    }
+  }
+
   test("e14: exact copies of reference vectors are dropped; orthogonal/opposite targets survive") {
     val dir = Files.createTempDirectory("graft-semdecon").toString
     import spark.implicits._
