@@ -403,8 +403,14 @@ object Sim {
   def semanticDecontamKeepDf(
       tgt: org.apache.spark.sql.DataFrame,
       ref: org.apache.spark.sql.DataFrame,
-      threshold: Double = 0.2): org.apache.spark.sql.DataFrame = {
-    val bucket = (c: Column) => graft.functions.PlaneBucketExpr.planeBucketCode(c)
+      threshold: Double = 0.2,
+      planes: Int = 8): org.apache.spark.sql.DataFrame = {
+    // planes = 8 is the oracle-pinned gate geometry; a deployment scales
+    // it with planesFor(n) (the e11 density rule) — more planes → fewer
+    // bucket collisions → monotonically FEWER drops (kept-set refinement,
+    // spec-pinned), keeping the per-row probe cost constant as the
+    // corpus grows while the drop set converges on true semantic matches
+    val bucket = (c: Column) => graft.functions.PlaneBucketExpr.planeBucketCode(c, planes)
     val refB = broadcast(ref
       .select(bucket(col("embedding")).as("_rbkt"), col("embedding").as("_re")))
     tgt.withColumn("_bkt", bucket(col("embedding")))

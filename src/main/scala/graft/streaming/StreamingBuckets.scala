@@ -85,8 +85,8 @@ object StreamingBuckets {
     * backfill and stream keep the identical set by construction (shared
     * [[graft.queries.Sim.semanticDecontamKeepDf]] body). */
   def semanticDecontamStream(vecs: DataFrame, refVectors: DataFrame,
-      threshold: Double = 0.2): DataFrame =
-    graft.queries.Sim.semanticDecontamKeepDf(vecs, refVectors, threshold)
+      threshold: Double = 0.2, planes: Int = 8): DataFrame =
+    graft.queries.Sim.semanticDecontamKeepDf(vecs, refVectors, threshold, planes)
 
   /** Tumbling bucket counts/sums per (event_type, window). For streaming
     * input, `withWatermark` bounds state; for batch input it's a no-op

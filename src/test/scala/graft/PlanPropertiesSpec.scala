@@ -145,6 +145,15 @@ class PlanPropertiesSpec extends SparkSpec {
       s"vec_id<>0 not pushed to the parquet scan:\n${p.take(800)}")
   }
 
+  test("d31: unigram table broadcasts back; partial aggregation before every exchange; no cartesian") {
+    val p = planOf("d31_collocations")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both unigram join-backs must broadcast:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), "only the 1-row corpus-total side may nest-loop")
+    assert(p.contains("partial_count"), "bigram/unigram counts must combine map-side")
+    assert(p.contains("TakeOrderedAndProject"), "global top-50 must be a TakeOrdered, not a sort")
+  }
+
   test("d26: variant join is a keyed shuffle join — no cartesian, no broadcast of a corpus-derived side") {
     val p = planOf("d26_typo_pairs")
     assert(!p.contains("CartesianProduct"), "typo mining went all-pairs")

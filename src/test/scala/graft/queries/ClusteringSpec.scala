@@ -291,6 +291,28 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("semanticDecontamKeepDf: more planes refine the kept set monotonically; exact copies die at any geometry") {
+    val e = Registry.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val tgt = e.filter(col("vec_id") % 10 =!= 0)
+    val ref = e.filter(col("vec_id") % 10 === 0)
+    def kept(p: Int) = Sim.semanticDecontamKeepDf(tgt, ref, planes = p)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val k8 = kept(8); val k12 = kept(12); val k16 = kept(16)
+    // finer buckets -> fewer collisions -> fewer drops: kept sets refine upward
+    assert(k8.subsetOf(k12), s"planes=12 dropped ${k8.diff(k12).size} docs planes=8 kept")
+    assert(k12.subsetOf(k16))
+    // an exact copy of a reference vector shares EVERY plane sign, so it
+    // dies at any plane count: check via a crafted duplicate
+    import spark.implicits._
+    val refRow = ref.select("embedding").limit(1)
+      .collect().head.getSeq[Float](0)
+    val copy = Seq((999999L, refRow)).toDF("vec_id", "embedding")
+    Seq(8, 16).foreach { p =>
+      assert(Sim.semanticDecontamKeepDf(copy, ref, planes = p).count() === 0L,
+        s"exact reference copy survived at planes=$p")
+    }
+  }
+
   test("e14: exact copies of reference vectors are dropped; orthogonal/opposite targets survive") {
     val dir = Files.createTempDirectory("graft-semdecon").toString
     import spark.implicits._
