@@ -1874,6 +1874,67 @@ object Docs {
               |    (CAST(ua.ct AS DOUBLE) * CAST(ub.ct AS DOUBLE))), 4) AS pmi
               |FROM bc JOIN uc ua ON bc.a = ua.t JOIN uc ub ON bc.b = ub.t, n
               |ORDER BY pmi DESC, a ASC, b ASC LIMIT 50""".stripMargin),
-      "PMI collocation mining: top-50 bigram phrases by pointwise mutual information (north-star: text analysis)")
+      "PMI collocation mining: top-50 bigram phrases by pointwise mutual information (north-star: text analysis)"),
+
+    // Contamination ATTRIBUTION — the report d15 doesn't give you: d15
+    // tells each TARGET doc how contaminated it is; this tells each
+    // REFERENCE (eval) doc how badly it leaked into the corpus — which
+    // eval items are compromised and how widely, the evidence an eval
+    // owner needs to retire a question. Per reference doc: the number
+    // of distinct target docs sharing ≥ 1 word 5-gram with it, and the
+    // total (target doc, shared gram) match volume; zero-leak refs are
+    // reported too (the healthy baseline).
+    //
+    // Shuffle shape: per-doc-distinct grams off the d15 index-explode
+    // discipline; the REFERENCE gram table is the broadcast side (eval
+    // suite — bounded at any corpus scale), so the corpus-sized target
+    // gram stream is scan→broadcast-probe→partial-agg: the only rows
+    // that reach the ref_id exchange are actual matches (contamination
+    // volume, not corpus volume).
+    Q("d32_contam_attribution",
+      (s, dir) => {
+        val grams = t(s, dir, "documents")
+          .repartition(col("doc_id"))
+          .withColumn("ws", words(col("text")))
+          .select(col("doc_id"), col("ws"),
+            explode_outer(when(size(col("ws")) >= 5,
+              sequence(lit(1), size(col("ws")) - 4))).as("i"))
+          .select(col("doc_id"),
+            when(col("i").isNotNull, concat_ws(" ",
+              element_at(col("ws"), col("i")), element_at(col("ws"), col("i") + 1),
+              element_at(col("ws"), col("i") + 2), element_at(col("ws"), col("i") + 3),
+              element_at(col("ws"), col("i") + 4))).as("gram"))
+          .distinct()
+          .filter(col("gram").isNotNull)
+        val bench = grams.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("ref_id"), col("gram"))
+        val hits = grams.filter(col("doc_id") % 20 =!= 0)
+          .join(broadcast(bench), Seq("gram"))
+          .groupBy(col("ref_id"))
+          .agg(countDistinct(col("doc_id")).as("n_contaminated"),
+            count(lit(1)).as("shared_grams"))
+        t(s, dir, "documents").filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("ref_id"))
+          .join(hits, Seq("ref_id"), "left")
+          .select(col("ref_id"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+            coalesce(col("shared_grams"), lit(0L)).as("shared_grams"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $dWords AS ws FROM documents),
+              |g AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 5
+              |    THEN list_transform(range(1, len(ws)-3), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])
+              |    ELSE [] END) AS g FROM w),
+              |bench AS (SELECT doc_id AS ref_id, unnest(g) AS gram FROM g WHERE doc_id % 20 = 0),
+              |tgt AS (SELECT doc_id, unnest(g) AS gram FROM g WHERE doc_id % 20 <> 0),
+              |hits AS (SELECT b.ref_id,
+              |    CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_contaminated,
+              |    CAST(COUNT(*) AS BIGINT) AS shared_grams
+              |  FROM tgt t JOIN bench b ON t.gram = b.gram GROUP BY b.ref_id)
+              |SELECT d.doc_id AS ref_id,
+              |  COALESCE(h.n_contaminated, CAST(0 AS BIGINT)) AS n_contaminated,
+              |  COALESCE(h.shared_grams, CAST(0 AS BIGINT)) AS shared_grams
+              |FROM documents d LEFT JOIN hits h ON d.doc_id = h.ref_id
+              |WHERE d.doc_id % 20 = 0""".stripMargin),
+      "contamination attribution: per eval doc, distinct leaked-into targets + match volume (north-star: decontamination)")
   )
 }

@@ -310,6 +310,24 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(("odd", "duo")), "4 occurrences must not pass the min-count cut")
   }
 
+  test("d32: per-reference leak counts and match volume match hand computation") {
+    val bench = "alpha beta gamma delta epsilon zeta"   // grams: a..e, b..z
+    val dir = fixture(Seq(
+      (0L, bench, "en", "s"),                            // ref doc (leaked)
+      (20L, "one two three four five six", "en", "s"),   // ref doc (clean)
+      (1L, bench, "en", "s"),                            // verbatim copy: both grams
+      (2L, s"intro $bench outro", "en", "s"),            // superset: contains both grams
+      (3L, "alpha beta gamma delta epsilon stop", "en", "s"), // shares gram 1 only
+      (4L, "totally unrelated text right here", "en", "s")))
+    val out = Registry.queries("d32_contam_attribution")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet === Set(0L, 20L))
+    // ref 0: targets 1, 2, 3 leak; grams shared: 2 + 2 + 1 = 5
+    assert(out(0L) === ((3L, 5L)))
+    // ref 20: nobody shares a gram — reported with explicit zeros
+    assert(out(20L) === ((0L, 0L)))
+  }
+
   test("d30: duplicate 16-token blocks keep exactly one corpus-wide copy; docs rebuild from survivors") {
     val blockA = (1 to 16).map(i => s"a$i").mkString(" ")
     val blockB = (1 to 16).map(i => s"b$i").mkString(" ")
