@@ -154,6 +154,15 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "global top-50 must be a TakeOrdered, not a sort")
   }
 
+  test("d32: the bounded reference gram table broadcasts; target grams never sort-merge; no cartesian") {
+    val p = planOf("d32_contam_attribution")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval-suite gram side must broadcast:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "attribution went all-pairs")
+    assert(p.contains("partial_count"), "match-volume agg must combine map-side")
+  }
+
   test("d26: variant join is a keyed shuffle join — no cartesian, no broadcast of a corpus-derived side") {
     val p = planOf("d26_typo_pairs")
     assert(!p.contains("CartesianProduct"), "typo mining went all-pairs")
