@@ -166,6 +166,23 @@ class CurationPipelineSpec extends SparkSpec {
         s"stage $n was rewritten on resume") }
   }
 
+  test("resume honors a completed 04a_spans dir without recomputing it") {
+    val out = Files.createTempDirectory("graft-curation-resume-span").toString
+    val docs = Registry.t(spark, sfDir, "documents")
+    val cfg = CurationPipeline.Config(spanDedup = true, chunk = false)
+    val counts = CurationPipeline.run(spark, docs, out, cfg = cfg, customGate = langGate)
+    val marker = new java.io.File(s"$out/04a_spans/_SUCCESS").lastModified()
+    // resume from a poisoned input: if 04a recomputed from scratch, the
+    // rebuilt corpus would collapse (upstream dirs are still good, so
+    // the only way the counts diverge is 04a itself re-running)
+    val resumed = CurationPipeline.run(spark,
+      docs.withColumn("text", lit("x")), out,
+      cfg = cfg.copy(resume = true), customGate = langGate)
+    assert(resumed === counts)
+    assert(new java.io.File(s"$out/04a_spans/_SUCCESS").lastModified() === marker,
+      "04a_spans was rewritten on resume")
+  }
+
   test("Bloom decontam: survivors are a subset of the exact stage's, real hits all dropped") {
     val outA = Files.createTempDirectory("graft-curation-exact").toString
     val outB = Files.createTempDirectory("graft-curation-bloom").toString
