@@ -225,6 +225,154 @@ object Docs {
         (col("base") + col("rk") - 1).as("train_pos"))
   }
 
+  /** DataFrame-in body of d33: BM25 top-k retrieval for a fixed bag of
+    * query terms, in EXACT integer score units so the ranking (and the
+    * tie-broken top-k cut) is bit-deterministic across engines and
+    * partition layouts. Per (doc, term):
+    *
+    *   idf_milli  = round(ln((2N+2)/(2·df+1)) · 1000)   [Lucene
+    *     ln(1 + (N−df+½)/(df+½)) rewritten as ONE ratio of exact
+    *     integers — one libm call, the d31 round-absorbs-ulp discipline;
+    *     always positive, so stopword terms never flip signs]
+    *   tf_micro   = (44·tf·Ntok · 10⁶) div (20·tf·Ntok + 6·Ntok + 18·dl·N)
+    *     [the k1=1.2, b=0.75 BM25 tf saturation with avgdl = Ntok/N,
+    *     cleared of ALL fractions by multiplying through by 20·Ntok —
+    *     exact integer numerator/denominator, then one floor divide
+    *     into micro units ≤ 2.2·10⁶]
+    *   score      = Σ_terms (idf_milli · tf_micro) div 1000   [micro units]
+    *
+    * Integer sums are order-independent, so partial aggregation cannot
+    * flip a rank (the discipline that fixed e08). Headroom: 44·tf·Ntok·10⁶
+    * fits a long through ~10¹⁰ corpus tokens; past that, widen the two
+    * products to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — the formula
+    * is unchanged.
+    *
+    * Shuffle shape: one doc_id spread feeds dl and tf (tf's (doc,term)
+    * exchange carries only matched query terms — query-volume, not
+    * corpus-volume); df/globals are broadcast; the top-k is a
+    * TakeOrdered, never a full sort. */
+  private[graft] def bm25TopKDf(docs: org.apache.spark.sql.DataFrame,
+      qTerms: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
+    val toks = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val glob = toks.agg(countDistinct(col("doc_id")).as("nd"),
+      count(lit(1)).as("ntok"))
+    val tf = toks.filter(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idfMilli = round(log(
+      (col("nd").cast("double") * 2 + 2) / (col("df").cast("double") * 2 + 1)) * 1000)
+      .cast("long")
+    val tfNum = lit(44L) * col("tf") * col("ntok")
+    val tfDen = lit(20L) * col("tf") * col("ntok") + lit(6L) * col("ntok") +
+      lit(18L) * col("dl") * col("nd")
+    val tfMicro = Sim.floorDiv(tfNum * lit(1000000L), tfDen)
+    tf.join(dl, Seq("doc_id"))
+      .join(broadcast(dft), Seq("term"))
+      .crossJoin(broadcast(glob))
+      .select(col("doc_id"), col("dl"),
+        Sim.floorDiv(idfMilli * tfMicro, lit(1000L)).as("ts"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("ts")).as("score_micro"), max(col("dl")).as("dl"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("score_micro"), col("dl"))
+  }
+
+  /** DataFrame-in body of d34: add-one-smoothed BIGRAM LM surprisal —
+    * the bigram extension of [[surprisalDf]], same exact-integer-bits
+    * discipline: per bigram position, surprisal ≈ log2 of the smoothed
+    * inverse probability (c(a·)+V)/(c(ab)+1), taken as bits(c(a·)+V) −
+    * bits(c(ab)+1) with bits(x) = length(bin(x)) = ⌊log2 x⌋+1 — no libm
+    * anywhere, so no cross-engine drift is POSSIBLE, and the per-doc sum
+    * is an order-independent integer. History count c(a·) is the count
+    * of bigrams starting with a (the conditional-model denominator);
+    * V = corpus distinct unigrams (the add-one mass).
+    *
+    * Shuffle shape: one doc_id spread; the bigram stream joins its own
+    * count table on (a,b) — merge-hinted, because a post-agg row
+    * estimate is garbage-small and a "small" bigram vocab at 100 TB is
+    * not broadcastable (the d20 lesson); history counts are vocab-sized
+    * → broadcast (AQE self-demotes if a real vocab outgrows an
+    * executor). Docs with <2 tokens carry no bigrams and drop, mirroring
+    * d25's zero-token convention. */
+  private[graft] def bigramSurprisalDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = docs
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), words(col("text")).as("ws"))
+    val bi = base
+      .select(col("doc_id"), col("ws"),
+        explode(when(size(col("ws")) >= 2, sequence(lit(1), size(col("ws")) - 1))).as("i"))
+      .select(col("doc_id"),
+        element_at(col("ws"), col("i")).as("a"),
+        element_at(col("ws"), col("i") + 1).as("b"))
+    val bc = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val hc = bi.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    val v = base.select(explode(col("ws")).as("t")).filter(col("t") =!= "")
+      .agg(countDistinct(col("t")).as("v"))
+    def bits(c: Column) = length(bin(c)).cast("long")
+    bi.join(bc.hint("merge"), Seq("a", "b"))
+      .join(broadcast(hc), Seq("a"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(bits(col("ca") + col("v")) - bits(col("cab") + 1)).as("surprisal_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("surprisal_bits"),
+        Sim.halfAwayDiv(col("surprisal_bits") * 1000, col("n_bigrams"))
+          .as("milli_bits_per_bigram"))
+  }
+
+  /** DataFrame-in body of d35: the distributed primitive of BPE
+    * tokenizer TRAINING — corpus-wide adjacent symbol-pair counts inside
+    * word boundaries, occurrence-weighted (each token occurrence votes,
+    * the BPE objective), global top-k merge candidates. A full train
+    * loop is a driver iteration of [top-1 pair → broadcast merge →
+    * re-count], each round exactly this one scan + one map-side-
+    * combinable pair aggregation; pair extraction is substr over an
+    * exploded position index (both engines' substr is 1-based and
+    * byte/char-identical on this ASCII corpus), never a per-char UDF.
+    * Top-k is a TakeOrdered with ties broken on the pair itself. */
+  private[graft] def bpeMergePairsDf(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc).limit(k)
+
+  /** DataFrame-in body of d36: the data-MIXING plan — given per-language
+    * token inventories n_s and target mixture weights w_s (ppm, summing
+    * to 10⁶), the largest epoch-1 corpus T that honors the mixture
+    * without upsampling is T = min_s ⌊n_s·10⁶ / w_s⌋ (the binding
+    * language is the scarcest relative to its target); each language
+    * then contributes quota_s = ⌊w_s·T / 10⁶⌋ tokens at sampling rate
+    * quota_s/n_s. Every step is a floor divide of exact non-negative
+    * longs — the plan is reproducible to the token on any engine, and a
+    * deployment feeds rate_ppm straight into the d23 hash-Bernoulli
+    * sampler (rate = rate_ppm/10⁶) for a deterministic realization.
+    * Shuffle shape: one language-keyed partial agg over the corpus
+    * (5 groups), then literally-broadcast scalars — driver-free. */
+  private[graft] def mixturePlanDf(docs: org.apache.spark.sql.DataFrame,
+      enPpm: Long = 400000L, otherPpm: Long = 150000L): org.apache.spark.sql.DataFrame = {
+    val inv = docs.filter(col("text").isNotNull)
+      .groupBy(col("lang"))
+      .agg(sum(tokenCount(col("text"))).as("n_tokens"))
+      .withColumn("weight_ppm",
+        when(col("lang") === "en", lit(enPpm)).otherwise(lit(otherPpm)))
+    val cap = inv.agg(
+      min(Sim.floorDiv(col("n_tokens") * lit(1000000L), col("weight_ppm"))).as("t_max"))
+    inv.crossJoin(broadcast(cap))
+      .select(col("lang"), col("n_tokens"), col("weight_ppm"),
+        Sim.floorDiv(col("weight_ppm") * col("t_max"), lit(1000000L)).as("quota_tokens"))
+      .withColumn("rate_ppm",
+        Sim.floorDiv(col("quota_tokens") * lit(1000000L), col("n_tokens")))
+  }
+
   /** Compile a benchmark gram set into a serialized Bloom filter for
     * [[decontamFilterDf]]. Built distributed (`stat.bloomFilter` runs a
     * Spark aggregate over xxhash64(gram)); only the filter's bytes —
@@ -1935,6 +2083,101 @@ object Docs {
               |  COALESCE(h.shared_grams, CAST(0 AS BIGINT)) AS shared_grams
               |FROM documents d LEFT JOIN hits h ON d.doc_id = h.ref_id
               |WHERE d.doc_id % 20 = 0""".stripMargin),
-      "contamination attribution: per eval doc, distinct leaked-into targets + match volume (north-star: decontamination)")
+      "contamination attribution: per eval doc, distinct leaked-into targets + match volume (north-star: decontamination)"),
+
+    // BM25 top-k retrieval — the ranked-retrieval member of the text
+    // family (d18 builds the TF-IDF statistics; this SEARCHES with
+    // them): Lucene-variant BM25 (k1=1.2, b=0.75) for a fixed query bag,
+    // scored in exact integer micro-units (see [[bm25TopKDf]] for the
+    // formula derivation and the 2⁵³ headroom note). The search shape at
+    // 100 TB: the (doc,term) exchange carries only QUERY-matched
+    // postings — query volume, not corpus volume — document length and
+    // global stats ride broadcast, and the cut is a TakeOrdered heap.
+    Q("d33_bm25_topk",
+      (s, dir) => bm25TopKDf(t(s, dir, "documents"),
+        Seq("merge", "vector", "stream"), 10),
+      Some(s"""WITH toks0 AS (SELECT doc_id, unnest($dWords) AS term FROM documents),
+              |tok AS (SELECT doc_id, term FROM toks0 WHERE term <> ''),
+              |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+              |gl AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd,
+              |    CAST(COUNT(*) AS BIGINT) AS ntok FROM tok),
+              |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+              |  WHERE term IN ('merge', 'vector', 'stream') GROUP BY doc_id, term),
+              |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+              |scored AS (SELECT t.doc_id, l.dl,
+              |    (CAST(round(ln((2.0*g.nd + 2) / (2*d.df + 1)) * 1000) AS BIGINT)
+              |      * ((44*t.tf*g.ntok*1000000) // (20*t.tf*g.ntok + 6*g.ntok + 18*l.dl*g.nd)))
+              |      // 1000 AS ts
+              |  FROM tf t JOIN dl l USING (doc_id) JOIN dft d USING (term), gl g)
+              |SELECT doc_id, CAST(SUM(ts) AS BIGINT) AS score_micro,
+              |  CAST(MAX(dl) AS BIGINT) AS dl
+              |FROM scored GROUP BY doc_id
+              |ORDER BY score_micro DESC, doc_id ASC LIMIT 10""".stripMargin),
+      "BM25 top-k retrieval: exact-integer Lucene BM25 over query postings (north-star: text analysis)"),
+
+    // Bigram LM surprisal — d25's unigram model extended to an add-one-
+    // smoothed CONDITIONAL bigram model, still in exact integer bits
+    // (bits(c(a·)+V) − bits(c(ab)+1); no libm anywhere, so cross-engine
+    // drift is impossible by construction — see [[bigramSurprisalDf]]).
+    // The score pair (d25, d34) is the fluency signal a quality gate
+    // actually wants: unigram surprisal catches rare VOCABULARY, bigram
+    // surprisal catches scrambled WORD ORDER that unigram stats can't
+    // see (a shuffled doc keeps its d25 score, its d34 score jumps).
+    Q("d34_bigram_surprisal",
+      (s, dir) => bigramSurprisalDf(t(s, dir, "documents")),
+      Some(s"""WITH w AS (SELECT doc_id, $dWords AS ws FROM documents
+              |  WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+              |bi AS (SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+              |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)),
+              |bc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM bi GROUP BY a, b),
+              |hc AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ca FROM bi GROUP BY a),
+              |v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+              |  FROM (SELECT unnest(ws) AS t FROM w) WHERE t <> '')
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              |  CAST(SUM(length(bin(h.ca + v.v)) - length(bin(c.cab + 1))) AS BIGINT) AS surprisal_bits,
+              |  CAST(${Sim.halfAwayDivSql(
+                 "SUM(length(bin(h.ca + v.v)) - length(bin(c.cab + 1))) * 1000",
+                 "COUNT(*)")} AS BIGINT) AS milli_bits_per_bigram
+              |FROM bi JOIN bc c USING (a, b) JOIN hc h USING (a), v
+              |GROUP BY doc_id""".stripMargin),
+      "bigram LM surprisal: add-one conditional model in exact integer bits (north-star: quality scoring)"),
+
+    // BPE merge-pair mining — the distributed core of tokenizer
+    // TRAINING: occurrence-weighted adjacent character-pair counts
+    // within word boundaries, top-20 merge candidates (the first BPE
+    // iteration's argmax set; see [[bpeMergePairsDf]] for how the full
+    // train loop drives this primitive). d10 APPLIES a BPE-ish
+    // tokenization; this is the counting side that LEARNS one.
+    Q("d35_bpe_merge_pairs",
+      (s, dir) => bpeMergePairsDf(t(s, dir, "documents"), 20),
+      Some(s"""WITH t AS (SELECT unnest($dWords) AS w FROM documents WHERE text IS NOT NULL),
+              |p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+              |  FROM (SELECT w, unnest(range(1, length(w))) AS i FROM t
+              |        WHERE length(w) >= 2))
+              |SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM p
+              |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin),
+      "BPE merge-pair mining: top-20 within-word symbol pairs, occurrence-weighted (north-star: tokenizer training)"),
+
+    // Data-mixture plan — the sampling-rate SOLVER that turns "40% en,
+    // 15% each de/es/fr/zh" into per-language token quotas and exact
+    // d23-feedable rates (see [[mixturePlanDf]]): T = min_s ⌊n_s·10⁶/w_s⌋
+    // caps the epoch so no language upsamples; everything is floor
+    // arithmetic on exact longs. Closes the mixing loop: d24 stoplists,
+    // d27 quality-weights, THIS sets corpus proportions, d28 orders.
+    Q("d36_mixture_plan",
+      (s, dir) => mixturePlanDf(t(s, dir, "documents")),
+      Some(s"""WITH n AS (SELECT lang,
+              |    CAST(SUM(CASE WHEN length($dNorm) = 0 THEN 0
+              |      ELSE length($dNorm) - length(replace($dNorm, ' ', '')) + 1 END) AS BIGINT) AS n_tokens
+              |  FROM documents WHERE text IS NOT NULL GROUP BY lang),
+              |wt AS (SELECT lang, n_tokens,
+              |    CAST(CASE WHEN lang = 'en' THEN 400000 ELSE 150000 END AS BIGINT) AS weight_ppm
+              |  FROM n),
+              |cap AS (SELECT MIN((n_tokens * 1000000) // weight_ppm) AS t_max FROM wt)
+              |SELECT lang, n_tokens, weight_ppm,
+              |  (weight_ppm * t_max) // 1000000 AS quota_tokens,
+              |  (((weight_ppm * t_max) // 1000000) * 1000000) // n_tokens AS rate_ppm
+              |FROM wt, cap""".stripMargin),
+      "data-mixture plan: per-language quotas + exact sampling rates under target weights (north-star: data mixing)")
   )
 }

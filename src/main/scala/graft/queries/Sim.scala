@@ -86,6 +86,18 @@ object Sim {
     s"(CASE WHEN $num >= 0 THEN (2*($num) + ($den)) // (2*($den)) " +
       s"ELSE -((2*(-($num)) + ($den)) // (2*($den))) END)"
 
+  /** Truncating long divide num div den for NON-NEGATIVE num, positive
+    * den (truncation == floor there, matching DuckDB `//`) — the exact
+    * integer-rate primitive the d33/d36 scoring formulas are built on.
+    * Codegen'd Catalyst IntegralDivide, not a double round-trip: a
+    * double division is inexact past 2⁵³ and would drift cross-engine. */
+  private[queries] def floorDiv(num: Column, den: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    org.apache.spark.sql.GraftShim.column(new IntegralDivide(
+      org.apache.spark.sql.GraftShim.expression(num),
+      org.apache.spark.sql.GraftShim.expression(den)))
+  }
+
   /** Seed model for the k-means step: per-(label,pos) centroid at 6-dp
     * resolution, computed with order-independent integer arithmetic
     * end-to-end (quantize → exact long sum → integer half-away divide).
@@ -1190,6 +1202,71 @@ object Sim {
              |  CAST(octet_length(encode(text)) % 320 + 32 AS BIGINT) AS fake_width,
              |  CAST(octet_length(encode(text)) % 240 + 32 AS BIGINT) AS fake_height
              |FROM documents""".stripMargin),
-      "multimodal binary column + fake-decode metadata (north-star)")
+      "multimodal binary column + fake-decode metadata (north-star)"),
+
+    // Topic-mix report — the corpus-composition view a data-curation
+    // owner reads before setting d36 mixture weights: every vector
+    // assigned to its nearest centroid (e08's codegen'd broadcast-model
+    // argmin — scan-parallel, no join), then per cluster: member count,
+    // majority true label, and purity in exact ppm. Together with e09
+    // this closes the clustering family's reporting loop (e08 trains,
+    // e09 samples, e16 audits). Shuffle shape: ONE (cluster,label)
+    // partial agg (≤ K·L rows leave every map task), then the top-1 cut
+    // and the totals join both run on the tiny aggregated side —
+    // nothing corpus-sized moves after the scan.
+    Q("e16_topic_mix",
+      (s, dir) => {
+        val model = kmeansSeedModel(s, dir)
+        val cl = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+          .select(col("label"),
+            graft.functions.KMeansExprs.assignCluster(col("embedding"), model)
+              .cast("long").as("cluster"))
+          .filter(col("cluster").isNotNull)
+          .groupBy(col("cluster"), col("label"))
+          .agg(count(lit(1)).as("n"))
+        val tot = cl.groupBy(col("cluster")).agg(sum(col("n")).as("n_members"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster")).orderBy(col("n").desc, col("label").asc)
+        cl.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .join(tot, Seq("cluster"))
+          .select(col("cluster"), col("n_members"),
+            col("label").cast("long").as("top_label"),
+            floorDiv(col("n") * lit(1000000L), col("n_members")).as("purity_ppm"))
+      },
+      Some(s"""WITH micro AS (
+             |  SELECT vec_id, label, pos, $microQSql AS m FROM (
+             |    SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             |           unnest(embedding::DOUBLE[]) AS v
+             |    FROM embeddings WHERE embedding IS NOT NULL)
+             |  WHERE v IS NOT NULL),
+             |centl AS (SELECT label, pos, SUM(m) AS sm, COUNT(*) AS n
+             |  FROM micro GROUP BY label, pos),
+             |centv AS (SELECT label, pos,
+             |    CAST(${halfAwayDivSql("sm", "n")} AS DOUBLE) / 1000000.0 AS cd
+             |  FROM centl),
+             |cent AS (SELECT label, list(CAST(cd AS FLOAT) ORDER BY pos) AS cvec
+             |  FROM centv GROUP BY label),
+             |scored AS (SELECT e.vec_id, e.label AS tl, c.label,
+             |    list_inner_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[])
+             |      - 2 * list_inner_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) AS s
+             |  FROM embeddings e, cent c WHERE e.embedding IS NOT NULL
+             |    AND len(list_filter(e.embedding, x -> x IS NULL)) = 0),
+             |assign AS (SELECT vec_id, tl, label AS cluster FROM (
+             |  SELECT vec_id, tl, label,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY s ASC, label ASC) AS rn
+             |  FROM scored WHERE s IS NOT NULL) WHERE rn = 1),
+             |cl AS (SELECT cluster, tl, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM assign GROUP BY cluster, tl),
+             |tot AS (SELECT cluster, CAST(SUM(n) AS BIGINT) AS n_members FROM cl GROUP BY cluster),
+             |top1 AS (SELECT cluster, tl, n FROM (
+             |  SELECT cluster, tl, n,
+             |    row_number() OVER (PARTITION BY cluster ORDER BY n DESC, tl ASC) AS rk
+             |  FROM cl) WHERE rk = 1)
+             |SELECT CAST(t1.cluster AS BIGINT) AS cluster, t.n_members,
+             |  CAST(t1.tl AS BIGINT) AS top_label,
+             |  (t1.n * 1000000) // t.n_members AS purity_ppm
+             |FROM top1 t1 JOIN tot t USING (cluster)""".stripMargin),
+      "topic-mix report: nearest-centroid assignment + per-cluster majority-label purity (north-star: clustering)")
   )
 }
