@@ -247,19 +247,27 @@ object Docs {
     * products to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — the formula
     * is unchanged.
     *
-    * Shuffle shape: one doc_id spread feeds dl and tf (tf's (doc,term)
-    * exchange carries only matched query terms — query-volume, not
-    * corpus-volume); df/globals are broadcast; the top-k is a
-    * TakeOrdered, never a full sort. */
+    * Shuffle shape — NOTHING corpus-sized ever explodes or shuffles:
+    * per-doc length (dl = tokenCount, the d01 expression) and the
+    * corpus globals (nd, Ntok) are scan-parallel per-row maps + one
+    * scalar agg — no token explode; the ONLY exploded stream is
+    * `filter(ws, isin(query))`, query-matched tokens (query volume,
+    * not corpus volume), which then carries tf through one tiny
+    * (doc,term) exchange; df/globals are broadcast; the top-k is a
+    * TakeOrdered, never a full sort. (The first formulation exploded
+    * the full token stream into three consumer subtrees — 4.7× the
+    * DuckDB twin at sf0.1; this shape is the one you'd want at 100 TB
+    * anyway: the inverted-index probe, not three corpus passes.) */
   private[graft] def bm25TopKDf(docs: org.apache.spark.sql.DataFrame,
       qTerms: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
-    val toks = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), explode(words(col("text"))).as("term"))
-      .filter(col("term") =!= "")
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val glob = toks.agg(countDistinct(col("doc_id")).as("nd"),
-      count(lit(1)).as("ntok"))
-    val tf = toks.filter(col("term").isin(qTerms: _*))
+    val perDoc = docs.select(col("doc_id"), tokenCount(col("text")).as("ndl"),
+      filter(words(col("text")), x => x.isin(qTerms: _*)).as("qws"))
+    val dl = perDoc.select(col("doc_id"), col("ndl").as("dl"))
+    val glob = perDoc.agg(
+      count(when(col("ndl") > 0, lit(1))).as("nd"),
+      sum(col("ndl")).as("ntok"))
+    val tf = perDoc.filter(size(col("qws")) > 0)
+      .select(col("doc_id"), explode(col("qws")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idfMilli = round(log(
@@ -292,12 +300,15 @@ object Docs {
     * V = corpus distinct unigrams (the add-one mass).
     *
     * Shuffle shape: one doc_id spread; the bigram stream joins its own
-    * count table on (a,b) — merge-hinted, because a post-agg row
-    * estimate is garbage-small and a "small" bigram vocab at 100 TB is
-    * not broadcastable (the d20 lesson); history counts are vocab-sized
-    * → broadcast (AQE self-demotes if a real vocab outgrows an
-    * executor). Docs with <2 tokens carry no bigrams and drop, mirroring
-    * d25's zero-token convention. */
+    * count table on (a,b) — SHUFFLE_HASH-hinted, not broadcast (a post-
+    * agg row estimate is garbage-small and a "small" bigram vocab at
+    * 100 TB is not broadcastable — the d20 lesson) and not merge (the
+    * probe side is the corpus-sized bigram stream; hashing the
+    * aggregated build side beats sorting the probe side, and the hinted
+    * join is spillable either way); history counts are vocab-sized →
+    * broadcast (AQE self-demotes if a real vocab outgrows an executor).
+    * Docs with <2 tokens carry no bigrams and drop, mirroring d25's
+    * zero-token convention. */
   private[graft] def bigramSurprisalDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val base = docs
       .filter(col("text").isNotNull && col("doc_id").isNotNull)
@@ -314,7 +325,7 @@ object Docs {
     val v = base.select(explode(col("ws")).as("t")).filter(col("t") =!= "")
       .agg(countDistinct(col("t")).as("v"))
     def bits(c: Column) = length(bin(c)).cast("long")
-    bi.join(bc.hint("merge"), Seq("a", "b"))
+    bi.join(bc.hint("shuffle_hash"), Seq("a", "b"))
       .join(broadcast(hc), Seq("a"))
       .crossJoin(broadcast(v))
       .groupBy(col("doc_id"))
