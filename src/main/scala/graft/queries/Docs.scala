@@ -384,6 +384,112 @@ object Docs {
         Sim.floorDiv(col("quota_tokens") * lit(1000000L), col("n_tokens")))
   }
 
+  /** The d37 stopword list (Gopher's "must contain ≥ 2 of a small
+    * English stopword set" rule; shared with the oracle twin). */
+  private[graft] val gopherStops =
+    Seq("the", "a", "of", "and", "be", "to", "in", "it")
+
+  /** DataFrame-in body of d37: a Gopher-style RULE battery (MassiveText
+    * §A1.1 shape) — where d02 reports raw ratios, this GATES: five
+    * independent rules, each an exact-integer test, folded into one
+    * fail bitmask (bit set = rule violated) and a keep flag. Rules:
+    *
+    *   bit 1  word count outside [10, 100000]
+    *   bit 2  mean word length outside [3.0, 10.0] (milli units)
+    *   bit 4  fewer than 2 distinct stopwords present
+    *   bit 8  top token > 15% of tokens (repetition, ppm)
+    *   bit 16 type-token ratio < 30% (diversity, ppm)
+    *
+    * All ratios are floor-divided ppm/milli integers (the d36
+    * discipline), so the mask is bit-identical across engines. Docs
+    * with zero tokens fail every n-dependent rule by convention.
+    *
+    * Shuffle shape: ZERO exchanges — every rule, including the top-token
+    * count (a run-length fold over the doc's SORTED token array, so the
+    * per-doc mode needs no (doc,term) explode+agg), is a per-row map
+    * over bound columns; at 100 TB this is a pure scan-parallel gate,
+    * the same class as d17/d23. The oracle twin pays the explode+
+    * group-by because SQL has no per-row fold — the Spark shape is the
+    * one you'd deploy. */
+  private[graft] def gopherRulesDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // bind ws0 then ws: HOF lambdas below touch only bound attributes
+    // (the d20 lesson — a free-variable tokenization re-evaluates per
+    // element); the multiply-referenced aliases block CollapseProject
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), words(col("text")).as("ws0"))
+      .select(col("doc_id"), filter(col("ws0"), x => x =!= "").as("ws"))
+      .select(col("doc_id"), col("ws"), array_sort(col("ws")).as("wss"))
+    // per-doc mode COUNT as a run-length fold over the sorted tokens:
+    // state (prev, run, best); ties need no break — only the count matters
+    val topCnt = aggregate(col("wss"),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run2 = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run2.as("run"),
+          greatest(acc.getField("best"), run2).as("best"))
+      },
+      acc => acc.getField("best"))
+    val stopsArr = array(gopherStops.map(lit): _*)
+    val stats = base.select(col("doc_id"),
+      size(col("ws")).cast("long").as("n_words"),
+      aggregate(col("ws"), lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
+      size(array_intersect(col("ws"), stopsArr)).cast("long").as("stop_hits"),
+      size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+      topCnt.as("top_cnt"))
+    val nz = col("n_words") > 0
+    val m = stats.select(col("doc_id"), col("n_words"), col("stop_hits"),
+      when(nz, Sim.floorDiv(col("sum_len") * 1000L, col("n_words")))
+        .otherwise(0L).as("mwl_milli"),
+      when(nz, Sim.floorDiv(col("top_cnt") * 1000000L, col("n_words")))
+        .otherwise(0L).as("top_ppm"),
+      when(nz, Sim.floorDiv(col("n_distinct") * 1000000L, col("n_words")))
+        .otherwise(0L).as("ttr_ppm"))
+    val mask =
+      when(col("n_words").between(10L, 100000L), 0L).otherwise(1L) +
+      when(col("n_words") > 0 && col("mwl_milli").between(3000L, 10000L), 0L).otherwise(2L) +
+      when(col("stop_hits") >= 2L, 0L).otherwise(4L) +
+      when(col("n_words") > 0 && col("top_ppm") <= 150000L, 0L).otherwise(8L) +
+      when(col("n_words") > 0 && col("ttr_ppm") >= 300000L, 0L).otherwise(16L)
+    m.withColumn("fail_mask", mask)
+      .withColumn("keep", when(col("fail_mask") === 0L, 1L).otherwise(0L))
+  }
+
+  /** DataFrame-in body of d38: a feature-hashing LINEAR quality scorer —
+    * the fastText-classifier shape (hashing trick: Weinberger et al.
+    * 2009) with a deterministic weight table so the oracle can recompute
+    * it: weight(token) = (int(md5(token)[0:8]) mod 2001) − 1000, i.e. a
+    * pseudo-random integer weight in [−1000, 1000] keyed by the token's
+    * hash bucket. A real deployment swaps that expression for a
+    * broadcast weight array indexed by the same bucket id — the plan
+    * shape (and this gate's cross-engine signal for the bucket/sum
+    * plumbing) is identical.
+    *
+    * score_sum = Σ_tokens weight(token) is an order-independent integer
+    * sum; score_milli is the half-away-rounded per-token mean; keep =
+    * score_sum ≥ 0 (the classifier sign).
+    *
+    * Shuffle shape: ZERO exchanges — one `aggregate` fold per row over
+    * the bound token array (one md5 per token, no explode, no
+    * (doc,term) shuffle, no weight join). At 100 TB a model-based
+    * quality scorer MUST be this shape: scan-parallel, mergeable across
+    * shards, and stateless so the streaming gate path can reuse it
+    * verbatim. */
+  private[graft] def hashedScoreDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), words(col("text")).as("ws0"))
+      .select(col("doc_id"), filter(col("ws0"), x => x =!= "").as("ws"))
+    def weight(x: Column): Column =
+      conv(substring(md5(x.cast("binary")), 1, 8), 16, 10).cast("long") % 2001L - 1000L
+    base.select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        aggregate(col("ws"), lit(0L), (acc, x) => acc + weight(x)).as("score_sum"))
+      .withColumn("score_milli",
+        when(col("n_tokens") > 0,
+          Sim.halfAwayDiv(col("score_sum") * 1000L, col("n_tokens"))).otherwise(0L))
+      .withColumn("keep", when(col("score_sum") >= 0L, 1L).otherwise(0L))
+  }
+
   /** Compile a benchmark gram set into a serialized Bloom filter for
     * [[decontamFilterDf]]. Built distributed (`stat.bloomFilter` runs a
     * Spark aggregate over xxhash64(gram)); only the filter's bytes —
@@ -2189,6 +2295,67 @@ object Docs {
               |  (weight_ppm * t_max) // 1000000 AS quota_tokens,
               |  (((weight_ppm * t_max) // 1000000) * 1000000) // n_tokens AS rate_ppm
               |FROM wt, cap""".stripMargin),
-      "data-mixture plan: per-language quotas + exact sampling rates under target weights (north-star: data mixing)")
+      "data-mixture plan: per-language quotas + exact sampling rates under target weights (north-star: data mixing)"),
+
+    // Gopher-style rule battery — d02 reports ratios, THIS gates: five
+    // exact-integer rules folded into a fail bitmask + keep flag (see
+    // [[gopherRulesDf]]). The Spark side is a zero-shuffle per-row map
+    // (the top-token count is a run-length fold over the sorted token
+    // array, not an explode+mode agg); the SQL twin below pays the
+    // (doc,term) explode because SQL has no per-row fold.
+    Q("d37_gopher_rules",
+      (s, dir) => gopherRulesDf(t(s, dir, "documents")),
+      Some(s"""WITH w AS (SELECT doc_id, list_filter($dWords, x -> x <> '') AS ws
+              |  FROM documents WHERE text IS NOT NULL),
+              |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+              |tc AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term),
+              |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+              |    CAST(SUM(c * length(term)) AS BIGINT) AS sum_len,
+              |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+              |    CAST(MAX(c) AS BIGINT) AS top_cnt,
+              |    CAST(COUNT(CASE WHEN term IN ('the','a','of','and','be','to','in','it')
+              |      THEN 1 END) AS BIGINT) AS stop_hits
+              |  FROM tc GROUP BY doc_id),
+              |f AS (SELECT w.doc_id, coalesce(n_words, 0) AS n_words,
+              |    coalesce(sum_len, 0) AS sum_len, coalesce(n_distinct, 0) AS n_distinct,
+              |    coalesce(top_cnt, 0) AS top_cnt, coalesce(stop_hits, 0) AS stop_hits
+              |  FROM w LEFT JOIN agg USING (doc_id)),
+              |m AS (SELECT doc_id, n_words, stop_hits,
+              |    CASE WHEN n_words > 0 THEN (sum_len * 1000) // n_words ELSE 0 END AS mwl_milli,
+              |    CASE WHEN n_words > 0 THEN (top_cnt * 1000000) // n_words ELSE 0 END AS top_ppm,
+              |    CASE WHEN n_words > 0 THEN (n_distinct * 1000000) // n_words ELSE 0 END AS ttr_ppm
+              |  FROM f),
+              |k AS (SELECT doc_id, n_words, stop_hits, mwl_milli, top_ppm, ttr_ppm,
+              |    CAST(CASE WHEN n_words BETWEEN 10 AND 100000 THEN 0 ELSE 1 END
+              |      + CASE WHEN n_words > 0 AND mwl_milli BETWEEN 3000 AND 10000 THEN 0 ELSE 2 END
+              |      + CASE WHEN stop_hits >= 2 THEN 0 ELSE 4 END
+              |      + CASE WHEN n_words > 0 AND top_ppm <= 150000 THEN 0 ELSE 8 END
+              |      + CASE WHEN n_words > 0 AND ttr_ppm >= 300000 THEN 0 ELSE 16 END AS BIGINT) AS fail_mask
+              |  FROM m)
+              |SELECT doc_id, n_words, mwl_milli, stop_hits, top_ppm, ttr_ppm, fail_mask,
+              |  CAST(CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+              |FROM k""".stripMargin),
+      "Gopher-style rule battery: 5 exact-integer gates -> fail bitmask (north-star: quality gating)"),
+
+    // Feature-hashing linear quality scorer — the fastText shape with a
+    // deterministic hash-keyed weight table (see [[hashedScoreDf]]);
+    // zero-shuffle scan-parallel scoring, the only deployable shape for
+    // model-based gating at corpus scale.
+    Q("d38_hashed_quality",
+      (s, dir) => hashedScoreDf(t(s, dir, "documents")),
+      Some(s"""WITH w AS (SELECT doc_id, list_filter($dWords, x -> x <> '') AS ws
+              |  FROM documents WHERE text IS NOT NULL),
+              |sc AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+              |    CAST(coalesce(list_sum(list_transform(ws,
+              |      x -> CAST('0x' || substring(md5(x), 1, 8) AS BIGINT) % 2001 - 1000)), 0)
+              |      AS BIGINT) AS score_sum
+              |  FROM w)
+              |SELECT doc_id, n_tokens, score_sum,
+              |  CAST(CASE WHEN n_tokens > 0
+              |    THEN ${Sim.halfAwayDivSql("score_sum * 1000", "n_tokens")}
+              |    ELSE 0 END AS BIGINT) AS score_milli,
+              |  CAST(CASE WHEN score_sum >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+              |FROM sc""".stripMargin),
+      "feature-hashing linear scorer: deterministic hashed weights, zero-shuffle (north-star: model-based quality)")
   )
 }

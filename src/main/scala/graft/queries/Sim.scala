@@ -1267,6 +1267,43 @@ object Sim {
              |  CAST(t1.tl AS BIGINT) AS top_label,
              |  (t1.n * 1000000) // t.n_members AS purity_ppm
              |FROM top1 t1 JOIN tot t USING (cluster)""".stripMargin),
-      "topic-mix report: nearest-centroid assignment + per-cluster majority-label purity (north-star: clustering)")
+      "topic-mix report: nearest-centroid assignment + per-cluster majority-label purity (north-star: clustering)"),
+
+    // Hard-negative mining — the contrastive-training data op: for an
+    // anchor vector, the top-k most similar vectors with a DIFFERENT
+    // label ("looks like the anchor, isn't the anchor's class" — the
+    // negatives an embedding-model trainer actually wants). Same
+    // rounded-cosine + vec_id tie discipline as e02, with the label
+    // exclusion riding the broadcast join filter. Scale shape: the
+    // anchor set is training-batch-sized → broadcast; the corpus side
+    // stays a scan (at 100 TB you'd compose this with the IVF cell
+    // pruning of e03/e07 — probe the anchor's nprobe cells, exclude
+    // same-label rows in-cell, exactly this expression tree on the
+    // pruned scan).
+    Q("e17_hard_negatives",
+      (s, dir) => {
+        // unscoreable vectors (null / null-element) are EXCLUDED, the
+        // kmeans-family convention — a null cosine can't rank
+        val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull &&
+          !exists(col("embedding"), _.isNull))
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"), col("label").as("ql"))
+        e.filter(col("vec_id") > 0).crossJoin(broadcast(q))
+          .filter(col("label") =!= col("ql"))
+          .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+          .limit(10)
+          .select(col("vec_id"), col("label").cast("long").as("label"), col("cos_sim"))
+      },
+      Some(s"""WITH sc AS (SELECT vec_id, label, embedding FROM embeddings
+              |  WHERE embedding IS NOT NULL
+              |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+              |q AS (SELECT embedding AS qe, label AS ql FROM sc WHERE vec_id = 0)
+              |SELECT vec_id, CAST(label AS BIGINT) AS label,
+              |  ROUND(${dDot("e.embedding", "q.qe")} /
+              |    (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("q.qe", "q.qe")})), 4) AS cos_sim
+              |FROM sc e, q WHERE vec_id > 0 AND e.label <> q.ql
+              |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin),
+      "hard-negative mining: top-k cross-label cosine neighbors of an anchor (north-star: contrastive training data)")
   )
 }

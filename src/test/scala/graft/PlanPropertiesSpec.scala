@@ -261,6 +261,24 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"rate sample gained a shuffle:\n${p.take(600)}")
   }
 
+  test("d37: Gopher rule battery is a pure per-row map — ZERO exchanges") {
+    val p = planOf("d37_gopher_rules")
+    assert(!p.contains("Exchange"),
+      s"rule battery gained a shuffle (the top-token fold must stay per-row):\n${p.take(600)}")
+  }
+
+  test("d38: hashed linear scorer is a pure per-row map — ZERO exchanges") {
+    val p = planOf("d38_hashed_quality")
+    assert(!p.contains("Exchange"), s"hashed scorer gained a shuffle:\n${p.take(600)}")
+  }
+
+  test("e17: anchor side broadcasts; no sort-merge join") {
+    val p = planOf("e17_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row anchor not broadcast:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q41: quantile-sketch probe side broadcasts (bounded: one row per event_type)") {
     val p = planOf("q41_approx_quantile")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
