@@ -110,6 +110,21 @@ object CurationPipeline {
         * (pre-gate — more data, and stable under gate-config changes).
         * None disables the gate. */
       maxSurprisalMilliBits: Option[Long] = None,
+      /** Gopher-style rule battery (d37's shape, part of stage 1): keep
+        * only docs whose five-rule fail bitmask is zero. Runs via the
+        * shared [[graft.queries.Docs.withGopherRules]] body over the
+        * stage's bound token column — zero additional exchanges, and
+        * the gate is pinned by the d37 oracle by construction. Off by
+        * default (the built-in minTokens/dupFrac gates overlap two of
+        * the rules at different thresholds; enabling both composes). */
+      gopherRules: Boolean = false,
+      /** Model-based quality floor (d38's shape, part of stage 1): keep
+        * only docs whose hashed-linear score_milli is at or above this.
+        * Shared [[graft.queries.Docs.withHashedScore]] body — a per-row
+        * fold, zero exchanges; swap the hash-keyed weights for a learned
+        * broadcast table without changing the stage shape. None
+        * disables the gate. */
+      minHashedScoreMilli: Option[Long] = None,
       chunk: Boolean = true,
       partitionCol: String = "lang",
       maxRecordsPerFile: Long = 100000L,
@@ -214,13 +229,32 @@ object CurationPipeline {
           throw new IllegalArgumentException("maxStopFrac requires stopTopK")
         case _ => g0
       }
+      // per-row rule/model gates before the surprisal semi-join
+      // (cheapest-first: these add no exchange, the join adds one side)
+      val g1 = if (!cfg.gopherRules && cfg.minHashedScoreMilli.isEmpty) g else {
+        val b = g.withColumn("_wsc", filter(col("ws"), w => w =!= ""))
+        val b2 =
+          if (cfg.gopherRules)
+            Docs.withGopherRules(b, "_wsc").filter(col("fail_mask") === 0L)
+              .drop("n_words", "mwl_milli", "stop_hits", "top_ppm", "ttr_ppm",
+                "fail_mask", "keep")
+          else b
+        val b3 = cfg.minHashedScoreMilli match {
+          case Some(minMilli) =>
+            Docs.withHashedScore(b2, "_wsc")
+              .filter(col("score_milli") >= minMilli)
+              .drop("score_sum", "score_milli")
+          case None => b2
+        }
+        b3.drop("_wsc")
+      }
       cfg.maxSurprisalMilliBits match {
         case Some(maxMb) =>
           val keep = Docs.surprisalDf(docs)
             .filter(col("milli_bits_per_token") <= maxMb)
             .select(col("doc_id"))
-          g.join(keep, Seq("doc_id"), "left_semi")
-        case None => g
+          g1.join(keep, Seq("doc_id"), "left_semi")
+        case None => g1
       }
     })
 

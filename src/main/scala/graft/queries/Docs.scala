@@ -411,17 +411,17 @@ object Docs {
     * the same class as d17/d23. The oracle twin pays the explode+
     * group-by because SQL has no per-row fold — the Spark shape is the
     * one you'd deploy. */
-  private[graft] def gopherRulesDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // bind ws0 then ws: HOF lambdas below touch only bound attributes
-    // (the d20 lesson — a free-variable tokenization re-evaluates per
-    // element); the multiply-referenced aliases block CollapseProject
-    val base = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), words(col("text")).as("ws0"))
-      .select(col("doc_id"), filter(col("ws0"), x => x =!= "").as("ws"))
-      .select(col("doc_id"), col("ws"), array_sort(col("ws")).as("wss"))
+  /** Append d37's rule columns (n_words, mwl_milli, stop_hits, top_ppm,
+    * ttr_ppm, fail_mask, keep) to `df`, reading tokens from the BOUND
+    * non-empty-token array column `wsCol`. Shared by the d37 gate and
+    * the curation pipeline's `gopherRules` toggle, so the pipeline
+    * stage is pinned by the d37 oracle by construction. */
+  private[graft] def withGopherRules(df: org.apache.spark.sql.DataFrame,
+      wsCol: String): org.apache.spark.sql.DataFrame = {
+    val ws = col(wsCol)
     // per-doc mode COUNT as a run-length fold over the sorted tokens:
     // state (prev, run, best); ties need no break — only the count matters
-    val topCnt = aggregate(col("wss"),
+    val topCnt = aggregate(col("_gr_wss"),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, x) => {
         val run2 = when(x === acc.getField("prev"), acc.getField("run") + 1)
@@ -430,29 +430,41 @@ object Docs {
           greatest(acc.getField("best"), run2).as("best"))
       },
       acc => acc.getField("best"))
-    val stopsArr = array(gopherStops.map(lit): _*)
-    val stats = base.select(col("doc_id"),
-      size(col("ws")).cast("long").as("n_words"),
-      aggregate(col("ws"), lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
-      size(array_intersect(col("ws"), stopsArr)).cast("long").as("stop_hits"),
-      size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
-      topCnt.as("top_cnt"))
     val nz = col("n_words") > 0
-    val m = stats.select(col("doc_id"), col("n_words"), col("stop_hits"),
-      when(nz, Sim.floorDiv(col("sum_len") * 1000L, col("n_words")))
-        .otherwise(0L).as("mwl_milli"),
-      when(nz, Sim.floorDiv(col("top_cnt") * 1000000L, col("n_words")))
-        .otherwise(0L).as("top_ppm"),
-      when(nz, Sim.floorDiv(col("n_distinct") * 1000000L, col("n_words")))
-        .otherwise(0L).as("ttr_ppm"))
     val mask =
       when(col("n_words").between(10L, 100000L), 0L).otherwise(1L) +
-      when(col("n_words") > 0 && col("mwl_milli").between(3000L, 10000L), 0L).otherwise(2L) +
+      when(nz && col("mwl_milli").between(3000L, 10000L), 0L).otherwise(2L) +
       when(col("stop_hits") >= 2L, 0L).otherwise(4L) +
-      when(col("n_words") > 0 && col("top_ppm") <= 150000L, 0L).otherwise(8L) +
-      when(col("n_words") > 0 && col("ttr_ppm") >= 300000L, 0L).otherwise(16L)
-    m.withColumn("fail_mask", mask)
+      when(nz && col("top_ppm") <= 150000L, 0L).otherwise(8L) +
+      when(nz && col("ttr_ppm") >= 300000L, 0L).otherwise(16L)
+    df.withColumn("_gr_wss", array_sort(ws))
+      .withColumn("n_words", size(ws).cast("long"))
+      .withColumn("_gr_sum_len", aggregate(ws, lit(0L), (acc, x) => acc + length(x)))
+      .withColumn("stop_hits",
+        size(array_intersect(ws, array(gopherStops.map(lit): _*))).cast("long"))
+      .withColumn("_gr_n_distinct", size(array_distinct(ws)).cast("long"))
+      .withColumn("_gr_top_cnt", topCnt)
+      .withColumn("mwl_milli",
+        when(nz, Sim.floorDiv(col("_gr_sum_len") * 1000L, col("n_words"))).otherwise(0L))
+      .withColumn("top_ppm",
+        when(nz, Sim.floorDiv(col("_gr_top_cnt") * 1000000L, col("n_words"))).otherwise(0L))
+      .withColumn("ttr_ppm",
+        when(nz, Sim.floorDiv(col("_gr_n_distinct") * 1000000L, col("n_words"))).otherwise(0L))
+      .withColumn("fail_mask", mask)
       .withColumn("keep", when(col("fail_mask") === 0L, 1L).otherwise(0L))
+      .drop("_gr_wss", "_gr_sum_len", "_gr_n_distinct", "_gr_top_cnt")
+  }
+
+  private[graft] def gopherRulesDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // bind ws0 then ws: HOF lambdas touch only bound attributes (the
+    // d20 lesson — a free-variable tokenization re-evaluates per
+    // element); the multiply-referenced aliases block CollapseProject
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), words(col("text")).as("ws0"))
+      .select(col("doc_id"), filter(col("ws0"), x => x =!= "").as("ws"))
+    withGopherRules(base, "ws")
+      .select(col("doc_id"), col("n_words"), col("mwl_milli"), col("stop_hits"),
+        col("top_ppm"), col("ttr_ppm"), col("fail_mask"), col("keep"))
   }
 
   /** DataFrame-in body of d38: a feature-hashing LINEAR quality scorer —
@@ -475,19 +487,31 @@ object Docs {
     * quality scorer MUST be this shape: scan-parallel, mergeable across
     * shards, and stateless so the streaming gate path can reuse it
     * verbatim. */
+  /** Append d38's score columns (score_sum, score_milli) to `df`,
+    * reading tokens from the BOUND non-empty-token array column
+    * `wsCol`. Shared by the d38 gate and the curation pipeline's
+    * `minHashedScoreMilli` toggle — pipeline stage pinned by the d38
+    * oracle by construction. */
+  private[graft] def withHashedScore(df: org.apache.spark.sql.DataFrame,
+      wsCol: String): org.apache.spark.sql.DataFrame = {
+    def weight(x: Column): Column =
+      conv(substring(md5(x.cast("binary")), 1, 8), 16, 10).cast("long") % 2001L - 1000L
+    df.withColumn("score_sum",
+        aggregate(col(wsCol), lit(0L), (acc, x) => acc + weight(x)))
+      .withColumn("score_milli",
+        when(size(col(wsCol)) > 0,
+          Sim.halfAwayDiv(col("score_sum") * 1000L, size(col(wsCol)).cast("long")))
+          .otherwise(0L))
+  }
+
   private[graft] def hashedScoreDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val base = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), words(col("text")).as("ws0"))
       .select(col("doc_id"), filter(col("ws0"), x => x =!= "").as("ws"))
-    def weight(x: Column): Column =
-      conv(substring(md5(x.cast("binary")), 1, 8), 16, 10).cast("long") % 2001L - 1000L
-    base.select(col("doc_id"),
-        size(col("ws")).cast("long").as("n_tokens"),
-        aggregate(col("ws"), lit(0L), (acc, x) => acc + weight(x)).as("score_sum"))
-      .withColumn("score_milli",
-        when(col("n_tokens") > 0,
-          Sim.halfAwayDiv(col("score_sum") * 1000L, col("n_tokens"))).otherwise(0L))
-      .withColumn("keep", when(col("score_sum") >= 0L, 1L).otherwise(0L))
+    withHashedScore(base, "ws")
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        col("score_sum"), col("score_milli"),
+        when(col("score_sum") >= 0L, 1L).otherwise(0L).as("keep"))
   }
 
   /** Compile a benchmark gram set into a serialized Bloom filter for

@@ -111,6 +111,35 @@ class CurationPipelineSpec extends SparkSpec {
     assert(gatedIds === plainIds.filter(id => scores(id) <= thr))
   }
 
+  test("gopher + hashed-score gates: stage 1 equals the d37/d38 oracle cuts") {
+    val docs = Registry.t(spark, sfDir, "documents")
+    val keep37 = Registry.queries("d37_gopher_rules")(spark, sfDir)
+      .filter(col("keep") === 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val scores38 = Registry.queries("d38_hashed_quality")(spark, sfDir)
+      .select(col("doc_id"), col("score_milli"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val thr = scores38.values.toSeq.sorted.apply(scores38.size / 2)
+
+    val out = Files.createTempDirectory("graft-curation-g37").toString
+    CurationPipeline.run(spark, docs, out,
+      cfg = CurationPipeline.Config(gopherRules = true,
+        minHashedScoreMilli = Some(thr)),
+      customGate = langGate)
+    val gatedIds = spark.read.parquet(s"$out/01_gated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val out2 = Files.createTempDirectory("graft-curation-g37b").toString
+    CurationPipeline.run(spark, docs, out2, customGate = langGate)
+    val plainIds = spark.read.parquet(s"$out2/01_gated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    assert(gatedIds.nonEmpty)
+    assert(gatedIds ===
+      plainIds.filter(id => keep37(id) && scores38(id) >= thr),
+      "pipeline gates must equal the oracle-pinned d37 keep ∩ d38 threshold cut")
+  }
+
   test("ClusterBalanced selection keeps <= quota per cluster, sampled from survivors") {
     val out = Files.createTempDirectory("graft-curation-cb").toString
     val docs = Registry.t(spark, sfDir, "documents")
