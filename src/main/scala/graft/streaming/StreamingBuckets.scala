@@ -61,6 +61,39 @@ object StreamingBuckets {
   def redactStream(docs: DataFrame): DataFrame =
     graft.queries.Docs.redactDf(docs)
 
+  /** Streaming twin of the d37 Gopher rule battery, as a filter: keep
+    * only docs whose five-rule fail bitmask is zero. Every rule —
+    * including the top-token repetition count, a run-length fold over
+    * the doc's sorted token array — is a per-row expression over bound
+    * columns ([[graft.queries.Docs.withGopherRules]], the d37 gate's
+    * exact body), so the twin is stateless: no watermark, no shuffle,
+    * and a doc's verdict never depends on which trigger saw it. */
+  def gopherGateStream(docs: DataFrame): DataFrame = {
+    val scored = graft.queries.Docs.withGopherRules(
+      docs.withColumn("_ws0", graft.queries.Docs.words(col("text")))
+        .withColumn("_wsc", filter(col("_ws0"), w => w =!= "")),
+      "_wsc")
+    scored.filter(col("text").isNotNull && col("fail_mask") === 0L)
+      .drop("_ws0", "_wsc", "n_words", "mwl_milli", "stop_hits",
+        "top_ppm", "ttr_ppm", "fail_mask", "keep")
+  }
+
+  /** Streaming twin of the d38 hashed linear scorer, as a filter: keep
+    * docs whose hashed-model score_milli clears `minMilli`. One
+    * `aggregate` fold per row over the bound token array (the d38
+    * gate's exact body via [[graft.queries.Docs.withHashedScore]]) —
+    * stateless, shuffle-free, and the shape a LEARNED broadcast weight
+    * table would keep unchanged: model-based quality gating on an
+    * unbounded ingest. */
+  def hashedScoreStream(docs: DataFrame, minMilli: Long): DataFrame = {
+    val scored = graft.queries.Docs.withHashedScore(
+      docs.withColumn("_ws0", graft.queries.Docs.words(col("text")))
+        .withColumn("_wsc", filter(col("_ws0"), w => w =!= "")),
+      "_wsc")
+    scored.filter(col("text").isNotNull && col("score_milli") >= minMilli)
+      .drop("_ws0", "_wsc", "score_sum", "score_milli")
+  }
+
   /** Streaming twin of d29 cross-corpus near-dup decontamination, as a
     * filter: drop any streamed doc whose FULL 8-family MinHash
     * signature appears in the reference snapshot's signature set,

@@ -199,6 +199,63 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("gopherGateStream == batch d37 keep set (any batch split)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = System.currentTimeMillis()
+    def at(min: Long) = new Timestamp(base + min * 60000L)
+    // mix of keepers (stopworded, diverse, 10+ tokens) and rule-breakers
+    val docs = (1L to 60L).map { i =>
+      val text =
+        if (i % 3 == 0) s"the a quick brown fox t$i jumps over lazy dogs near riverbank"
+        else if (i % 3 == 1) Seq.fill(12)("spam").mkString(" ")
+        else s"short doc $i"
+      StreamDoc(i, text, at(i % 5))
+    }
+    val stream = MemoryStream[StreamDoc]
+    val query = StreamingBuckets.gopherGateStream(stream.toDF())
+      .writeStream.format("memory").queryName("gophergate")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs.take(25))
+      query.processAllAvailable()
+      stream.addData(docs.drop(25))
+      query.processAllAvailable()
+      val streamed = spark.table("gophergate").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val batch = graft.queries.Docs.gopherRulesDf(docs.toDF())
+        .filter(col("keep") === 1L)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty && streamed.size < docs.size)
+    } finally query.stop()
+  }
+
+  test("hashedScoreStream == batch d38 threshold cut (any batch split)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = System.currentTimeMillis()
+    def at(min: Long) = new Timestamp(base + min * 60000L)
+    val docs = (1L to 200L).map(i => StreamDoc(i, s"doc number $i with words w$i", at(i % 7)))
+    val stream = MemoryStream[StreamDoc]
+    val query = StreamingBuckets.hashedScoreStream(stream.toDF(), 0L)
+      .writeStream.format("memory").queryName("hashedgate")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs.take(80))
+      query.processAllAvailable()
+      stream.addData(docs.drop(80))
+      query.processAllAvailable()
+      val streamed = spark.table("hashedgate").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val batch = graft.queries.Docs.hashedScoreDf(docs.toDF())
+        .filter(col("score_milli") >= 0L)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty && streamed.size < docs.size)
+    } finally query.stop()
+  }
+
   test("decontamStream == batch decontam filter; real hits never survive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
