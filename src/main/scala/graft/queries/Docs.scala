@@ -2380,6 +2380,50 @@ object Docs {
               |    ELSE 0 END AS BIGINT) AS score_milli,
               |  CAST(CASE WHEN score_sum >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
               |FROM sc""".stripMargin),
-      "feature-hashing linear scorer: deterministic hashed weights, zero-shuffle (north-star: model-based quality)")
+      "feature-hashing linear scorer: deterministic hashed weights, zero-shuffle (north-star: model-based quality)"),
+
+    // Per-source curation dashboard — the observability rollup a corpus
+    // owner reads before setting d36 weights or d27 thresholds: for
+    // every (lang, source) shard, doc inventory, exact-duplicate volume
+    // (docs whose text hash appears >1 time corpus-WIDE — cross-source
+    // duplication counts against both sources), duplication ppm, and
+    // token inventory. Shuffle shape: text NEVER shuffles, and there is
+    // NO join — the corpus-wide copy count is a whole-partition window
+    // count over the fingerprint, so the plan is one narrow
+    // (md5, lang, source, n_tokens) fp exchange + the tiny (lang,
+    // source) rollup. (The join formulation — groupBy(fp) then probe —
+    // needs either a second corpus pass or a struct-packed shared
+    // exchange, and AQE broadcasts the post-agg side off a garbage
+    // size estimate: a corpus-distinct fingerprint table at 100 TB is
+    // NOT broadcastable — the d20 lesson. The window needs none of
+    // that; a degenerate fingerprint group spills through WindowExec
+    // rather than OOMing an executor.)
+    Q("d39_source_report",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+        t(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            md5(col("text").cast("binary")).as("fp"),
+            tokenCount(col("text")).as("ntok"))
+          .withColumn("n_copies", count(lit(1)).over(w))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("dup_docs"),
+            sum(col("ntok")).as("n_tokens"))
+          .withColumn("dup_ppm",
+            Sim.floorDiv(col("dup_docs") * 1000000L, col("n_docs")))
+      },
+      Some(s"""WITH base AS (SELECT lang, source, md5(text) AS fp,
+              |    CAST(CASE WHEN length($dNorm) = 0 THEN 0
+              |      ELSE length($dNorm) - length(replace($dNorm, ' ', '')) + 1 END AS BIGINT) AS ntok
+              |  FROM documents),
+              |j AS (SELECT lang, source, ntok,
+              |    COUNT(*) OVER (PARTITION BY fp) AS n_copies FROM base)
+              |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+              |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+              |  (SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS dup_ppm
+              |FROM j GROUP BY lang, source""".stripMargin),
+      "per-source curation dashboard: doc/dup/token inventory per (lang, source) (north-star: observability)")
   )
 }

@@ -272,6 +272,16 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"hashed scorer gained a shuffle:\n${p.take(600)}")
   }
 
+  test("d39: one scan, one fp exchange + rollup, NO join anywhere") {
+    val p = planOf("d39_source_report")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2,
+      s"report gained a shuffle beyond fp spread + rollup:\n${p.take(800)}")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "copy counting must be the fp window, not a self-join")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size <= 1,
+      "documents scanned twice")
+  }
+
   test("e17: anchor side broadcasts; no sort-merge join") {
     val p = planOf("e17_hard_negatives")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
