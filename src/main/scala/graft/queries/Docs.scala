@@ -1154,15 +1154,21 @@ object Docs {
         val pairs = lshCandidatePairs(sig)
         val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
         val uni = (size(col("sa")) + size(col("sb"))).cast("double") - inter
-        // merge-hint both verification joins: the pair side GROWS with
-        // the corpus, but its static size estimate (post agg + double
-        // explode) is garbage-small, so the planner broadcast it — fine
-        // at sf0.1 (35 pairs), a driver OOM at sf10 (31.5 M pairs,
-        // found by the r7 full-battery sf10 gate). Neither side of the
-        // verification joins is bounded, so the only scale-safe
-        // strategy is a spillable shuffle join; plan-guarded.
-        pairs
-          .join(sets.select(col("doc_id").as("doc_id_a"), col("ss").as("sa")).hint("merge"),
+        // Verification joins: NEVER broadcast — the pair side GROWS with
+        // the corpus and its static size estimate (post agg + double
+        // explode) is garbage-small, so the unhinted planner broadcast
+        // it: fine at sf0.1 (35 pairs), a driver OOM at sf10 (31.5 M
+        // pairs, found by the r7 full-battery sf10 gate). Join 1
+        // shuffle-hashes BUILDING on the NARROW pair rows (16 B/row —
+        // hashing them beats sorting the corpus-sized wide shingle
+        // arrays). Join 2 must stay MERGE: its smaller side is the
+        // join-1 output (pairs + a full shingle set per row), and a
+        // ShuffledHashJoin build is NOT spillable — building that side
+        // at sf10 dies with "Can't acquire 2 GiB to build hash
+        // relation" (measured this round), while merge sorts spill.
+        // Plan-guarded: one SHJ, one SMJ, zero broadcasts.
+        pairs.hint("shuffle_hash")
+          .join(sets.select(col("doc_id").as("doc_id_a"), col("ss").as("sa")),
             Seq("doc_id_a"))
           .join(sets.select(col("doc_id").as("doc_id_b"), col("ss").as("sb")).hint("merge"),
             Seq("doc_id_b"))
@@ -1648,33 +1654,36 @@ object Docs {
     Q("d18_tfidf",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        // tf packed as (term, dt = struct(doc_id, tf)) below ONE term
-        // exchange: both consumers — the df aggregate (count(dt), which
-        // cannot be pruned because dt is referenced; a struct is never
-        // null so count(dt) ≡ count(1)) and the probe join — need the
-        // same two columns, so the exchange subtrees canonicalize
-        // identically and the token explode + (doc,term) aggregate run
-        // ONCE at runtime (they ran once per consumer before;
-        // ExecPlan-verified). groupBy+broadcast-join (not a count
-        // window over term) deliberately: partial aggregation collapses
-        // a stopword's rows map-side, where a window would stream the
-        // whole term group through one task at 100 TB. dt is unpacked
-        // only ABOVE the join so nested-field aliasing can't specialize
-        // the shared exchange per branch.
+        // ONE corpus-volume exchange in the whole query — the doc_id
+        // text spread — and everything else stays on it: the (doc,term)
+        // aggregate inherits the spread's partitioning (clustering on a
+        // prefix, no new exchange), the df branch re-aggregates by term
+        // map-side-partial into a NARROW (term, df) exchange that
+        // broadcasts back, and because the probe side never leaves
+        // doc_id partitioning the per-doc top-3 window sorts IN PLACE.
+        // The token explode + aggregate run once per consumer subtree
+        // off the reused text exchange (ExecPlan-verified ReuseExchange)
+        // — the d20 doctrine: recompute a linear per-doc pass rather
+        // than ship a corpus-sized computed exchange. (The earlier
+        // term-keyed struct pack computed the aggregate once but paid
+        // TWO further corpus-volume exchanges: the (term, dt) pack and
+        // the (doc,term,tfidf,…) shuffle back to doc_id for the window
+        // — measured equal at sf0.1, and at cluster scale the shuffle
+        // bytes, not the scan-parallel tokenize, are the bottleneck.)
+        // groupBy+broadcast-join for df (not a count window over term)
+        // deliberately: partial aggregation collapses a stopword's rows
+        // map-side, where a window would stream the whole term group
+        // through one task at 100 TB.
         val tf2 = docs.repartition(col("doc_id"))
           .select(col("doc_id"), explode(words(col("text"))).as("term"))
           .groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
-          .select(col("term"), struct(col("doc_id"), col("tf")).as("dt"))
-          .repartition(col("term"))
-        val df = tf2.groupBy(col("term")).agg(count(col("dt")).as("df"))
+        val df = tf2.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
         tf2.join(broadcast(df), Seq("term"))
           .crossJoin(broadcast(n))
-          .select(col("dt.doc_id").as("doc_id"), col("term"),
-            col("dt.tf").as("tf"), col("df"), col("n"))
           .withColumn("tfidf", round(col("tf") *
             log(col("n").cast("double") / col("df").cast("double")), 4))
           .withColumn("rk", row_number().over(w).cast("long"))
@@ -2004,10 +2013,16 @@ object Docs {
           .filter(isRef(col("doc_id_a")) =!= isRef(col("doc_id_b")))
         val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
         val uni = (size(col("sa")) + size(col("sb"))).cast("double") - inter
-        // merge-hinted shuffle joins, the d20 lesson: neither side is
-        // bounded and the post-agg pair estimate is garbage-small
-        val contaminated = pairs
-          .join(sets.select(col("doc_id").as("doc_id_a"), col("ss").as("sa")).hint("merge"),
+        // Verification joins, the d20 shape: join 1 shuffle-hashes
+        // BUILDING on the NARROW pair rows (no broadcast — the post-agg
+        // pair estimate is garbage-small and pairs grow with the
+        // corpus; no sort of the corpus-sized wide shingle arrays);
+        // join 2 stays MERGE because its smaller side now carries a
+        // full shingle set per pair row and a ShuffledHashJoin build
+        // is NOT spillable (d20's sf10 2 GiB hash-relation failure),
+        // while merge sorts spill.
+        val contaminated = pairs.hint("shuffle_hash")
+          .join(sets.select(col("doc_id").as("doc_id_a"), col("ss").as("sa")),
             Seq("doc_id_a"))
           .join(sets.select(col("doc_id").as("doc_id_b"), col("ss").as("sb")).hint("merge"),
             Seq("doc_id_b"))

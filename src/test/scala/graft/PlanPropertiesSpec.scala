@@ -221,11 +221,17 @@ class PlanPropertiesSpec extends SparkSpec {
   test("d20: NOTHING broadcasts — the pair side grows with the corpus") {
     // the pair side's static estimate (post agg + double explode) is
     // garbage-small; an unhinted plan broadcast 31.5 M pairs at sf10 and
-    // OOM'd the driver. Both verification joins must stay shuffle joins.
+    // OOM'd the driver. Join 1 shuffled-hash builds the NARROW pair rows
+    // (merge would sort the corpus-sized wide shingle arrays); join 2
+    // must stay merge — its smaller side carries a full shingle set per
+    // pair row and an SHJ build is not spillable (sf10 2 GiB failure).
     val p = planOf("d20_neardup_verified")
     assert(!p.contains("BroadcastExchange"),
       s"d20 reintroduced a broadcast of an unbounded side:\n${p.take(800)}")
-    assert(p.contains("SortMergeJoin"), "verification joins must be SMJ")
+    assert(p.contains("ShuffledHashJoin"),
+      "join 1 must shuffled-hash-build the narrow pair side")
+    assert(p.contains("SortMergeJoin"),
+      "join 2 must stay a spillable sort-merge (SHJ build dies at sf10)")
   }
 
   test("d22: packing cumsum is sub-sharded — no shard-serial sort task") {
