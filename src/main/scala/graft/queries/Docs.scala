@@ -385,9 +385,10 @@ object Docs {
   }
 
   /** The d37 stopword list (Gopher's "must contain ≥ 2 of a small
-    * English stopword set" rule; shared with the oracle twin). */
-  private[graft] val gopherStops =
-    Seq("the", "a", "of", "and", "be", "to", "in", "it")
+    * English stopword set" rule; shared with the oracle twin and the
+    * codegen'd [[graft.functions.GopherStats]] expression). */
+  private[graft] val gopherStops: Seq[String] =
+    graft.functions.GopherStats.stops
 
   /** DataFrame-in body of d37: a Gopher-style RULE battery (MassiveText
     * §A1.1 shape) — where d02 reports raw ratios, this GATES: five
@@ -418,18 +419,14 @@ object Docs {
     * stage is pinned by the d37 oracle by construction. */
   private[graft] def withGopherRules(df: org.apache.spark.sql.DataFrame,
       wsCol: String): org.apache.spark.sql.DataFrame = {
-    val ws = col(wsCol)
-    // per-doc mode COUNT as a run-length fold over the sorted tokens:
-    // state (prev, run, best); ties need no break — only the count matters
-    val topCnt = aggregate(col("_gr_wss"),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run2 = when(x === acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run2.as("run"),
-          greatest(acc.getField("best"), run2).as("best"))
-      },
-      acc => acc.getField("best"))
+    // all five statistics — per-token counts (mode count, distinct,
+    // stopword hits) and character totals — in ONE compiled pass via
+    // the codegen'd GopherStats expression (the first formulation
+    // walked the array five times through interpreted HOFs: array_sort
+    // + struct-state fold for the mode, a second fold for characters,
+    // array_distinct, array_intersect — 2.6× the DuckDB twin at sf1).
+    // _gs is bound in its own projection so the five field reads hit
+    // the attribute, not five re-evaluations of the expression.
     val nz = col("n_words") > 0
     val mask =
       when(col("n_words").between(10L, 100000L), 0L).otherwise(1L) +
@@ -437,22 +434,18 @@ object Docs {
       when(col("stop_hits") >= 2L, 0L).otherwise(4L) +
       when(nz && col("top_ppm") <= 150000L, 0L).otherwise(8L) +
       when(nz && col("ttr_ppm") >= 300000L, 0L).otherwise(16L)
-    df.withColumn("_gr_wss", array_sort(ws))
-      .withColumn("n_words", size(ws).cast("long"))
-      .withColumn("_gr_sum_len", aggregate(ws, lit(0L), (acc, x) => acc + length(x)))
-      .withColumn("stop_hits",
-        size(array_intersect(ws, array(gopherStops.map(lit): _*))).cast("long"))
-      .withColumn("_gr_n_distinct", size(array_distinct(ws)).cast("long"))
-      .withColumn("_gr_top_cnt", topCnt)
+    df.withColumn("_gs", graft.functions.GateExprs.gopherStats(col(wsCol)))
+      .withColumn("n_words", col("_gs.n_words"))
+      .withColumn("stop_hits", col("_gs.stop_hits"))
       .withColumn("mwl_milli",
-        when(nz, Sim.floorDiv(col("_gr_sum_len") * 1000L, col("n_words"))).otherwise(0L))
+        when(nz, Sim.floorDiv(col("_gs.sum_len") * 1000L, col("n_words"))).otherwise(0L))
       .withColumn("top_ppm",
-        when(nz, Sim.floorDiv(col("_gr_top_cnt") * 1000000L, col("n_words"))).otherwise(0L))
+        when(nz, Sim.floorDiv(col("_gs.top_cnt") * 1000000L, col("n_words"))).otherwise(0L))
       .withColumn("ttr_ppm",
-        when(nz, Sim.floorDiv(col("_gr_n_distinct") * 1000000L, col("n_words"))).otherwise(0L))
+        when(nz, Sim.floorDiv(col("_gs.n_distinct") * 1000000L, col("n_words"))).otherwise(0L))
       .withColumn("fail_mask", mask)
       .withColumn("keep", when(col("fail_mask") === 0L, 1L).otherwise(0L))
-      .drop("_gr_wss", "_gr_sum_len", "_gr_n_distinct", "_gr_top_cnt")
+      .drop("_gs")
   }
 
   private[graft] def gopherRulesDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -493,16 +486,17 @@ object Docs {
     * `minHashedScoreMilli` toggle — pipeline stage pinned by the d38
     * oracle by construction. */
   private[graft] def withHashedScore(df: org.apache.spark.sql.DataFrame,
-      wsCol: String): org.apache.spark.sql.DataFrame = {
-    def weight(x: Column): Column =
-      conv(substring(md5(x.cast("binary")), 1, 8), 16, 10).cast("long") % 2001L - 1000L
+      wsCol: String): org.apache.spark.sql.DataFrame =
+    // one compiled pass (codegen'd HashedTokenScore: md5 over each
+    // token's UTF8 bytes, first-32-bits bucket, mod-2001 weight) — the
+    // interpreted `aggregate` fold issued the same md5s through a
+    // per-element expression-tree walk
     df.withColumn("score_sum",
-        aggregate(col(wsCol), lit(0L), (acc, x) => acc + weight(x)))
+        graft.functions.GateExprs.hashedTokenScore(col(wsCol)))
       .withColumn("score_milli",
         when(size(col(wsCol)) > 0,
           Sim.halfAwayDiv(col("score_sum") * 1000L, size(col(wsCol)).cast("long")))
           .otherwise(0L))
-  }
 
   private[graft] def hashedScoreDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val base = docs.filter(col("text").isNotNull)
