@@ -515,6 +515,58 @@ object Sim {
       .select(col("vec_id"), col("adc"), col("cos_sim"))
   }
 
+  /** e02's exact brute-force ranking: top-k by rounded cosine against
+    * the vec_id-0 anchor, vec_id tie-break (the rounded-ordering
+    * discipline — see the e02 gate note). Shared by e02 and the e18
+    * recall report. */
+  private[graft] def exactTopKDf(e: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.filter(col("vec_id") > 0).crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("cos_sim"))
+  }
+
+  /** e04's hyperplane-LSH ranking: exact cosine top-k INSIDE the
+    * anchor's bucket (8 static planes, codegen'd PlaneBucketCode).
+    * Shared by e04 and the e18 recall report. */
+  private[graft] def lshTopKDf(e: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val b = e.withColumn("bkt",
+      graft.functions.PlaneBucketExpr.planeBucketCode(col("embedding")))
+    val q = b.filter(col("vec_id") === 0)
+      .select(col("bkt").as("qbkt"), col("embedding").as("qe"))
+    b.filter(col("vec_id") > 0).crossJoin(broadcast(q))
+      .filter(col("bkt") === col("qbkt"))
+      .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(k)
+      .select(col("vec_id"), col("cos_sim"))
+  }
+
+  /** e03's IVF ranking: per-label centroid coarse quantizer, probe the
+    * best cell, exact cosine top-k inside it. Shared by e03 and the
+    * e18 recall report. */
+  private[graft] def ivfTopKDf(e: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val qd = e.filter(col("vec_id") === 0)
+      .select(posexplode(asDoubles(col("embedding")))).toDF("pos", "qv")
+    val cent = e.select(col("label"), posexplode(asDoubles(col("embedding"))))
+      .toDF("label", "pos", "v")
+      .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("c"))
+    val best = cent.join(broadcast(qd), Seq("pos"))
+      .groupBy(col("label")).agg(sum(col("c") * col("qv")).as("dot"))
+      .orderBy(col("dot").desc, col("label").asc).limit(1)
+      .select(col("label"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.join(broadcast(best), Seq("label")).filter(col("vec_id") > 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(k)
+      .select(col("label"), col("vec_id"), col("cos_sim"))
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Pairwise cosine on consecutive ids: the embedding near-dup primitive.
@@ -537,18 +589,11 @@ object Sim {
     // Brute-force cosine top-k for a query vector (vec_id 0) — the ANN
     // baseline. Query side is a broadcast of one row.
     Q("e02_ann_topk",
-      (s, dir) => {
-        val e = t(s, dir, "embeddings")
-        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-        // Order by the ROUNDED cosine so the vec_id tie-break governs every
-        // pair that compares equal after rounding — sub-ulp accumulation
-        // drift between engines can no longer flip top-k membership.
-        e.filter(col("vec_id") > 0).crossJoin(broadcast(q))
-          .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
-          .orderBy(col("cos_sim").desc, col("vec_id").asc)
-          .limit(10)
-          .select(col("vec_id"), col("cos_sim"))
-      },
+      // Ordered by the ROUNDED cosine so the vec_id tie-break governs
+      // every pair that compares equal after rounding — sub-ulp
+      // accumulation drift between engines can no longer flip top-k
+      // membership (shared [[exactTopKDf]] body, reused by e18).
+      (s, dir) => exactTopKDf(t(s, dir, "embeddings"), 10),
       Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
               |SELECT vec_id,
               |  ROUND(${dDot("e.embedding", "q.qe")} /
@@ -561,24 +606,7 @@ object Sim {
     // probe the best cell, exact top-5 inside it. The scale path: centroids
     // are a tiny broadcast table; only one cell is scanned.
     Q("e03_ann_ivf",
-      (s, dir) => {
-        val e = t(s, dir, "embeddings")
-        val qd = e.filter(col("vec_id") === 0)
-          .select(posexplode(asDoubles(col("embedding")))).toDF("pos", "qv")
-        val cent = e.select(col("label"), posexplode(asDoubles(col("embedding"))))
-          .toDF("label", "pos", "v")
-          .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("c"))
-        val best = cent.join(broadcast(qd), Seq("pos"))
-          .groupBy(col("label")).agg(sum(col("c") * col("qv")).as("dot"))
-          .orderBy(col("dot").desc, col("label").asc).limit(1)
-          .select(col("label"))
-        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-        e.join(broadcast(best), Seq("label")).filter(col("vec_id") > 0)
-          .crossJoin(broadcast(q))
-          .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
-          .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(5)
-          .select(col("label"), col("vec_id"), col("cos_sim"))
-      },
+      (s, dir) => ivfTopKDf(t(s, dir, "embeddings"), 5),
       Some(s"""WITH qd AS (
               |  SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding::DOUBLE[]) AS qv
               |  FROM embeddings WHERE vec_id = 0),
@@ -653,22 +681,13 @@ object Sim {
     // bucket is a pure per-row map function, so at 100 TB it's a single
     // scan + one tiny-bucket shuffle.
     Q("e04_lsh_ann",
-      (s, dir) => {
-        // W(i,j) = ((i*37 + j*101) mod 19) - 9 — deterministic integer
-        // hyperplane weights, identical in the DuckDB oracle. All 8
-        // plane sums in one codegen'd pass (PlaneBucketCode); the
-        // interpreted 16-array-walk HOF formulation it replaced is
-        // spec-checked bit-identical in PlaneBucketSpec.
-        val e = t(s, dir, "embeddings")
-          .withColumn("bkt", graft.functions.PlaneBucketExpr.planeBucketCode(col("embedding")))
-        val q = e.filter(col("vec_id") === 0)
-          .select(col("bkt").as("qbkt"), col("embedding").as("qe"))
-        e.filter(col("vec_id") > 0).crossJoin(broadcast(q))
-          .filter(col("bkt") === col("qbkt"))
-          .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
-          .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(5)
-          .select(col("vec_id"), col("cos_sim"))
-      },
+      // W(i,j) = ((i*37 + j*101) mod 19) - 9 — deterministic integer
+      // hyperplane weights, identical in the DuckDB oracle. All 8
+      // plane sums in one codegen'd pass (PlaneBucketCode); the
+      // interpreted 16-array-walk HOF formulation it replaced is
+      // spec-checked bit-identical in PlaneBucketSpec. Shared
+      // [[lshTopKDf]] body, reused by e18.
+      (s, dir) => lshTopKDf(t(s, dir, "embeddings"), 5),
       Some {
         val sums = (0 until 8).map(j =>
           s"  SUM(v * ((((pos - 1) * 37 + $j * 101) % 19) - 9)) AS s$j").mkString(",\n")
@@ -1304,6 +1323,77 @@ object Sim {
               |    (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("q.qe", "q.qe")})), 4) AS cos_sim
               |FROM sc e, q WHERE vec_id > 0 AND e.label <> q.ql
               |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin),
-      "hard-negative mining: top-k cross-label cosine neighbors of an anchor (north-star: contrastive training data)")
+      "hard-negative mining: top-k cross-label cosine neighbors of an anchor (north-star: contrastive training data)"),
+
+    // ANN recall report — the index-quality EVALUATION op a pipeline
+    // runs before trusting an approximate index for dedup or retrieval:
+    // recall@10 of the IVF (e03) and hyperplane-LSH (e04) rankings
+    // against the exact brute-force top-10 (e02), all three via the
+    // gates' shared bodies so the report is pinned to the same oracles.
+    // The rankings are the heavy part and carry the gates' scale shapes
+    // (broadcast anchors, cell/bucket-pruned scans); the report itself
+    // is two joins of 10-row frames. RecallProbe (tools) runs the same
+    // comparison interactively; THIS is the oracle-checked version.
+    Q("e18_recall_report",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val exact = exactTopKDf(e, 10).select(col("vec_id"))
+        def row(method: String, top: org.apache.spark.sql.DataFrame) =
+          top.select(col("vec_id")).join(exact, Seq("vec_id"))
+            .agg(count(lit(1)).as("hits"))
+            .select(lit(method).as("method"), col("hits"),
+              floorDiv(col("hits") * lit(1000000L), lit(10L)).as("recall_ppm"))
+        row("ivf", ivfTopKDf(e, 10))
+          .unionByName(row("lsh", lshTopKDf(e, 10)))
+      },
+      Some {
+        val sums = (0 until 8).map(j =>
+          s"  SUM(v * ((((pos - 1) * 37 + $j * 101) % 19) - 9)) AS s$j").mkString(",\n")
+        val code = (0 until 8).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        val cos = (a: String) => s"ROUND(${dDot(a, "q0.qe")} /" +
+          s" (sqrt(${dDot(a, a)}) * sqrt(${dDot("q0.qe", "q0.qe")})), 4)"
+        s"""WITH q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |exact10 AS (
+           |  SELECT vec_id FROM embeddings e, q0 WHERE vec_id > 0
+           |  ORDER BY ${cos("e.embedding")} DESC, vec_id ASC LIMIT 10),
+           |unnested AS (
+           |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+           |         unnest(embedding::DOUBLE[]) AS v
+           |  FROM embeddings),
+           |sums AS (SELECT vec_id,
+           |$sums
+           |FROM unnested GROUP BY vec_id),
+           |bkt AS (SELECT vec_id, CAST($code AS BIGINT) AS bkt FROM sums),
+           |qb AS (SELECT bkt FROM bkt WHERE vec_id = 0),
+           |lsh10 AS (
+           |  SELECT e.vec_id FROM embeddings e JOIN bkt ON e.vec_id = bkt.vec_id, qb, q0
+           |  WHERE e.vec_id > 0 AND bkt.bkt = qb.bkt
+           |  ORDER BY ${cos("e.embedding")} DESC, e.vec_id ASC LIMIT 10),
+           |qd AS (
+           |  SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding::DOUBLE[]) AS qv
+           |  FROM embeddings WHERE vec_id = 0),
+           |cent AS (
+           |  SELECT label, pos, AVG(v) AS c FROM (
+           |    SELECT label, generate_subscripts(embedding, 1) AS pos,
+           |           unnest(embedding::DOUBLE[]) AS v
+           |    FROM embeddings) GROUP BY label, pos),
+           |best AS (
+           |  SELECT label FROM (
+           |    SELECT cent.label, SUM(c * qv) AS dot
+           |    FROM cent JOIN qd USING (pos) GROUP BY cent.label)
+           |  ORDER BY dot DESC, label ASC LIMIT 1),
+           |ivf10 AS (
+           |  SELECT e.vec_id FROM embeddings e JOIN best ON e.label = best.label, q0
+           |  WHERE e.vec_id > 0
+           |  ORDER BY ${cos("e.embedding")} DESC, e.vec_id ASC LIMIT 10),
+           |r AS (
+           |  SELECT 'ivf' AS method, CAST(COUNT(*) AS BIGINT) AS hits
+           |  FROM ivf10 JOIN exact10 USING (vec_id)
+           |  UNION ALL
+           |  SELECT 'lsh' AS method, CAST(COUNT(*) AS BIGINT) AS hits
+           |  FROM lsh10 JOIN exact10 USING (vec_id))
+           |SELECT method, hits, (hits * 1000000) // 10 AS recall_ppm FROM r""".stripMargin
+      },
+      "ANN recall report: recall@10 of IVF and LSH rankings vs the exact baseline (north-star: index evaluation)")
   )
 }

@@ -334,4 +334,20 @@ class ClusteringSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(again === Set(3L, 4L))
   }
+  test("e18 recall report: hits bounded by k, members of the exact top-10") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Registry.queries("e18_recall_report")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet === Set("ivf", "lsh"))
+    rows.foreach { case (m, (hits, ppm)) =>
+      assert(hits >= 0L && hits <= 10L, s"$m hits out of range: $hits")
+      assert(ppm === hits * 100000L, s"$m recall_ppm must be hits/10 in ppm")
+    }
+    // hits really are intersections with the exact ranking: recompute
+    // from the shared bodies the report is built on
+    val e = Registry.t(spark, dir, "embeddings")
+    val exact = Sim.exactTopKDf(e, 10).collect().map(_.getLong(0)).toSet
+    val lsh = Sim.lshTopKDf(e, 10).collect().map(_.getLong(0)).toSet
+    assert(rows("lsh")._1 === (lsh & exact).size.toLong)
+  }
 }
