@@ -572,6 +572,30 @@ object Relational {
              |SELECT event_id, events.event_type,
              |  ROUND(LEAST(GREATEST(value, p05), p95), 6) AS clipped
              |FROM events JOIN pct ON events.event_type = pct.event_type""".stripMargin),
-      "exact linear-interp percentile clip (SURVEY A7, outlier.py:11-37)")
+      "exact linear-interp percentile clip (SURVEY A7, outlier.py:11-37)"),
+
+    // Grouping sets: ROLLUP subtotals + grand total in ONE pass — the
+    // multi-granularity summary the reference produces with separate
+    // groupbys per level (summary_writer shapes). Spark expands the
+    // rollup BEFORE partial aggregation, so every level map-side
+    // combines and the shuffle carries one partial row per (group,
+    // level) — strictly cheaper at 100 TB than L separate scans+aggs.
+    // grouping_id bit order (first col = MSB) matches DuckDB's
+    // GROUPING(a, b) — probed, and the gid column pins it cross-engine.
+    // Decimal-exact sum (the q31 discipline) so partial-agg order
+    // can't drift the double.
+    Q("q42_rollup",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          grouping_id().cast("long").as("gid")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+             |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin),
+      "ROLLUP grouping sets: subtotals + grand total in one partial-agg pass (SURVEY A-family extension)")
   )
 }

@@ -278,6 +278,17 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"hashed scorer gained a shuffle:\n${p.take(600)}")
   }
 
+  test("q42: rollup expands BEFORE partial aggregation — one scan, one exchange") {
+    val p = planOf("q42_rollup")
+    assert(p.contains("Expand"), s"rollup lost its Expand:\n${p.take(600)}")
+    assert(p.contains("partial_count"),
+      "every rollup level must combine map-side before the shuffle")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size <= 1,
+      "rollup must not rescan per level")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 1,
+      s"rollup gained a shuffle:\n${p.take(600)}")
+  }
+
   test("d39: one scan, one fp exchange + rollup, NO join anywhere") {
     val p = planOf("d39_source_report")
     assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2,
