@@ -355,4 +355,21 @@ class CurationSpec extends SparkSpec {
     val kept = out.values.map(r => r.getLong(1) - r.getLong(2)).sum
     assert(kept === 5L)                                   // A B C D + the short block
   }
+
+  test("d39: counts exact under a degenerate fingerprint group (one text x 200k copies)") {
+    // the d39 Scaladoc claims a boilerplate fingerprint group streams
+    // through WindowExec (spilling, not OOMing) — drive the whole-
+    // partition window count through one 200k-row group plus unique
+    // rows split across two sources and pin the exact report
+    val dupRows = (1L to 200000L).map(i =>
+      (i, "the same boilerplate text", "en", if (i % 2 == 0) "sa" else "sb"))
+    val uniqRows = (200001L to 200010L).map(i => (i, s"unique text $i", "en", "sa"))
+    val dir = fixture(dupRows ++ uniqRows)
+    val out = Registry.queries("d39_source_report")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    // sa: 100k dup copies + 10 unique docs; sb: 100k dup copies
+    assert(out(("en", "sa")) === ((100010L, 100000L, 999900L)))
+    assert(out(("en", "sb")) === ((100000L, 100000L, 1000000L)))
+  }
 }
