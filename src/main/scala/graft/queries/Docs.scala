@@ -2433,6 +2433,34 @@ object Docs {
               |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
               |  (SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS dup_ppm
               |FROM j GROUP BY lang, source""".stripMargin),
-      "per-source curation dashboard: doc/dup/token inventory per (lang, source) (north-star: observability)")
+      "per-source curation dashboard: doc/dup/token inventory per (lang, source) (north-star: observability)"),
+
+    // Zipf / frequency-of-frequency report — the vocabulary-health
+    // diagnostic read before trusting token statistics (a natural
+    // corpus shows a power-law tail; scraped boilerplate collapses it):
+    // term counts log2-bucketed by bits(c) = length(bin(c)) = ⌊log2 c⌋+1
+    // (the exact-integer d25 discipline — no libm), per bucket the
+    // number of distinct terms and their total occurrence mass.
+    // Shuffle shape: doc_id spread → one (term) exchange with map-side
+    // partial counts (a stopword's rows collapse before shipping) →
+    // the bucket rollup is a tiny ≤64-row agg.
+    Q("d40_zipf_report",
+      (s, dir) => {
+        val tc = t(s, dir, "documents")
+          .repartition(col("doc_id"))
+          .select(explode(words(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        tc.groupBy(length(bin(col("c"))).cast("long").as("count_bits"))
+          .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("n_occurrences"))
+      },
+      Some(s"""WITH tok AS (SELECT unnest($dWords) AS term FROM documents),
+              |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+              |  WHERE term <> '' GROUP BY term)
+              |SELECT CAST(length(bin(c)) AS BIGINT) AS count_bits,
+              |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+              |  CAST(SUM(c) AS BIGINT) AS n_occurrences
+              |FROM tc GROUP BY length(bin(c))""".stripMargin),
+      "Zipf report: term counts log2-bucketed, distinct terms + occurrence mass per bucket (north-star: corpus diagnostics)")
   )
 }
