@@ -164,6 +164,13 @@ object CurationPipeline {
         * the shared [[graft.queries.Docs.spanDedupDf]] body, so the
         * stage is pinned by the d30 oracle by construction. */
       spanDedup: Boolean = false,
+      /** Corpus-observability artifacts (stage `00_report`): write the
+        * d39 per-(lang, source) dup/token dashboard and the d40 Zipf
+        * frequency-of-frequency report of the RAW corpus alongside the
+        * pipeline stages — the diagnostics read before trusting the
+        * run's own gates and mixture weights. Pure reports (no
+        * filtering); shared oracle-pinned bodies. Off by default. */
+      corpusReport: Boolean = false,
       /** Skip any stage whose output dir already carries a `_SUCCESS`
         * marker and read it back instead — a crashed or re-configured
         * run resumes from the last good stage without recomputing (or
@@ -200,6 +207,13 @@ object CurationPipeline {
     val nTok = size(col("ws")).cast("long")
     val dupFrac = lit(1.0) -
       size(array_distinct(col("ws"))).cast("double") / nTok.cast("double")
+
+    // stage 0 (optional): observability reports of the RAW corpus —
+    // artifacts only, nothing downstream reads them
+    if (cfg.corpusReport) {
+      stage("00_report/source", Docs.sourceReportDf(docs))
+      stage("00_report/zipf", Docs.zipfReportDf(docs))
+    }
 
     // stage 0 (optional): heavy-hitter stoplist of the RAW corpus
     // (d24's exact-count shape) — an artifact downstream tooling reads,

@@ -508,6 +508,38 @@ object Docs {
         when(col("score_sum") >= 0L, 1L).otherwise(0L).as("keep"))
   }
 
+  /** DataFrame-in body of d39 (shared with CurationPipeline's report
+    * artifacts): per-(lang, source) doc inventory, corpus-wide
+    * exact-duplicate volume + ppm, token inventory — see the d39 gate
+    * for the window-over-fingerprint shape rationale. */
+  private[graft] def sourceReportDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    docs
+      .select(col("lang"), col("source"),
+        md5(col("text").cast("binary")).as("fp"),
+        tokenCount(col("text")).as("ntok"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("dup_docs"),
+        sum(col("ntok")).as("n_tokens"))
+      .withColumn("dup_ppm",
+        Sim.floorDiv(col("dup_docs") * 1000000L, col("n_docs")))
+  }
+
+  /** DataFrame-in body of d40 (shared with CurationPipeline's report
+    * artifacts): term counts log2-bucketed by bits(c), per bucket the
+    * distinct-term count and occurrence mass. */
+  private[graft] def zipfReportDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tc = docs
+      .repartition(col("doc_id"))
+      .select(explode(words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    tc.groupBy(length(bin(col("c"))).cast("long").as("count_bits"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("n_occurrences"))
+  }
+
   /** Compile a benchmark gram set into a serialized Bloom filter for
     * [[decontamFilterDf]]. Built distributed (`stat.bloomFilter` runs a
     * Spark aggregate over xxhash64(gram)); only the filter's bytes —
@@ -2408,20 +2440,7 @@ object Docs {
     // that; a degenerate fingerprint group spills through WindowExec
     // rather than OOMing an executor.)
     Q("d39_source_report",
-      (s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-        t(s, dir, "documents")
-          .select(col("lang"), col("source"),
-            md5(col("text").cast("binary")).as("fp"),
-            tokenCount(col("text")).as("ntok"))
-          .withColumn("n_copies", count(lit(1)).over(w))
-          .groupBy(col("lang"), col("source"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("dup_docs"),
-            sum(col("ntok")).as("n_tokens"))
-          .withColumn("dup_ppm",
-            Sim.floorDiv(col("dup_docs") * 1000000L, col("n_docs")))
-      },
+      (s, dir) => sourceReportDf(t(s, dir, "documents")),
       Some(s"""WITH base AS (SELECT lang, source, md5(text) AS fp,
               |    CAST(CASE WHEN length($dNorm) = 0 THEN 0
               |      ELSE length($dNorm) - length(replace($dNorm, ' ', '')) + 1 END AS BIGINT) AS ntok
@@ -2445,15 +2464,7 @@ object Docs {
     // partial counts (a stopword's rows collapse before shipping) →
     // the bucket rollup is a tiny ≤64-row agg.
     Q("d40_zipf_report",
-      (s, dir) => {
-        val tc = t(s, dir, "documents")
-          .repartition(col("doc_id"))
-          .select(explode(words(col("text"))).as("term"))
-          .filter(col("term") =!= "")
-          .groupBy(col("term")).agg(count(lit(1)).as("c"))
-        tc.groupBy(length(bin(col("c"))).cast("long").as("count_bits"))
-          .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("n_occurrences"))
-      },
+      (s, dir) => zipfReportDf(t(s, dir, "documents")),
       Some(s"""WITH tok AS (SELECT unnest($dWords) AS term FROM documents),
               |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok
               |  WHERE term <> '' GROUP BY term)

@@ -140,6 +140,21 @@ class CurationPipelineSpec extends SparkSpec {
       "pipeline gates must equal the oracle-pinned d37 keep ∩ d38 threshold cut")
   }
 
+  test("corpusReport artifacts equal the d39/d40 gate outputs on the raw corpus") {
+    val out = Files.createTempDirectory("graft-curation-rep").toString
+    val docs = Registry.t(spark, sfDir, "documents")
+    val counts = CurationPipeline.run(spark, docs, out,
+      cfg = CurationPipeline.Config(corpusReport = true),
+      customGate = langGate).toMap
+    assert(counts.contains("00_report/source") && counts.contains("00_report/zipf"))
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(sorted(spark.read.parquet(s"$out/00_report/source")) ===
+      sorted(Registry.queries("d39_source_report")(spark, sfDir)))
+    assert(sorted(spark.read.parquet(s"$out/00_report/zipf")) ===
+      sorted(Registry.queries("d40_zipf_report")(spark, sfDir)))
+  }
+
   test("ClusterBalanced selection keeps <= quota per cluster, sampled from survivors") {
     val out = Files.createTempDirectory("graft-curation-cb").toString
     val docs = Registry.t(spark, sfDir, "documents")
