@@ -2450,7 +2450,7 @@ object Docs {
               |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
               |  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
               |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
-              |  (SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS dup_ppm
+              |  CAST((SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS dup_ppm
               |FROM j GROUP BY lang, source""".stripMargin),
       "per-source curation dashboard: doc/dup/token inventory per (lang, source) (north-star: observability)"),
 
