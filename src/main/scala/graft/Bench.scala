@@ -14,14 +14,18 @@ import org.apache.spark.sql.functions.{count, lit}
   * just analysis (~ms), but queries with EAGER construction-time work
   * (d12's connected-components pipeline runs localCheckpoint + its
   * union-find while BUILDING its result) do their real compute inside
-  * `fn()`, and it must be charged. Both components are min-of-2: fn()
-  * is BUILT twice (the second build re-runs all eager work from
-  * scratch — nothing escapes the timer; min absorbs single-shot
-  * GC/JIT noise, which measured ±1.5 s on the eager pipeline), and
-  * `exec_s` is the min of two timed noop-sink materializations of the
-  * last build. A System.gc() before each query keeps one query's
-  * garbage from billing the next. Both components are reported
-  * per-query (`construct`/`exec`) so the split is auditable.
+  * `fn()`, and it must be charged. construct is min-of-2: fn() is
+  * BUILT twice (the second build re-runs all eager work from scratch —
+  * nothing escapes the timer; min absorbs single-shot GC/JIT noise,
+  * which measured ±1.5 s on the eager pipeline). `exec_s` is the min
+  * of SPARK_GRAFT_REPS (default 3) timed noop-sink materializations of
+  * the last build — the matched-pair protocol runs the DuckDB twins at
+  * the SAME --runs, so both engines amortize their per-query compile
+  * the same way (rep 1 pays Janino codegen compilation, ~0.1 s/query;
+  * rep 3 is the steady state a repeated production query sees). A
+  * System.gc() before each query keeps one query's garbage from
+  * billing the next. Both components are reported per-query
+  * (`construct`/`exec`) so the split is auditable.
   *
   * The JSON line is also written to BENCH_LAST.json: a log-capture
   * truncation on the driver side can never lose the number.
@@ -35,19 +39,39 @@ object Bench {
     // dispatch overhead; AQE coalescing handles the rest. Override with
     // SPARK_GRAFT_SHUFFLE for larger SFs.
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      // BENCH-SF AQE floor: the testdata parquet is one row group per
+      // table, so every scan is one task and all width comes from
+      // exchanges — but at MB-scale shuffles AQE's default coalescing
+      // (1 MB min / parallelismFirst) collapses every post-exchange
+      // stage back to ONE task, serializing the compute the exchanges
+      // exist to spread (measured: jobs==stages==tasks across the
+      // battery). Lowering the coalesce floor restores intra-stage
+      // parallelism at bench SF. These two values are SF-TUNED, not
+      // engine guidance: at production scale the 64 MB advisory default
+      // is correct and this override must not be copied out of Bench.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+    // extra session confs, semicolon-separated k=v (experiment knob, wins
+    // over the defaults above):
+    // SPARK_GRAFT_CONF="spark.sql.adaptive.coalescePartitions.minPartitionSize=1m;..."
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // untimed warmup: pays one-off JIT/codegen/scan-index costs so the
     // first timed query isn't charged for them
     try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir)
       .write.format("noop").mode("overwrite").save())
     catch { case _: Throwable => () }
+    // timed materializations per query, min taken — MUST match the
+    // DuckDB twin artifact's --runs (same-protocol matched pair)
+    val execReps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val construct = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -69,7 +93,7 @@ object Bench {
         // count() alone would let Catalyst prune projection-only work and
         // under-report (a minhash query "benched" in 0.26s that actually
         // costs 1.3s to materialize).
-        val times = (1 to 2).map { r =>
+        val times = (1 to execReps).map { r =>
           val obs = Observation(s"$name-run$r")
           val t0 = System.nanoTime()
           df.observe(obs, count(lit(1)).as("rows"))
@@ -119,9 +143,22 @@ object Bench {
       val over2x = ratios.collect { case (k, r)
         if r > 2.0 && duckTimes.getOrElse(k, 0.0) > 0.2 => k }
       val duckTotal = results.flatMap { case (k, _) => duckTimes.get(k) }.sum
-      s""","duck_total":$duckTotal,"ratio_total":${if (duckTotal > 0) math.round(total / duckTotal * 100.0) / 100.0 else -1},"ratios":${jmap(ratios.toMap)},"over2x":${over2x.map(Verify.jq).mkString("[", ",", "]")}"""
+      // exec_ratio: plan quality alone — Spark execution time (construct
+      // = driver-side Catalyst analysis excluded) vs the twin total.
+      val execRatio = if (duckTotal > 0)
+        math.round(exec.values.sum / duckTotal * 100.0) / 100.0 else -1
+      s""","duck_total":$duckTotal,"ratio_total":${if (duckTotal > 0) math.round(total / duckTotal * 100.0) / 100.0 else -1},"exec_ratio":$execRatio,"ratios":${jmap(ratios.toMap)},"over2x":${over2x.map(Verify.jq).mkString("[", ",", "]")}"""
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","construct_total":${construct.values.sum},"exec_total":${exec.values.sum},"queries":$qs,"construct":${jmap(construct)},"exec":${jmap(exec)},"rows":$rs,"errors":$errs$ratioPart,"sf":"$sfDir"}"""
+    // floor_est: the per-query harness constant the battery pays n times —
+    // calibrated IN-RUN as the minimum warm exec across queries (the
+    // lightest query's noop-sink job dispatch + single-task scan, which
+    // does no material work at bench SF) times the query count. This is
+    // the number BENCH_NOTES' floor adjudication previously carried in
+    // prose; in the artifact it lets a reader subtract measurement
+    // constant from plan quality without re-deriving it.
+    val floorEst = if (exec.nonEmpty)
+      math.round(exec.values.min * exec.size * 100.0) / 100.0 else 0.0
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","construct_total":${construct.values.sum},"exec_total":${exec.values.sum},"exec_reps":$execReps,"floor_est":$floorEst,"queries":$qs,"construct":${jmap(construct)},"exec":${jmap(exec)},"rows":$rs,"errors":$errs$ratioPart,"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")),

@@ -576,19 +576,26 @@ object Relational {
 
     // Grouping sets: ROLLUP subtotals + grand total in ONE pass — the
     // multi-granularity summary the reference produces with separate
-    // groupbys per level (summary_writer shapes). Spark expands the
-    // rollup BEFORE partial aggregation, so every level map-side
-    // combines and the shuffle carries one partial row per (group,
-    // level) — strictly cheaper at 100 TB than L separate scans+aggs.
-    // grouping_id bit order (first col = MSB) matches DuckDB's
-    // GROUPING(a, b) — probed, and the gid column pins it cross-engine.
-    // Decimal-exact sum (the q31 discipline) so partial-agg order
-    // can't drift the double.
+    // groupbys per level (summary_writer shapes). The fact table is
+    // aggregated at the FINEST grouping first (count/sum are
+    // decomposable), then the rollup re-aggregates those few partial
+    // rows — so Expand multiplies the tiny leaf aggregate, not the
+    // fact rows. At 100 TB this is the only viable order: expanding
+    // first triples the rows entering partial aggregation; pre-agg
+    // ships one row per (flag, status) per task and the Expand runs
+    // over a handful of rows. grouping_id bit order (first col = MSB)
+    // matches DuckDB's GROUPING(a, b) — probed, and the gid column
+    // pins it cross-engine. Decimal-exact sum (the q31 discipline) so
+    // partial-agg order can't drift the double; sum-of-sums over
+    // decimals is exact, so the two-level shape is value-identical.
     Q("q42_rollup",
       (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("_n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("_sq"))
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        .agg(sum(col("_n")).cast("long").as("n_rows"),
+          sum(col("_sq")).cast("double").as("sum_qty"),
           grouping_id().cast("long").as("gid")),
       Some("""SELECT l_returnflag, l_linestatus,
              |  CAST(COUNT(*) AS BIGINT) AS n_rows,

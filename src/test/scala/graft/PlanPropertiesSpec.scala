@@ -278,15 +278,22 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"hashed scorer gained a shuffle:\n${p.take(600)}")
   }
 
-  test("q42: rollup expands BEFORE partial aggregation — one scan, one exchange") {
+  test("q42: fact rows pre-aggregate at the finest grouping BEFORE Expand") {
     val p = planOf("q42_rollup")
     assert(p.contains("Expand"), s"rollup lost its Expand:\n${p.take(600)}")
-    assert(p.contains("partial_count"),
-      "every rollup level must combine map-side before the shuffle")
+    // leaf pre-agg must sit BELOW the Expand: the fact scan feeds a
+    // partial aggregate keyed on (flag, status), and only the tiny leaf
+    // aggregate is expanded per rollup level — expanding first would
+    // triple the rows entering partial aggregation (the 100 TB killer).
+    // formatted plans print root-first, so an operator BELOW Expand in
+    // the tree appears AFTER it in the string
+    val expandIdx = p.indexOf("Expand")
+    assert(expandIdx >= 0 && p.indexOf("HashAggregate", expandIdx) > 0,
+      s"Expand must consume the leaf aggregate, not fact rows:\n${p.take(800)}")
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size <= 1,
       "rollup must not rescan per level")
-    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 1,
-      s"rollup gained a shuffle:\n${p.take(600)}")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2,
+      s"rollup gained a shuffle beyond leaf agg + rollup agg:\n${p.take(600)}")
   }
 
   test("d39: one scan, one fp exchange + rollup, NO join anywhere") {
