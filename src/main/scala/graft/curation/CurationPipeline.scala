@@ -27,8 +27,11 @@ import graft.queries.Docs
   *                    classifier, ...)
   *   2. `02_exact`    exact dedup — keep the min doc_id per text hash
   *   3. `03_clean`    benchmark decontamination — drop held-out docs
-  *                    (doc_id % benchMod == 0) and any survivor sharing
-  *                    a word 5-gram with them (broadcast gram set)
+  *                    (doc_id % benchMod == 0) and any survivor "too
+  *                    close" to one, by the configured [[Decontam]]
+  *                    engine: exact 5-gram anti-join (d15, default),
+  *                    Bloom per-row filter, MinHash near-dup (d29), or
+  *                    embedding-semantic (e14)
   *   4. `04_corpus`   MinHash-LSH near-dup dedup (star edges →
   *                    connected components, cluster min survives),
   *                    written via [[graft.sources.CorpusSink]]
@@ -86,22 +89,51 @@ object CurationPipeline {
       zeroKeepMilliBits: Long = 6000L,
       seed: String = "qs:") extends Selection
 
+  /** Stage-3 decontamination engine — HOW held-out/eval content is kept
+    * out of the curated corpus. All four run through the same `03_clean`
+    * stage dir (so the resume contract covers every engine), and each is
+    * the shared body of an oracle-checked gate query. */
+  sealed trait Decontam
+  /** d15's shape (default): explode the target word 5-grams and
+    * broadcast-anti-join the benchmark gram set — zero false drops,
+    * per-doc accounting available. */
+  case object ExactGrams extends Decontam
+  /** Bloom variant of the exact engine: compile the benchmark set once
+    * to a Bloom filter and evaluate a stateless per-row `might_contain`
+    * expression ([[graft.queries.Docs.decontamFilterDf]]): no explode,
+    * no join, no shuffle on the target side, and the SAME stage runs
+    * over a structured stream (StreamingBuckets.decontamStream).
+    * One-sided error: real hits are never missed; ~fpp of clean docs
+    * are conservatively over-dropped. */
+  final case class BloomGrams(fpp: Double = 0.001) extends Decontam
+  /** d29's shape: MinHash-LSH near-dup decontamination — drop every
+    * survivor whose shingle Jaccard with any benchmark doc reaches 0.5,
+    * so a lightly-paraphrased eval document is caught, not just a
+    * verbatim 5-gram overlap. One signature pass over the
+    * survivors∪benchmark union, candidates restricted to cross pairs
+    * ([[graft.queries.Docs.crossNeardupContaminatedIds]]). */
+  case object NearDup extends Decontam
+  /** e14's shape: SEMANTIC decontamination — drop every survivor whose
+    * embedding falls in the same hyperplane bucket as a benchmark
+    * vector at rounded cosine ≥ `threshold`
+    * ([[graft.queries.Sim.semanticDecontamKeepDf]]: one stateless
+    * broadcast anti-join; the target side never shuffles). `embeddings`
+    * must carry (vec_id, embedding) with vec_id = doc_id; survivors
+    * WITHOUT an embedding row are kept (no evidence to judge them on —
+    * pair with a gram engine when coverage is partial). */
+  final case class Semantic(
+      embeddings: DataFrame,
+      threshold: Double = 0.2,
+      planes: Int = 8) extends Decontam
+
   final case class Config(
       minTokens: Int = 10,
       maxDupTokenFrac: Double = 0.6,
       /** 0 disables the decontamination stage. */
       benchMod: Long = 20L,
-      /** Decontamination engine. None (default): EXACT — explode the
-        * target grams and broadcast-anti-join the benchmark set (zero
-        * false drops, per-doc accounting available). Some(fpp): BLOOM —
-        * compile the benchmark set once to a Bloom filter and evaluate
-        * a stateless per-row `exists`/`might_contain` expression
-        * ([[graft.queries.Docs.decontamFilterDf]]): no explode, no join,
-        * no shuffle on the target side, and the SAME stage runs over a
-        * structured stream (StreamingBuckets.decontamStream). One-sided
-        * error: real hits are never missed; ~fpp of clean docs are
-        * conservatively over-dropped. */
-      decontamBloomFpp: Option[Double] = None,
+      /** Stage-3 decontamination engine: [[ExactGrams]] (default),
+        * [[BloomGrams]], [[NearDup]], or [[Semantic]]. */
+      decontam: Decontam = ExactGrams,
       /** Unigram-LM surprisal quality gate (d25's shape, part of stage
         * 1): drop docs whose mean surprisal under the corpus's OWN
         * unigram model exceeds this many milli-bits/token — the
@@ -281,26 +313,57 @@ object CurationPipeline {
       .select(col("doc_id"))
     val exact = stage("02_exact", gated.join(keepIds, Seq("doc_id"), "left_semi"))
 
-    // stage 3: benchmark decontamination (exact anti-join, or the
-    // Bloom-literal filter — see Config.decontamBloomFpp)
+    // stage 3: benchmark decontamination — one stage dir, four engines
+    // (Config.decontam); every engine first drops the benchmark docs
+    // themselves, then its own notion of "too close to a benchmark doc"
     val clean = stage("03_clean",
       if (cfg.benchMod <= 0) exact
-      else cfg.decontamBloomFpp match {
-        case Some(fpp) =>
-          val bloom = Docs.benchBloomBytes(
-            gram5(base.filter(col("doc_id") % cfg.benchMod === 0))
-              .select(col("gram")).distinct(),
-            fpp = fpp)
-          Docs.decontamFilterDf(
-            exact.filter(col("doc_id") % cfg.benchMod =!= 0), bloom)
-        case None =>
-          val benchGrams = gram5(base.filter(col("doc_id") % cfg.benchMod === 0))
-            .select(col("gram")).distinct()
-          val contamIds = gram5(exact.filter(col("doc_id") % cfg.benchMod =!= 0))
-            .join(broadcast(benchGrams), Seq("gram"))
-            .select(col("doc_id")).distinct()
-          exact.filter(col("doc_id") % cfg.benchMod =!= 0)
-            .join(contamIds, Seq("doc_id"), "left_anti")
+      else {
+        val isBench = (c: Column) => c % cfg.benchMod === 0
+        val targets = exact.filter(!isBench(col("doc_id")))
+        cfg.decontam match {
+          case BloomGrams(fpp) =>
+            val bloom = Docs.benchBloomBytes(
+              gram5(base.filter(isBench(col("doc_id"))))
+                .select(col("gram")).distinct(),
+              fpp = fpp)
+            Docs.decontamFilterDf(targets, bloom)
+          case ExactGrams =>
+            val benchGrams = gram5(base.filter(isBench(col("doc_id"))))
+              .select(col("gram")).distinct()
+            val contamIds = gram5(targets)
+              .join(broadcast(benchGrams), Seq("gram"))
+              .select(col("doc_id")).distinct()
+            targets.join(contamIds, Seq("doc_id"), "left_anti")
+          case NearDup =>
+            // one signature pass over survivors ∪ benchmark (the d29
+            // union-corpus shape — the benchmark side joins the pass
+            // even where gates dropped it, exactly like the gate's
+            // full-table reference side)
+            val union = targets.select(col("doc_id"), col("text"))
+              .unionByName(base.filter(isBench(col("doc_id")))
+                .select(col("doc_id"), col("text")))
+            targets.join(
+              Docs.crossNeardupContaminatedIds(union, isBench),
+              Seq("doc_id"), "left_anti")
+          case Semantic(emb, threshold, planes) =>
+            val refEmb = emb.filter(isBench(col("vec_id")))
+              .select(col("embedding"))
+            val tgtEmb = emb.filter(!isBench(col("vec_id")))
+              .join(targets.select(col("doc_id").as("vec_id")),
+                Seq("vec_id"), "left_semi")
+            val keptIds = graft.queries.Sim
+              .semanticDecontamKeepDf(tgtEmb, refEmb, threshold, planes)
+              .select(col("vec_id").as("doc_id"))
+            // survivors with no embedding row are kept: anti-join on the
+            // DROPPED ids (covered minus kept), not semi-join on kept
+            val droppedIds = emb
+              .join(targets.select(col("doc_id").as("vec_id")),
+                Seq("vec_id"), "left_semi")
+              .select(col("vec_id").as("doc_id"))
+              .join(keptIds, Seq("doc_id"), "left_anti")
+            targets.join(droppedIds, Seq("doc_id"), "left_anti")
+        }
       })
 
     // stage 4: near-dup dedup, survivors written as the curated corpus

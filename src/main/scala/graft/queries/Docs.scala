@@ -648,6 +648,54 @@ object Docs {
       .drop("__ws")
   }
 
+  /** Shared body of d29 (and CurationPipeline's NearDup decontamination
+    * engine): the distinct TARGET doc_ids whose shingle Jaccard with any
+    * REFERENCE doc reaches 0.5. `docs` must carry (doc_id, text) for the
+    * union of both corpora; `isRef` classifies a doc_id column — it must
+    * be decidable from the id alone because the candidate pairs carry
+    * only ids. Same machinery as d20 (ONE signature pass over the union
+    * corpus, band-bucket candidates, exact verify on bound shingle sets
+    * — all the PlanGuardSpec disciplines apply), with candidates
+    * restricted to CROSS pairs: an in-corpus duplicate never blocks a
+    * target doc. Scale shape: the reference corpus is an eval suite
+    * (tiny vs 100 TB), so the cross restriction prunes bucket pair
+    * generation to |bucket∩ref|·|bucket∩tgt| — the decontamination
+    * regime, far below the in-corpus pair count.
+    *
+    * Verification joins, the d20 shape: join 1 shuffle-hashes BUILDING
+    * on the NARROW pair rows (no broadcast — the post-agg pair estimate
+    * is garbage-small and pairs grow with the corpus; no sort of the
+    * corpus-sized wide shingle arrays); join 2 stays MERGE because its
+    * smaller side carries a full shingle set per pair row and a
+    * ShuffledHashJoin build is NOT spillable (d20's sf10 2 GiB
+    * hash-relation failure), while merge sorts spill. */
+  private[graft] def crossNeardupContaminatedIds(
+      docs: org.apache.spark.sql.DataFrame,
+      isRef: Column => Column): org.apache.spark.sql.DataFrame = {
+    // bound-column shingle sets (the withShingles shape; see d20)
+    val sets = docs
+      .filter(col("doc_id").isNotNull)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), array_distinct(shingles(col("ws"))).as("ss"))
+    val sig = sets
+      .withColumn("mh", graft.functions.MinHashExprs.minHashSig(col("ss")))
+      .select(col("doc_id") +: (0 until 8).map(i => minhash(col("mh"), i).as(s"mh$i")): _*)
+    val pairs = lshCandidatePairs(sig)
+      .filter(isRef(col("doc_id_a")) =!= isRef(col("doc_id_b")))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val uni = (size(col("sa")) + size(col("sb"))).cast("double") - inter
+    pairs.hint("shuffle_hash")
+      .join(sets.select(col("doc_id").as("doc_id_a"), col("ss").as("sa")),
+        Seq("doc_id_a"))
+      .join(sets.select(col("doc_id").as("doc_id_b"), col("ss").as("sb")).hint("merge"),
+        Seq("doc_id_b"))
+      .filter(inter / uni >= 0.5)
+      .select(when(isRef(col("doc_id_a")), col("doc_id_b"))
+        .otherwise(col("doc_id_a")).as("doc_id"))
+      .distinct()
+  }
+
   /** The d12 gate's exact edge list (md5 Carter–Wegman signatures →
     * star edges), exposed so ScaleCheck can verify the clustering
     * against an independent connected-components formulation at SFs the
@@ -2026,36 +2074,8 @@ object Docs {
     Q("d29_cross_neardup",
       (s, dir) => {
         val isRef = (c: org.apache.spark.sql.Column) => c % 10 === 0
-        // bound-column shingle sets (the withShingles shape; see d20)
-        val sets = t(s, dir, "documents")
-          .filter(col("doc_id").isNotNull)
-          .repartition(col("doc_id"))
-          .select(col("doc_id"), words(col("text")).as("ws"))
-          .select(col("doc_id"), array_distinct(shingles(col("ws"))).as("ss"))
-        val sig = sets
-          .withColumn("mh", graft.functions.MinHashExprs.minHashSig(col("ss")))
-          .select(col("doc_id") +: (0 until 8).map(i => minhash(col("mh"), i).as(s"mh$i")): _*)
-        val pairs = lshCandidatePairs(sig)
-          .filter(isRef(col("doc_id_a")) =!= isRef(col("doc_id_b")))
-        val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
-        val uni = (size(col("sa")) + size(col("sb"))).cast("double") - inter
-        // Verification joins, the d20 shape: join 1 shuffle-hashes
-        // BUILDING on the NARROW pair rows (no broadcast — the post-agg
-        // pair estimate is garbage-small and pairs grow with the
-        // corpus; no sort of the corpus-sized wide shingle arrays);
-        // join 2 stays MERGE because its smaller side now carries a
-        // full shingle set per pair row and a ShuffledHashJoin build
-        // is NOT spillable (d20's sf10 2 GiB hash-relation failure),
-        // while merge sorts spill.
-        val contaminated = pairs.hint("shuffle_hash")
-          .join(sets.select(col("doc_id").as("doc_id_a"), col("ss").as("sa")),
-            Seq("doc_id_a"))
-          .join(sets.select(col("doc_id").as("doc_id_b"), col("ss").as("sb")).hint("merge"),
-            Seq("doc_id_b"))
-          .filter(inter / uni >= 0.5)
-          .select(when(isRef(col("doc_id_a")), col("doc_id_b"))
-            .otherwise(col("doc_id_a")).as("doc_id"))
-          .distinct()
+        val contaminated =
+          crossNeardupContaminatedIds(t(s, dir, "documents"), isRef)
         t(s, dir, "documents")
           .filter(col("doc_id").isNotNull && !isRef(col("doc_id")))
           .join(contaminated, Seq("doc_id"), "left_anti")

@@ -233,7 +233,7 @@ class CurationPipelineSpec extends SparkSpec {
     val docs = Registry.t(spark, sfDir, "documents")
     CurationPipeline.run(spark, docs, outA, customGate = langGate)
     CurationPipeline.run(spark, docs, outB,
-      cfg = CurationPipeline.Config(decontamBloomFpp = Some(0.001)),
+      cfg = CurationPipeline.Config(decontam = CurationPipeline.BloomGrams(0.001)),
       customGate = langGate)
     val exactClean = spark.read.parquet(s"$outA/03_clean")
       .select("doc_id").collect().map(_.getLong(0)).toSet
@@ -248,6 +248,72 @@ class CurationPipelineSpec extends SparkSpec {
     assert(bloomClean === exactClean)
     // downstream stages still run on the filtered frame
     assert(spark.read.parquet(s"$outB/04_corpus").count() > 0)
+  }
+
+  test("NearDup decontam: stage 3 equals the shared d29 body over survivors ∪ benchmark; resume honors it") {
+    val out = Files.createTempDirectory("graft-curation-neardup").toString
+    val docs = Registry.t(spark, sfDir, "documents")
+    val counts = CurationPipeline.run(spark, docs, out,
+      cfg = CurationPipeline.Config(decontam = CurationPipeline.NearDup),
+      customGate = langGate).toMap
+
+    val exact = spark.read.parquet(s"$out/02_exact")
+    val clean = spark.read.parquet(s"$out/03_clean")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // expectation composed independently from the same shared body the
+    // d29 gate runs (oracle-pinned): targets minus cross-near-dups of
+    // the benchmark snapshot
+    val isBench = (c: org.apache.spark.sql.Column) => c % 20 === 0
+    val targets = exact.filter(!isBench(col("doc_id")))
+    val union = targets.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(isBench(col("doc_id"))).select(col("doc_id"), col("text")))
+    val contaminated = graft.queries.Docs
+      .crossNeardupContaminatedIds(union, isBench)
+      .collect().map(_.getLong(0)).toSet
+    val expected = targets.select("doc_id").collect().map(_.getLong(0)).toSet -- contaminated
+    assert(clean === expected)
+    assert(counts("03_clean") === expected.size.toLong)
+    assert(counts("04_corpus") > 0L)
+
+    // resume contract covers the engine: a second run with resume=true
+    // must not rewrite the completed 03_clean dir
+    val marker = new java.io.File(s"$out/03_clean/_SUCCESS").lastModified()
+    val resumed = CurationPipeline.run(spark, docs, out,
+      cfg = CurationPipeline.Config(
+        decontam = CurationPipeline.NearDup, resume = true),
+      customGate = langGate).toMap
+    assert(resumed === counts)
+    assert(new java.io.File(s"$out/03_clean/_SUCCESS").lastModified() === marker,
+      "03_clean was rewritten on resume")
+  }
+
+  test("Semantic decontam: stage 3 equals the shared e14 body; unembedded survivors are kept") {
+    val out = Files.createTempDirectory("graft-curation-sem").toString
+    val docs = Registry.t(spark, sfDir, "documents")
+    val emb = Registry.t(spark, sfDir, "embeddings")
+    val counts = CurationPipeline.run(spark, docs, out,
+      cfg = CurationPipeline.Config(
+        decontam = CurationPipeline.Semantic(emb, threshold = 0.2)),
+      customGate = langGate).toMap
+
+    val exact = spark.read.parquet(s"$out/02_exact")
+    val clean = spark.read.parquet(s"$out/03_clean")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val isBench = (c: org.apache.spark.sql.Column) => c % 20 === 0
+    val targetIds = exact.filter(!isBench(col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // expectation from the same shared body the e14 gate runs
+    val refEmb = emb.filter(isBench(col("vec_id"))).select(col("embedding"))
+    val tgtEmb = emb.filter(!isBench(col("vec_id")))
+      .filter(col("vec_id").isin(targetIds.toSeq: _*))
+    val covered = tgtEmb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val kept = graft.queries.Sim.semanticDecontamKeepDf(tgtEmb, refEmb, 0.2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = (targetIds -- covered) ++ kept
+    assert(clean === expected)
+    assert(counts("03_clean") === expected.size.toLong)
+    // survivors with no embedding row must all be kept
+    assert((targetIds -- covered).subsetOf(clean))
   }
 
   test("stoplist stage equals d24's top-K terms; stop-fraction gate drops exactly the boilerplate docs") {
