@@ -38,7 +38,14 @@ COPY (SELECT * FROM (VALUES
   (8, 'dup dup dup dup dup dup dup dup dup dup', 'en', 'web', 40),
   (9, 'a b c d e f g h i j k l m n o p', 'en', 'web', 31),
   (10, 'tab\there and  double  spaces', 'en', 'web', 28),
-  (11, NULL, 'en', 'web', 0)
+  (11, NULL, 'en', 'web', 0),
+  -- adversarial-Unicode fixture (GateExprsSpec's class, here for the
+  -- whole battery): zero-width-space "words", astral emoji (4-byte
+  -- UTF-8), combining vs precomposed accents, fullwidth stopword
+  -- lookalikes, RTL — exercises every byte-walking expression
+  -- (GopherStats, HashedTokenScore, minhash, shingles) on multi-byte
+  -- and zero-width tokens the synthetic corpus never produces
+  (12, chr(8203) || ' ' || chr(128512) || chr(128512) || ' e' || chr(769) || ' ' || chr(233) || ' ' || chr(65364) || chr(65352) || chr(65349) || ' the' || chr(8203) || ' ' || chr(1575) || chr(1604) || chr(1593), 'xx', 'web', 24)
 ) t(doc_id, text, lang, source, n_chars)) TO '{OUT}/documents.parquet' (FORMAT PARQUET)
 """)
 # events edges: single-event user, identical-ts ties, digit-less props,
