@@ -3,28 +3,32 @@ package graft.mm
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing (north-star): media payloads are opaque
-  * `binary` columns with typed metadata structs. Image decode is REAL —
-  * [[decodeImage]] parses container headers and [[decodePixels]] decodes
-  * PNG/JPEG/GIF/BMP pixels via the JDK's own `javax.imageio` (r8; no
-  * external codec needed) — and so is PCM audio: [[decodeAudio]] reads
-  * WAV/AIFF/AU via `javax.sound.sampled` with real level features.
-  * Video CONTAINER metadata is real too — [[decodeVideo]] walks the
-  * MP4/ISO-BMFF box tree and the AVI RIFF header (duration, track
-  * count, dimensions) with pure byte parsing. Only video/compressed-
-  * audio FRAME decode stays stubbed ([[decodeStub]], [[frameSample]]) —
-  * the JDK ships no H.264/VP9/AV1 or MP3/AAC decoder, so those swaps
-  * genuinely need an external codec — as deterministic fakes that
-  * preserve the real Spark shape (schema, partition-parallel batch
-  * decode via mapPartitions, per-row error channel). Swapping in a real
-  * decoder changes ONE function, none of the plumbing.
+/** Multimodal-column processing (north-star): media payloads are opaque
+  * `binary` columns with typed metadata structs, decoded batch-wise via
+  * mapPartitions (one codec init per task, per-row error channel —
+  * malformed payloads degrade to a flagged row, never a task failure).
+  *
+  * The decoder matrix — what is REAL on a stock JDK:
+  *  - image headers ([[decodeImage]]: PNG IHDR / JPEG SOF / GIF LSD /
+  *    BMP, pure byte parsing) and image PIXELS ([[decodePixels]]:
+  *    PNG/JPEG/GIF/BMP via `javax.imageio`, row-major RGB888 out);
+  *  - pixel RESIZE ([[resizePixels]]: bilinear resample over RGB888,
+  *    pure arithmetic);
+  *  - audio ([[decodeAudio]]: WAV/AIFF/AU PCM via
+  *    `javax.sound.sampled`, with level features; non-PCM encodings
+  *    probe the runtime SPI registry for a transcoder, so μ-law/a-law
+  *    decode for real and a registered MP3/OGG provider jar lights up
+  *    with no code change);
+  *  - video CONTAINER metadata ([[decodeVideo]]: MP4/ISO-BMFF box tree
+  *    and AVI RIFF header — duration, track count, dimensions).
+  *
+  * The one JDK-blocked gap: compressed video/audio FRAME decode (the
+  * JRE ships no H.264/VP9/AV1 or MP3/AAC codec). [[frameSample]] keeps
+  * that stage's explode plumbing real with a byte-stride stand-in;
+  * dropping a codec SPI jar on the executor classpath swaps the real
+  * decoder in without touching any plumbing.
   */
 object Multimodal {
-
-  /** Typed decode result — what a real image decoder would emit. */
-  final case class MediaMeta(
-      doc_id: Long, n_bytes: Long, sha: String,
-      width: Int, height: Int, ok: Boolean, err: String)
 
   /** Attach the opaque payload column + cheap byte-level metadata
     * (no decode): the columnar, codegen'd part. */
@@ -33,31 +37,6 @@ object Multimodal {
       .withColumn("n_bytes", octet_length(col(textCol)).cast("long"))
       .withColumn("content_sha", sha2(col("payload"), 256))
 
-  /** STUB decode: deterministic fake dimensions from payload bytes.
-    * Real implementation would call an image codec here — per PARTITION
-    * (one codec init per task, not per row), which is why this is
-    * mapPartitions and not a per-row UDF.
-    */
-  def decodeStub(df: DataFrame): Dataset[MediaMeta] = {
-    val enc = Encoders.product[MediaMeta]
-    df.select(col("doc_id"), col("payload"), col("n_bytes"), col("content_sha"))
-      .mapPartitions { rows =>
-        // >>> real codec init would happen once HERE per partition <<<
-        rows.map { r =>
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          val n = r.getLong(2)
-          val sha = r.getString(3)
-          if (bytes == null || bytes.isEmpty)
-            MediaMeta(id, 0L, sha, 0, 0, ok = false, err = "empty payload")
-          else
-            // deterministic fake decode: dimensions from byte stats
-            MediaMeta(id, n, sha,
-              (n % 320 + 32).toInt, (n % 240 + 32).toInt, ok = true, err = "")
-        }
-      }(enc)
-  }
-
   /** Typed result of a REAL image-header decode. */
   final case class ImageMeta(
       doc_id: Long, n_bytes: Long, format: String,
@@ -65,9 +44,9 @@ object Multimodal {
 
   /** REAL image-header decode (no codec library needed): parses the
     * PNG IHDR, JPEG SOF marker, and GIF logical-screen descriptor for
-    * pixel dimensions, straight off the binary payload. Same
-    * mapPartitions shape as [[decodeStub]] — a pixel-level codec swap
-    * changes only the per-row function, none of the plumbing. Malformed
+    * pixel dimensions, straight off the binary payload. The shared
+    * mapPartitions batch shape — a pixel-level codec swap changes only
+    * the per-row function, none of the plumbing. Malformed
     * or unknown payloads flow to the per-row error channel, never throw.
     */
   def decodeImage(df: DataFrame): Dataset[ImageMeta] = {
@@ -129,10 +108,11 @@ object Multimodal {
 
   /** REAL pixel decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP
     * readers ship with the JRE — no external codec needed, which
-    * retires the "media libs absent" premise for these formats; only
-    * audio/video stay stubbed). Emits row-major RGB888 so downstream
-    * feature extraction is format-independent. Same mapPartitions shape
-    * as [[decodeStub]]: one ImageIO configuration per partition, every
+    * retires the "media libs absent" premise for these formats — see
+    * the object doc for the full decoder matrix). Emits row-major
+    * RGB888 so downstream feature extraction is format-independent.
+    * The shared mapPartitions batch shape: one ImageIO configuration
+    * per partition, every
     * malformed payload flows to the per-row error channel, and
     * `maxPixels` bounds the per-row allocation (a 100 TB corpus WILL
     * contain a decompression bomb; reject it in-row, don't OOM the
@@ -141,8 +121,9 @@ object Multimodal {
     val enc = Encoders.product[DecodedImage]
     df.select(col("doc_id"), col("payload"))
       .mapPartitions { rows =>
-        // per-partition codec setup (the init slot the stub reserved):
-        // no disk-backed ImageIO cache inside executor tasks
+        // per-partition codec setup (the one-init-per-task slot the
+        // batch shape exists for): no disk-backed ImageIO cache inside
+        // executor tasks
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val id = r.getLong(0)
@@ -211,7 +192,7 @@ object Multimodal {
     * per-row allocation on BOTH the header-claimed and the decoded
     * stream (reject the 100 TB corpus's inevitable malformed-length
     * bomb in-row, don't OOM the task). Only compressed-video frame
-    * pixel decode stays stubbed (the JDK ships no H.264/VP9 codec). */
+    * pixel decode remains JDK-blocked (no H.264/VP9 codec ships). */
   def decodeAudio(df: DataFrame, maxFrames: Long = 1L << 24): Dataset[AudioMeta] = {
     val enc = Encoders.product[AudioMeta]
     df.select(col("doc_id"), col("payload"))
@@ -337,8 +318,9 @@ object Multimodal {
     * 16.16-fixed dimensions) and the AVI RIFF header (avih frame timing,
     * stream count, dimensions) straight off the payload bytes — no codec
     * library involved, so this runs in any JVM. Frame PIXEL decode is
-    * the one thing that stays stubbed ([[frameSample]]): the JDK ships
-    * no H.264/VP9/AV1 decoder, so that swap genuinely needs an external
+    * the module's one JDK-blocked gap ([[frameSample]] keeps its
+    * plumbing real): the JDK ships no H.264/VP9/AV1 decoder, so that
+    * swap genuinely needs an external
     * codec. Same mapPartitions shape + per-row error channel as every
     * other decoder here; every multi-byte read is bounds-checked so a
     * truncated or hostile payload errors instead of throwing. */
@@ -509,55 +491,76 @@ object Multimodal {
   final case class ResizedMedia(
       doc_id: Long, resized: Array[Byte], out_w: Int, out_h: Int, ok: Boolean)
 
-  /** Resize STUB: deterministic stripe-fold in place of a real codec
-    * resample (media libs absent from the container — same honesty rule
-    * as [[decodeStub]]). The PLUMBING is the production shape: binary in
-    * → binary out sized w·h, batch per-partition transform (one codec /
-    * scaler init per task), typed output dims for downstream
-    * partitioning. Each output byte XOR-folds its source stripe, so any
-    * input byte change propagates to the output — the data-dependence a
-    * real resample has, which is what the spec pins. */
-  def resizeStub(df: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+  /** REAL bilinear resample over row-major RGB888 pixels (the
+    * [[decodePixels]] output schema) — pure JVM arithmetic, no codec
+    * needed, so the resize stage joins pixels/PCM/containers on the
+    * "real" side of the decoder matrix. Pixel-center sampling (the
+    * OpenCV/PIL convention: source coordinate = (dst + 0.5)·scale −
+    * 0.5, edge-clamped), channels interpolated independently,
+    * half-up rounding — deterministic bytes for a given input, which is
+    * what downstream fingerprinting needs. Same mapPartitions batch
+    * shape as the decoders: per-row degrade to `ok = false` (short or
+    * empty pixel buffers), never a task failure. */
+  def resizePixels(df: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
     // w*h in LONG: 65536x65536 overflows Int to 0 and would pass a
     // positive-dims check, then blow up (or silently emit empty output)
     // at allocation time inside the task
     require(w > 0 && h > 0 && w.toLong * h.toLong <= (1L << 28),
       s"target dims must be positive with w*h <= 2^28, got ${w}x$h")
-    val outLen = (w.toLong * h.toLong).toInt
     val enc = Encoders.product[ResizedMedia]
-    df.select(col("doc_id"), col("payload"))
+    df.select(col("doc_id"), col("width"), col("height"), col("pixels"))
       .mapPartitions { rows =>
-        // >>> real scaler/codec init would happen once HERE per partition <<<
         rows.map { r =>
           val id = r.getLong(0)
-          val b = r.getAs[Array[Byte]](1)
-          if (b == null || b.isEmpty)
+          val iw = r.getInt(1)
+          val ih = r.getInt(2)
+          val px = r.getAs[Array[Byte]](3)
+          if (px == null || iw <= 0 || ih <= 0 || px.length < iw.toLong * ih * 3)
             ResizedMedia(id, Array.emptyByteArray, w, h, ok = false)
           else {
-            val outArr = new Array[Byte](outLen)
-            var i = 0
-            while (i < outLen) {
-              // source stripe [lo, hi) for output byte i — every input
-              // byte lands in exactly one stripe
-              val lo = (i.toLong * b.length / outLen).toInt
-              val hi = (((i + 1).toLong * b.length) / outLen).toInt
-              var acc = 0
-              var j = lo
-              while (j < math.max(hi, lo + 1) && j < b.length) {
-                acc ^= b(j) & 0xff; j += 1
+            val out = new Array[Byte](w * h * 3)
+            var y = 0
+            var k = 0
+            while (y < h) {
+              val sy = (y + 0.5) * ih / h - 0.5
+              val y0 = math.min(ih - 1, math.max(0, math.floor(sy).toInt))
+              val y1 = math.min(ih - 1, y0 + 1)
+              val fy = math.min(1.0, math.max(0.0, sy - y0))
+              var x = 0
+              while (x < w) {
+                val sx = (x + 0.5) * iw / w - 0.5
+                val x0 = math.min(iw - 1, math.max(0, math.floor(sx).toInt))
+                val x1 = math.min(iw - 1, x0 + 1)
+                val fx = math.min(1.0, math.max(0.0, sx - x0))
+                var c = 0
+                while (c < 3) {
+                  val p00 = px((y0 * iw + x0) * 3 + c) & 0xff
+                  val p01 = px((y0 * iw + x1) * 3 + c) & 0xff
+                  val p10 = px((y1 * iw + x0) * 3 + c) & 0xff
+                  val p11 = px((y1 * iw + x1) * 3 + c) & 0xff
+                  val v = p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy) +
+                    p10 * (1 - fx) * fy + p11 * fx * fy
+                  out(k) = math.min(255L, math.max(0L, math.round(v))).toByte
+                  k += 1
+                  c += 1
+                }
+                x += 1
               }
-              outArr(i) = acc.toByte
-              i += 1
+              y += 1
             }
-            ResizedMedia(id, outArr, w, h, ok = true)
+            ResizedMedia(id, out, w, h, ok = true)
           }
         }
       }(enc)
   }
 
-  /** Frame-sample stub: take every k-th byte as a "frame" — stands in for
-    * video frame sampling; the plumbing (explode to one row per frame,
-    * keyed by (doc_id, frame_no)) is the real shape. */
+  /** Byte-stride frame sampler: take every k-th payload byte as a
+    * "frame" row. The explode-to-(doc_id, frame_no) plumbing is the
+    * production shape for video frame sampling; the byte standing in
+    * for a decoded frame is the ONE remaining fake in this module —
+    * compressed-video frame pixel decode is JDK-blocked (no
+    * H.264/VP9/AV1 decoder ships with the JRE; a codec SPI jar on the
+    * executor classpath swaps it in without touching the plumbing). */
   def frameSample(df: DataFrame, everyK: Int): DataFrame =
     df.select(col("doc_id"), col("payload"))
       // guard empty payloads: sequence(0, -1) is a DESCENDING range in

@@ -1201,10 +1201,13 @@ object Sim {
       },
       "semantic decontamination: fuzzy-drop targets near the eval snapshot in embedding space (north-star: curation)"),
 
-    // Multimodal-column plumbing: opaque bytes + typed metadata + a
-    // clearly-fake deterministic "decode" (real decode is stubbed — media
-    // libs aren't in the container; see graft.mm.Multimodal for the
-    // Dataset-level pipeline and tests).
+    // Multimodal-column metadata gate: opaque bytes + byte-level
+    // metadata, plus a deterministic fake-dimension pair kept ONLY
+    // because DuckDB has no image codec to oracle a real decode
+    // against. The real decoders (image pixels, PCM audio, container
+    // metadata, bilinear resize) live in graft.mm.Multimodal with
+    // golden-byte specs; this gate pins the columnar metadata path
+    // cross-engine.
     Q("m01_multimodal_meta",
       (s, dir) => {
         val bytes = col("text").cast("binary")

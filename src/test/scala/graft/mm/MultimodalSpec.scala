@@ -3,9 +3,22 @@ package graft.mm
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
-/** Multimodal plumbing: payload column, partition-parallel decode stub,
-  * frame sampling — schema and batch shape are the real contract. */
+/** Multimodal processing: payload column, partition-parallel decoders,
+  * bilinear resize, frame sampling — schema, batch shape, and the
+  * per-row error channel are the contract. The m01 gate's fake-decode
+  * metadata formula lives on in [[fakeDecode]] below as a test-local
+  * template of the mapPartitions plumbing (the library surface itself
+  * only ships real decoders — see Multimodal's decoder matrix). */
+object MultimodalSpec {
+  /** Encoder target for the test-local fake decode (top-level: Spark
+    * cannot encode an inner class of the suite). */
+  final case class FakeMeta(
+      doc_id: Long, n_bytes: Long, sha: String,
+      width: Int, height: Int, ok: Boolean, err: String)
+}
+
 class MultimodalSpec extends SparkSpec {
+  import MultimodalSpec.FakeMeta
 
   private lazy val docs = {
     import spark.implicits._
@@ -21,8 +34,31 @@ class MultimodalSpec extends SparkSpec {
     assert(m(1L) === 11L && m(2L) === 0L)
   }
 
-  test("decodeStub: deterministic fake decode with per-row error channel") {
-    val metas = Multimodal.decodeStub(Multimodal.withPayload(docs))
+  /** Test-local fake decode: the m01 gate's deterministic metadata
+    * formula over the withPayload columns, in the same mapPartitions
+    * batch shape as the real decoders — pins the plumbing contract
+    * (error channel, per-partition batching) without shipping a stub
+    * in the library surface. */
+  private def fakeDecode(df: org.apache.spark.sql.DataFrame) = {
+    val enc = org.apache.spark.sql.Encoders.product[FakeMeta]
+    df.select(col("doc_id"), col("payload"), col("n_bytes"), col("content_sha"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val n = r.getLong(2)
+          val sha = r.getString(3)
+          if (bytes == null || bytes.isEmpty)
+            FakeMeta(id, 0L, sha, 0, 0, ok = false, err = "empty payload")
+          else
+            FakeMeta(id, n, sha,
+              (n % 320 + 32).toInt, (n % 240 + 32).toInt, ok = true, err = "")
+        }
+      }(enc)
+  }
+
+  test("fake decode template: deterministic metadata with per-row error channel") {
+    val metas = fakeDecode(Multimodal.withPayload(docs))
       .collect().map(m => m.doc_id -> m).toMap
     assert(metas(2L).ok === false && metas(2L).err === "empty payload")
     assert(metas(1L).ok === true)
@@ -261,37 +297,71 @@ class MultimodalSpec extends SparkSpec {
     assert(!m(3L).ok && m(3L).err === "payload too short")
   }
 
-  test("resizeStub: huge-but-valid dims are rejected up front (Int overflow guard)") {
+  test("resizePixels: huge-but-valid dims are rejected up front (Int overflow guard)") {
     import spark.implicits._
-    val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val df = Seq((1L, 1, 1, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "width", "height", "pixels")
     // 65536 * 65536 overflows Int to 0 — must fail the require, not
     // reach allocation
     val e = intercept[IllegalArgumentException] {
-      Multimodal.resizeStub(df, 65536, 65536)
+      Multimodal.resizePixels(df, 65536, 65536)
     }
     assert(e.getMessage.contains("65536"))
   }
 
-  test("resizeStub: fixed output size, input-sensitive, deterministic, empty flagged") {
+  test("resizePixels: identity resize is byte-exact; downscale averages; short buffers flagged") {
     import spark.implicits._
-    val a = "some modestly sized binary payload standing in for pixels".getBytes("UTF-8")
-    val b = a.clone(); b(10) = (b(10) ^ 0x55).toByte // single-byte perturbation
-    val df = Seq((1L, a), (2L, b), (3L, Array.emptyByteArray)).toDF("doc_id", "payload")
-    val out = Multimodal.resizeStub(df, 4, 3).collect().map(m => m.doc_id -> m).toMap
-    // contract: every non-empty payload resizes to exactly w*h bytes
-    assert(out(1L).ok && out(1L).resized.length === 12)
-    assert(out(1L).out_w === 4 && out(1L).out_h === 3)
-    // data-dependence: one flipped input byte must change the output
-    assert(!out(1L).resized.sameElements(out(2L).resized))
-    // determinism: same input, same bytes
-    val again = Multimodal.resizeStub(df, 4, 3).collect().map(m => m.doc_id -> m).toMap
-    assert(again(1L).resized.sameElements(out(1L).resized))
-    // empty payload flows to the flag, not an exception
-    assert(!out(3L).ok && out(3L).resized.isEmpty)
-    // upscale beyond the payload still fills w*h (stripes repeat-fold)
-    val up = Multimodal.resizeStub(df.filter(col("doc_id") === 1), 16, 16)
+    // 2x2 RGB image: TL=(0,0,0) TR=(40,40,40) BL=(80,80,80) BR=(120,120,120)
+    val px = Array[Int](0, 0, 0, 40, 40, 40, 80, 80, 80, 120, 120, 120)
+      .map(_.toByte)
+    val df = Seq(
+      (1L, 2, 2, px),
+      (2L, 2, 2, px.take(6)),             // short buffer: < w*h*3
+      (3L, 0, 0, Array.emptyByteArray)    // no decode upstream
+    ).toDF("doc_id", "width", "height", "pixels")
+
+    // identity: pixel-center sampling maps dst exactly onto src
+    val id2 = Multimodal.resizePixels(df.filter(col("doc_id") === 1), 2, 2)
       .collect().head
-    assert(up.resized.length === 256)
+    assert(id2.ok && id2.resized.sameElements(px))
+
+    // 2x2 -> 1x1: the single output pixel centers between all four
+    // inputs, so each channel is their plain mean = (0+40+80+120)/4 = 60
+    val down = Multimodal.resizePixels(df.filter(col("doc_id") === 1), 1, 1)
+      .collect().head
+    assert(down.ok && down.resized.toSeq === Seq[Byte](60, 60, 60))
+    assert(down.out_w === 1 && down.out_h === 1)
+
+    // upscale 2x2 -> 4x4: full w*h*3 buffer, deterministic, corners clamp
+    // to the source corner values (edge-clamped sampling)
+    val up = Multimodal.resizePixels(df.filter(col("doc_id") === 1), 4, 4)
+      .collect().head
+    assert(up.ok && up.resized.length === 48)
+    assert(up.resized(0) === 0.toByte)                 // TL corner
+    assert(up.resized(45) === 120.toByte)              // BR corner, R channel
+    val again = Multimodal.resizePixels(df.filter(col("doc_id") === 1), 4, 4)
+      .collect().head
+    assert(again.resized.sameElements(up.resized))
+
+    // degraded rows flow to the flag, not an exception
+    val bad = Multimodal.resizePixels(df.filter(col("doc_id") >= 2), 2, 2)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(!bad(2L).ok && bad(2L).resized.isEmpty)
+    assert(!bad(3L).ok && bad(3L).resized.isEmpty)
+  }
+
+  test("resizePixels composes with decodePixels: a real PNG decodes then resizes") {
+    import spark.implicits._
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    val decoded = Multimodal.decodePixels(
+      Seq((1L, png)).toDF("doc_id", "payload"))
+    val out = Multimodal.resizePixels(
+      decoded.select(col("doc_id"), col("width"), col("height"), col("pixels")),
+      3, 3).collect().head
+    // 1x1 source upscales to a constant 3x3 of the same pixel
+    assert(out.ok && out.resized.length === 27)
+    assert(out.resized.distinct.length <= 3) // one RGB triple replicated
   }
 
   test("frameSample explodes one row per sampled byte") {
