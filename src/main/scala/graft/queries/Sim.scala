@@ -567,6 +567,166 @@ object Sim {
       .select(col("label"), col("vec_id"), col("cos_sim"))
   }
 
+  /** e15's ADC candidate chain as a shared body (gate + e18 report):
+    * global micro-unit PQ codebooks, integer subspace distances, argmin
+    * codes, the query's additive distance table, top-20 by ADC. */
+  private[graft] def pqAdcCandidates(e: org.apache.spark.sql.DataFrame,
+      queryVecId: Long = 0L): org.apache.spark.sql.DataFrame = {
+    val d2 = pqD2Df(e, pqCodebookDf(e))
+    val codes = pqCodesDf(d2)
+    val qdt = d2.filter(col("vec_id") === queryVecId)
+      .select(col("sub"), col("label").as("code"), col("d2").as("qd2"))
+    codes.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(qdt), Seq("sub", "code"))
+      .groupBy(col("vec_id")).agg(sum(col("qd2")).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc).limit(20)
+  }
+
+  /** Exact-cosine re-rank of a bounded (vec_id, adc) candidate set —
+    * the final stage every PQ variant shares. */
+  private[graft] def pqRerank(e: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame, queryVecId: Long,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val q = e.filter(col("vec_id") === queryVecId).select(col("embedding").as("qe"))
+    cand.join(e, Seq("vec_id")).crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(k)
+      .select(col("vec_id"), col("adc"), col("cos_sim"))
+  }
+
+  /** e19's RESIDUAL-encoded ADC candidates — the standard production
+    * refinement over e15's plain PQ: each vector is coarse-assigned to
+    * its nearest codebook cell (exact-integer argmin over the full
+    * vector — the e08 step), the PQ codebooks are trained on RESIDUALS
+    * (vector − cell centroid, still exact micro-units), and the query
+    * gets one distance table PER CELL (its residual differs per probed
+    * cell), so a candidate is scored against the query's residual in
+    * the candidate's own cell. Residuals concentrate near zero, so the
+    * same code budget quantizes a much tighter distribution — recall
+    * at equal bytes goes up (asserted ≥ plain PQ in RecallSpec / the
+    * e18 report).
+    *
+    * Scale shape: everything after the one vec_id spread is keyed on a
+    * vec_id prefix (no re-shuffle); the codebooks, cell table join-back,
+    * and ALL query distance tables are K×dims-bounded broadcasts. The
+    * gate scores all cells (oracle coverage); the production path
+    * composes the same chain under an nprobe cell filter exactly as
+    * [[ivfPqSearch]] does for plain PQ. */
+  private[graft] def pqResidualAdcCandidates(e: org.apache.spark.sql.DataFrame,
+      queryVecId: Long = 0L): org.apache.spark.sql.DataFrame = {
+    val cent = pqCodebookDf(e)
+    val d2 = pqD2Df(e, cent)
+    // coarse cell per vector: argmin over the summed subspace distances
+    // (= the full-vector integer distance), ties → smaller label
+    val cells = d2.groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("d2")).as("cd2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cd2"), col("label"))).as("best"))
+      .select(col("vec_id"), col("best").getField("label").as("cell"))
+    val m = e.repartition(col("vec_id"))
+      .select(col("vec_id"), col("label").as("vlabel"),
+        posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .filter(col("vf").isNotNull)
+      .select(col("vec_id"), col("vlabel"), col("pos"),
+        expr("pos DIV 8").as("sub"), microQ(col("vf")).as("m"))
+    val res = m.join(cells, Seq("vec_id"))
+      .join(broadcast(cent.select(col("label").as("cell"), col("pos"), col("cm"))),
+        Seq("cell", "pos"))
+      .select(col("vec_id"), col("vlabel"), col("cell"), col("pos"), col("sub"),
+        (col("m") - col("cm")).as("rm"))
+    // residual codebooks, trained per (label, pos) over the residuals
+    val rcm = res.groupBy(col("vlabel"), col("pos"))
+      .agg(sum(col("rm")).as("sr"), count(lit(1)).as("n"))
+      .select(col("vlabel").as("label"), col("pos"),
+        halfAwayDiv(col("sr"), col("n")).as("rcm"))
+    val rd2 = res.join(broadcast(rcm), Seq("pos"))
+      .groupBy(col("vec_id"), col("sub"), col("label"))
+      .agg(sum((col("rm") - col("rcm")) * (col("rm") - col("rcm"))).as("d2"))
+    val codes = pqCodesDf(rd2)
+    // the query's residual per CELL → one distance table per cell
+    // (K · subs · K rows — broadcast-bounded like every model here)
+    val qres = m.filter(col("vec_id") === queryVecId)
+      .join(broadcast(cent.select(col("label").as("cell"), col("pos"), col("cm"))),
+        Seq("pos"))
+      .select(col("cell"), col("pos"), col("sub"), (col("m") - col("cm")).as("qrm"))
+    val qdt = qres.join(broadcast(rcm), Seq("pos"))
+      .groupBy(col("cell"), col("sub"), col("label"))
+      .agg(sum((col("qrm") - col("rcm")) * (col("qrm") - col("rcm"))).as("qd2"))
+      .select(col("cell"), col("sub"), col("label").as("code"), col("qd2"))
+    codes.filter(col("vec_id") =!= queryVecId)
+      .join(cells, Seq("vec_id"))
+      .join(broadcast(qdt), Seq("cell", "sub", "code"))
+      .groupBy(col("vec_id")).agg(sum(col("qd2")).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc).limit(20)
+  }
+
+  /** Shared oracle-CTE text of the PQ family twins (e15/e18/e19): micro-
+    * unit vectors (with the owner's label for residual-codebook
+    * training), the codebook, and integer subspace distances. */
+  private val pqPreludeSql: String =
+    s"""u AS (
+       |  SELECT vec_id, label AS vlabel, generate_subscripts(embedding, 1) AS pos,
+       |         unnest(embedding::DOUBLE[]) AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |m AS (SELECT vec_id, vlabel, pos, (pos - 1) // 8 AS sub, $microQSql AS m
+       |  FROM u WHERE v IS NOT NULL),
+       |cu AS (SELECT e.label, generate_subscripts(e.embedding, 1) AS pos,
+       |         unnest(e.embedding::DOUBLE[]) AS v
+       |  FROM embeddings e WHERE e.embedding IS NOT NULL),
+       |cm AS (SELECT label, pos, ${halfAwayDivSql("SUM(m)", "COUNT(*)")} AS cm
+       |  FROM (SELECT label, pos, $microQSql AS m FROM cu WHERE v IS NOT NULL)
+       |  GROUP BY label, pos),
+       |d2 AS (SELECT m.vec_id, m.sub, c.label,
+       |    SUM((m.m - c.cm) * (m.m - c.cm)) AS d2
+       |  FROM m JOIN cm c ON m.pos = c.pos
+       |  GROUP BY m.vec_id, m.sub, c.label)""".stripMargin
+
+  /** e15's plain-PQ candidate CTEs (consumes [[pqPreludeSql]]'s d2). */
+  private val pqPlainCandSql: String =
+    s"""codes AS (SELECT vec_id, sub, label AS code FROM (
+       |  SELECT vec_id, sub, label,
+       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, label ASC) AS rn
+       |  FROM d2) WHERE rn = 1),
+       |qdt AS (SELECT sub, label AS code, d2 AS qd2 FROM d2 WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT c.vec_id, CAST(SUM(q.qd2) AS BIGINT) AS adc
+       |  FROM codes c JOIN qdt q USING (sub, code)
+       |  WHERE c.vec_id <> 0 GROUP BY c.vec_id
+       |  ORDER BY adc ASC, c.vec_id ASC LIMIT 20)""".stripMargin
+
+  /** e19's residual-PQ candidate CTEs (consumes [[pqPreludeSql]]). */
+  private val pqResidualCandSql: String =
+    s"""cd2 AS (SELECT vec_id, label, SUM(d2) AS cd2 FROM d2 GROUP BY vec_id, label),
+       |cell AS (SELECT vec_id, label AS cell FROM (
+       |  SELECT vec_id, label,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cd2 ASC, label ASC) AS rn
+       |  FROM cd2) WHERE rn = 1),
+       |res AS (SELECT m.vec_id, m.vlabel, ce.cell, m.pos, m.sub, m.m - c.cm AS rm
+       |  FROM m JOIN cell ce USING (vec_id)
+       |  JOIN cm c ON c.label = ce.cell AND c.pos = m.pos),
+       |rcm AS (SELECT vlabel AS label, pos, ${halfAwayDivSql("SUM(rm)", "COUNT(*)")} AS rcm
+       |  FROM res GROUP BY vlabel, pos),
+       |rd2 AS (SELECT r.vec_id, r.sub, rc.label,
+       |    SUM((r.rm - rc.rcm) * (r.rm - rc.rcm)) AS d2
+       |  FROM res r JOIN rcm rc ON r.pos = rc.pos
+       |  GROUP BY r.vec_id, r.sub, rc.label),
+       |rcodes AS (SELECT vec_id, sub, label AS code FROM (
+       |  SELECT vec_id, sub, label,
+       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, label ASC) AS rn
+       |  FROM rd2) WHERE rn = 1),
+       |qres AS (SELECT c.label AS cell, m.pos, m.sub, m.m - c.cm AS qrm
+       |  FROM m JOIN cm c ON m.pos = c.pos WHERE m.vec_id = 0),
+       |rqdt AS (SELECT q.cell, q.sub, rc.label AS code,
+       |    SUM((q.qrm - rc.rcm) * (q.qrm - rc.rcm)) AS qd2
+       |  FROM qres q JOIN rcm rc ON q.pos = rc.pos
+       |  GROUP BY q.cell, q.sub, rc.label),
+       |rcand AS (
+       |  SELECT co.vec_id, CAST(SUM(q.qd2) AS BIGINT) AS adc
+       |  FROM rcodes co JOIN cell ce USING (vec_id)
+       |  JOIN rqdt q ON q.cell = ce.cell AND q.sub = co.sub AND q.code = co.code
+       |  WHERE co.vec_id <> 0 GROUP BY co.vec_id
+       |  ORDER BY adc ASC, co.vec_id ASC LIMIT 20)""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // Pairwise cosine on consecutive ids: the embedding near-dup primitive.
@@ -1099,48 +1259,12 @@ object Sim {
       (s, dir) => {
         val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
         // exact-micro-unit codebook, integer subspace distances, argmin
-        // codes (shared with the ivfPqSearch production composition)
-        val d2 = pqD2Df(e, pqCodebookDf(e))
-        val codes = pqCodesDf(d2)
-        // the query's additive distance table, then ADC over codes only
-        val qdt = d2.filter(col("vec_id") === 0)
-          .select(col("sub"), col("label").as("code"), col("d2").as("qd2"))
-        val cand = codes.filter(col("vec_id") =!= 0)
-          .join(broadcast(qdt), Seq("sub", "code"))
-          .groupBy(col("vec_id")).agg(sum(col("qd2")).as("adc"))
-          .orderBy(col("adc").asc, col("vec_id").asc).limit(20)
-        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-        cand.join(e, Seq("vec_id")).crossJoin(broadcast(q))
-          .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
-          .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(5)
-          .select(col("vec_id"), col("adc"), col("cos_sim"))
+        // codes, ADC over codes only (shared with the ivfPqSearch
+        // production composition and the e18 recall report)
+        pqRerank(e, pqAdcCandidates(e), 0L, 5)
       },
-      Some(s"""WITH u AS (
-              |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-              |         unnest(embedding::DOUBLE[]) AS v
-              |  FROM embeddings WHERE embedding IS NOT NULL),
-              |m AS (SELECT vec_id, pos, (pos - 1) // 8 AS sub, $microQSql AS m
-              |  FROM u WHERE v IS NOT NULL),
-              |cu AS (SELECT e.label, generate_subscripts(e.embedding, 1) AS pos,
-              |         unnest(e.embedding::DOUBLE[]) AS v
-              |  FROM embeddings e WHERE e.embedding IS NOT NULL),
-              |cm AS (SELECT label, pos, ${halfAwayDivSql("SUM(m)", "COUNT(*)")} AS cm
-              |  FROM (SELECT label, pos, $microQSql AS m FROM cu WHERE v IS NOT NULL)
-              |  GROUP BY label, pos),
-              |d2 AS (SELECT m.vec_id, m.sub, c.label,
-              |    SUM((m.m - c.cm) * (m.m - c.cm)) AS d2
-              |  FROM m JOIN cm c ON m.pos = c.pos
-              |  GROUP BY m.vec_id, m.sub, c.label),
-              |codes AS (SELECT vec_id, sub, label AS code FROM (
-              |  SELECT vec_id, sub, label,
-              |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, label ASC) AS rn
-              |  FROM d2) WHERE rn = 1),
-              |qdt AS (SELECT sub, label AS code, d2 AS qd2 FROM d2 WHERE vec_id = 0),
-              |cand AS (
-              |  SELECT c.vec_id, CAST(SUM(q.qd2) AS BIGINT) AS adc
-              |  FROM codes c JOIN qdt q USING (sub, code)
-              |  WHERE c.vec_id <> 0 GROUP BY c.vec_id
-              |  ORDER BY adc ASC, c.vec_id ASC LIMIT 20),
+      Some(s"""WITH $pqPreludeSql,
+              |$pqPlainCandSql,
               |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
               |SELECT cand.vec_id, adc,
               |  ROUND(${dDot("e.embedding", "q.qe")} /
@@ -1148,6 +1272,33 @@ object Sim {
               |FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id, q
               |ORDER BY cos_sim DESC, cand.vec_id ASC LIMIT 5""".stripMargin),
       "product-quantization ANN: per-subspace codebooks, integer ADC over codes, exact re-rank (north-star)"),
+
+    // Residual-encoded IVF-PQ — the standard production refinement over
+    // e15: vectors coarse-assign to their nearest codebook cell (exact
+    // integer argmin over the full vector), PQ codebooks train on the
+    // RESIDUAL (vector − cell centroid), and the query carries one
+    // distance table per cell so every candidate is scored against the
+    // query's residual in the candidate's own cell. Residuals
+    // concentrate near zero → the same code budget quantizes a tighter
+    // distribution → recall at equal bytes goes up (RecallSpec asserts
+    // ≥ e15's recall@10; the e18 report carries both). Same scale
+    // shape as e15: one vec_id spread, everything downstream keyed on a
+    // vec_id prefix, codebooks/cell-maps/query tables all K×dims
+    // broadcasts.
+    Q("e19_pq_residual_ann",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+        pqRerank(e, pqResidualAdcCandidates(e), 0L, 5)
+      },
+      Some(s"""WITH $pqPreludeSql,
+              |$pqResidualCandSql,
+              |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+              |SELECT rcand.vec_id, adc,
+              |  ROUND(${dDot("e.embedding", "q.qe")} /
+              |    (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("q.qe", "q.qe")})), 4) AS cos_sim
+              |FROM rcand JOIN embeddings e ON e.vec_id = rcand.vec_id, q
+              |ORDER BY cos_sim DESC, rcand.vec_id ASC LIMIT 5""".stripMargin),
+      "residual-encoded IVF-PQ ANN: codebooks on vector minus cell centroid, per-cell query tables, integer ADC (north-star)"),
 
     // Cross-corpus SEMANTIC decontamination — the embedding-space
     // complement of d29's shingle near-dup: drop every TARGET vector
@@ -1346,8 +1497,12 @@ object Sim {
             .agg(count(lit(1)).as("hits"))
             .select(lit(method).as("method"), col("hits"),
               floorDiv(col("hits") * lit(1000000L), lit(10L)).as("recall_ppm"))
+        val e2 = e.filter(col("embedding").isNotNull)
         row("ivf", ivfTopKDf(e, 10))
           .unionByName(row("lsh", lshTopKDf(e, 10)))
+          .unionByName(row("pq", pqRerank(e2, pqAdcCandidates(e2), 0L, 10)))
+          .unionByName(row("pq_res",
+            pqRerank(e2, pqResidualAdcCandidates(e2), 0L, 10)))
       },
       Some {
         val sums = (0 until 8).map(j =>
@@ -1389,12 +1544,27 @@ object Sim {
            |  SELECT e.vec_id FROM embeddings e JOIN best ON e.label = best.label, q0
            |  WHERE e.vec_id > 0
            |  ORDER BY ${cos("e.embedding")} DESC, e.vec_id ASC LIMIT 10),
+           |$pqPreludeSql,
+           |$pqPlainCandSql,
+           |$pqResidualCandSql,
+           |pq10 AS (
+           |  SELECT cand.vec_id FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id, q0
+           |  ORDER BY ${cos("e.embedding")} DESC, cand.vec_id ASC LIMIT 10),
+           |pqres10 AS (
+           |  SELECT rcand.vec_id FROM rcand JOIN embeddings e ON e.vec_id = rcand.vec_id, q0
+           |  ORDER BY ${cos("e.embedding")} DESC, rcand.vec_id ASC LIMIT 10),
            |r AS (
            |  SELECT 'ivf' AS method, CAST(COUNT(*) AS BIGINT) AS hits
            |  FROM ivf10 JOIN exact10 USING (vec_id)
            |  UNION ALL
            |  SELECT 'lsh' AS method, CAST(COUNT(*) AS BIGINT) AS hits
-           |  FROM lsh10 JOIN exact10 USING (vec_id))
+           |  FROM lsh10 JOIN exact10 USING (vec_id)
+           |  UNION ALL
+           |  SELECT 'pq' AS method, CAST(COUNT(*) AS BIGINT) AS hits
+           |  FROM pq10 JOIN exact10 USING (vec_id)
+           |  UNION ALL
+           |  SELECT 'pq_res' AS method, CAST(COUNT(*) AS BIGINT) AS hits
+           |  FROM pqres10 JOIN exact10 USING (vec_id))
            |SELECT method, hits, (hits * 1000000) // 10 AS recall_ppm FROM r""".stripMargin
       },
       "ANN recall report: recall@10 of IVF and LSH rankings vs the exact baseline (north-star: index evaluation)")

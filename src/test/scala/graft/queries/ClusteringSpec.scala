@@ -338,7 +338,7 @@ class ClusteringSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val rows = Registry.queries("e18_recall_report")(spark, dir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(rows.keySet === Set("ivf", "lsh"))
+    assert(rows.keySet === Set("ivf", "lsh", "pq", "pq_res"))
     rows.foreach { case (m, (hits, ppm)) =>
       assert(hits >= 0L && hits <= 10L, s"$m hits out of range: $hits")
       assert(ppm === hits * 100000L, s"$m recall_ppm must be hits/10 in ppm")
@@ -349,5 +349,27 @@ class ClusteringSpec extends SparkSpec {
     val exact = Sim.exactTopKDf(e, 10).collect().map(_.getLong(0)).toSet
     val lsh = Sim.lshTopKDf(e, 10).collect().map(_.getLong(0)).toSet
     assert(rows("lsh")._1 === (lsh & exact).size.toLong)
+  }
+
+  test("e19 residual PQ: recall@10 at least plain PQ's (both SFs), candidates ADC-consistent") {
+    // residuals concentrate near zero, so the same code budget
+    // quantizes a tighter distribution — the refinement must not LOSE
+    // recall vs e15's global-codebook PQ on either fixture
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = Registry.queries("e18_recall_report")(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows("pq_res") >= rows("pq"),
+        s"$dir: residual PQ recall ${rows("pq_res")} < plain PQ ${rows("pq")}")
+    }
+    // candidate contract: ADC is nonnegative and the top-20 cut is
+    // (adc asc, vec_id asc)-sorted — the index's ranking invariant
+    val e = Registry.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
+    val cand = Sim.pqResidualAdcCandidates(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.nonEmpty && cand.length <= 20)
+    assert(cand.forall(_._2 >= 0L), "squared integer ADC must be nonnegative")
+    assert(cand.sortBy { case (id, adc) => (adc, id) }.toSeq === cand.toSeq,
+      "candidates must come out (adc, vec_id)-ordered")
   }
 }
