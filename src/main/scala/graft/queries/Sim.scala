@@ -594,6 +594,20 @@ object Sim {
       .select(col("vec_id"), col("adc"), col("cos_sim"))
   }
 
+  /** Materialize a BOUNDED model table (K×dims rows — codebooks,
+    * centroids) into a literal LocalRelation. This is the DataFrame
+    * twin of the kmeansSeedModel collect: referencing a model DataFrame
+    * from several downstream branches duplicates its whole logical
+    * subtree per reference, and on a diamond-shaped chain like
+    * residual PQ that multiplied the tree until the OPTIMIZER (not the
+    * executors) was the query's hot loop — measured 1.5 s of driver
+    * planning per action at sf0.1. A literal cuts the lineage at the
+    * model boundary; the collect is bounded by the model size at any
+    * corpus scale. */
+  private def localModel(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   /** e19's RESIDUAL-encoded ADC candidates — the standard production
     * refinement over e15's plain PQ: each vector is coarse-assigned to
     * its nearest codebook cell (exact-integer argmin over the full
@@ -614,15 +628,24 @@ object Sim {
     * [[ivfPqSearch]] does for plain PQ. */
   private[graft] def pqResidualAdcCandidates(e: org.apache.spark.sql.DataFrame,
       queryVecId: Long = 0L): org.apache.spark.sql.DataFrame = {
-    val cent = pqCodebookDf(e)
+    // both model tables are literals (see localModel): cent feeds three
+    // branches and rcm two — as live subtrees they made driver planning
+    // the dominant per-action cost
+    val cent = localModel(pqCodebookDf(e))
     val d2 = pqD2Df(e, cent)
     // coarse cell per vector: argmin over the summed subspace distances
-    // (= the full-vector integer distance), ties → smaller label
+    // (= the full-vector integer distance), ties → smaller label.
+    // localCheckpoint (the ConnectedComponents pattern): the cell map
+    // feeds BOTH the residual computation and the final candidate join
+    // — as a live subtree each reference re-plans and re-runs the d2
+    // aggregation; checkpointed, it is computed once and the optimizer
+    // sees a leaf. Corpus-sized but narrow (two longs per vector).
     val cells = d2.groupBy(col("vec_id"), col("label"))
       .agg(sum(col("d2")).as("cd2"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("cd2"), col("label"))).as("best"))
       .select(col("vec_id"), col("best").getField("label").as("cell"))
+      .localCheckpoint()
     val m = e.repartition(col("vec_id"))
       .select(col("vec_id"), col("label").as("vlabel"),
         posexplode(col("embedding")).as(Seq("pos", "vf")))
@@ -635,10 +658,10 @@ object Sim {
       .select(col("vec_id"), col("vlabel"), col("cell"), col("pos"), col("sub"),
         (col("m") - col("cm")).as("rm"))
     // residual codebooks, trained per (label, pos) over the residuals
-    val rcm = res.groupBy(col("vlabel"), col("pos"))
+    val rcm = localModel(res.groupBy(col("vlabel"), col("pos"))
       .agg(sum(col("rm")).as("sr"), count(lit(1)).as("n"))
       .select(col("vlabel").as("label"), col("pos"),
-        halfAwayDiv(col("sr"), col("n")).as("rcm"))
+        halfAwayDiv(col("sr"), col("n")).as("rcm")))
     val rd2 = res.join(broadcast(rcm), Seq("pos"))
       .groupBy(col("vec_id"), col("sub"), col("label"))
       .agg(sum((col("rm") - col("rcm")) * (col("rm") - col("rcm"))).as("d2"))
