@@ -145,6 +145,27 @@ class PlanPropertiesSpec extends SparkSpec {
       s"vec_id<>0 not pushed to the parquet scan:\n${p.take(800)}")
   }
 
+  test("e19: model literals and checkpointed cell map keep planning flat; codebooks broadcast; no sort-merge") {
+    val p = planOf("e19_pq_residual_ann")
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook / distance-table joins must broadcast:\n${p.take(800)}")
+    // the two CELL-MAP joins (residuals ⋈ cells, candidates ⋈ cells) are
+    // corpus ⋈ corpus on vec_id: merge is the spillable-at-scale choice
+    // (the d20 rule — a checkpointed leaf also has no partitioning info
+    // to reuse). Everything else must stay broadcast-hash.
+    assert("SortMergeJoin".r.findAllIn(p).size <= 2,
+      s"only the two cell-map joins may sort-merge:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), "only the 1-row query side may nest-loop")
+    // the model tables must be LITERALS (LocalTableScan), not live agg
+    // subtrees — re-planning them per reference was the 1.5s/action trap
+    assert(p.contains("LocalTableScan"),
+      s"codebook/residual-codebook must be literal LocalRelations:\n${p.take(800)}")
+    // the cell map must be a checkpoint leaf (an RDD scan), so the d2
+    // aggregation is planned and executed once, not per reference
+    assert(p.contains("Scan ExistingRDD"),
+      s"cell map must be a localCheckpoint leaf:\n${p.take(800)}")
+  }
+
   test("d31: unigram table broadcasts back; partial aggregation before every exchange; no cartesian") {
     val p = planOf("d31_collocations")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
