@@ -626,26 +626,73 @@ object Sim {
     * gate scores all cells (oracle coverage); the production path
     * composes the same chain under an nprobe cell filter exactly as
     * [[ivfPqSearch]] does for plain PQ. */
+  /** Session-scoped trained-index cache for the residual-PQ chain: the
+    * coarse codebook, the per-vector cell map, and the residual
+    * codebooks are a trained MODEL — a production index trains once
+    * and serves many queries, it does not retrain per lookup. Keyed by
+    * (session, canonicalized input plan) so two references to the same
+    * corpus share one training pass; structural plan equality makes a
+    * collision impossible. Same caveats as Registry's table catalog:
+    * entries pin the training-time data snapshot (rewriting the
+    * corpus files mid-session requires [[invalidateResidualModels]]),
+    * and stopped sessions are purged opportunistically. */
+  private val residualModelCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+
+  /** Drop every cached residual-PQ model (all sessions). */
+  def invalidateResidualModels(): Unit = residualModelCache.clear()
+
+  /** Train (or fetch) the residual-PQ model triple for corpus `e`:
+    * (coarse codebook literal, residual codebook literal, checkpointed
+    * vector→cell map). See [[pqResidualAdcCandidates]] for the shapes. */
+  private def residualModel(e: org.apache.spark.sql.DataFrame):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    residualModelCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    residualModelCache.computeIfAbsent(
+      (e.sparkSession, e.queryExecution.analyzed.canonicalized), _ => {
+        // the codebook literal (see localModel): cent feeds three
+        // branches and rcm two — as live subtrees they made driver
+        // planning the dominant per-action cost
+        val cent = localModel(pqCodebookDf(e))
+        val d2 = pqD2Df(e, cent)
+        // coarse cell per vector: argmin over the summed subspace
+        // distances (= the full-vector integer distance), ties →
+        // smaller label. localCheckpoint (the ConnectedComponents
+        // pattern): the cell map feeds BOTH the residual computation
+        // and the final candidate join — as a live subtree each
+        // reference re-plans and re-runs the d2 aggregation;
+        // checkpointed, it is computed once and the optimizer sees a
+        // leaf. Corpus-sized but narrow (two longs per vector).
+        val cells = d2.groupBy(col("vec_id"), col("label"))
+          .agg(sum(col("d2")).as("cd2"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("cd2"), col("label"))).as("best"))
+          .select(col("vec_id"), col("best").getField("label").as("cell"))
+          .localCheckpoint()
+        val mt = e.repartition(col("vec_id"))
+          .select(col("vec_id"), col("label").as("vlabel"),
+            posexplode(col("embedding")).as(Seq("pos", "vf")))
+          .filter(col("vf").isNotNull)
+          .select(col("vec_id"), col("vlabel"), col("pos"),
+            expr("pos DIV 8").as("sub"), microQ(col("vf")).as("m"))
+        val resT = mt.join(cells, Seq("vec_id"))
+          .join(broadcast(cent.select(col("label").as("cell"), col("pos"), col("cm"))),
+            Seq("cell", "pos"))
+          .select(col("vec_id"), col("vlabel"), col("pos"),
+            (col("m") - col("cm")).as("rm"))
+        // residual codebooks, trained per (label, pos) over the residuals
+        val rcm = localModel(resT.groupBy(col("vlabel"), col("pos"))
+          .agg(sum(col("rm")).as("sr"), count(lit(1)).as("n"))
+          .select(col("vlabel").as("label"), col("pos"),
+            halfAwayDiv(col("sr"), col("n")).as("rcm")))
+        (cent, rcm, cells)
+      })
+  }
+
   private[graft] def pqResidualAdcCandidates(e: org.apache.spark.sql.DataFrame,
       queryVecId: Long = 0L): org.apache.spark.sql.DataFrame = {
-    // both model tables are literals (see localModel): cent feeds three
-    // branches and rcm two — as live subtrees they made driver planning
-    // the dominant per-action cost
-    val cent = localModel(pqCodebookDf(e))
-    val d2 = pqD2Df(e, cent)
-    // coarse cell per vector: argmin over the summed subspace distances
-    // (= the full-vector integer distance), ties → smaller label.
-    // localCheckpoint (the ConnectedComponents pattern): the cell map
-    // feeds BOTH the residual computation and the final candidate join
-    // — as a live subtree each reference re-plans and re-runs the d2
-    // aggregation; checkpointed, it is computed once and the optimizer
-    // sees a leaf. Corpus-sized but narrow (two longs per vector).
-    val cells = d2.groupBy(col("vec_id"), col("label"))
-      .agg(sum(col("d2")).as("cd2"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("cd2"), col("label"))).as("best"))
-      .select(col("vec_id"), col("best").getField("label").as("cell"))
-      .localCheckpoint()
+    val (cent, rcm, cells) = residualModel(e)
     val m = e.repartition(col("vec_id"))
       .select(col("vec_id"), col("label").as("vlabel"),
         posexplode(col("embedding")).as(Seq("pos", "vf")))
@@ -657,11 +704,6 @@ object Sim {
         Seq("cell", "pos"))
       .select(col("vec_id"), col("vlabel"), col("cell"), col("pos"), col("sub"),
         (col("m") - col("cm")).as("rm"))
-    // residual codebooks, trained per (label, pos) over the residuals
-    val rcm = localModel(res.groupBy(col("vlabel"), col("pos"))
-      .agg(sum(col("rm")).as("sr"), count(lit(1)).as("n"))
-      .select(col("vlabel").as("label"), col("pos"),
-        halfAwayDiv(col("sr"), col("n")).as("rcm")))
     val rd2 = res.join(broadcast(rcm), Seq("pos"))
       .groupBy(col("vec_id"), col("sub"), col("label"))
       .agg(sum((col("rm") - col("rcm")) * (col("rm") - col("rcm"))).as("d2"))
