@@ -567,14 +567,41 @@ object Sim {
       .select(col("label"), col("vec_id"), col("cos_sim"))
   }
 
+  /** Session-scoped trained-index cache for the PLAIN PQ chain: the
+    * codebook literal + the corpus code table (the PQ index a
+    * production deployment stores and serves). Same key/invalidation
+    * discipline as [[residualModel]]. */
+  private val pqModelCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+
+  private def pqModel(e: org.apache.spark.sql.DataFrame):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    pqModelCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    pqModelCache.computeIfAbsent(
+      (e.sparkSession, e.queryExecution.analyzed.canonicalized), _ => {
+        val cent = localModel(pqCodebookDf(e))
+        // the code table is THE index: corpus-sized but 3 narrow longs
+        // per (vector, subspace); checkpointed so queries consume a
+        // leaf instead of re-running the K-way distance fan-out
+        val codes = pqCodesDf(pqD2Df(e, cent)).localCheckpoint()
+        (cent, codes)
+      })
+  }
+
   /** e15's ADC candidate chain as a shared body (gate + e18 report):
     * global micro-unit PQ codebooks, integer subspace distances, argmin
-    * codes, the query's additive distance table, top-20 by ADC. */
+    * codes, the query's additive distance table, top-20 by ADC. The
+    * index (codebook + code table) comes from the session cache; only
+    * the query's own distance table (one vector × codebook — a
+    * broadcast-sized row set) is computed per call, exactly how a
+    * served PQ index answers a lookup. */
   private[graft] def pqAdcCandidates(e: org.apache.spark.sql.DataFrame,
       queryVecId: Long = 0L): org.apache.spark.sql.DataFrame = {
-    val d2 = pqD2Df(e, pqCodebookDf(e))
-    val codes = pqCodesDf(d2)
-    val qdt = d2.filter(col("vec_id") === queryVecId)
+    val (cent, codes) = pqModel(e)
+    // the query's distance table from its single row — integer-identical
+    // to filtering the full d2 at vec_id = query (same per-row math)
+    val qdt = pqD2Df(e.filter(col("vec_id") === queryVecId), cent)
       .select(col("sub"), col("label").as("code"), col("d2").as("qd2"))
     codes.filter(col("vec_id") =!= queryVecId)
       .join(broadcast(qdt), Seq("sub", "code"))
