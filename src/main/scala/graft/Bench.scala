@@ -15,9 +15,18 @@ import org.apache.spark.sql.functions.{count, lit}
   * (d12's connected-components pipeline runs localCheckpoint + its
   * union-find while BUILDING its result) do their real compute inside
   * `fn()`, and it must be charged. construct is min-of-2: fn() is
-  * BUILT twice (the second build re-runs all eager work from scratch —
-  * nothing escapes the timer; min absorbs single-shot GC/JIT noise,
-  * which measured ±1.5 s on the eager pipeline). `exec_s` is the min
+  * BUILT twice and the min taken (absorbs single-shot GC/JIT noise,
+  * which measured ±1.5 s on the eager pipeline). CAVEAT — queries
+  * that populate a SESSION-SCOPED trained-index cache (e15/e18/e19's
+  * PQ/residual-PQ models, Sim.invalidateIndexCaches) train on build 1
+  * and serve from cache on build 2, so min-of-2 reports SERVING cost
+  * and the one-off training cost would escape the artifact entirely.
+  * Those queries are detected by the cache-hit signature (rep 2 ≥ 5×
+  * faster than rep 1) and their training delta is emitted as a
+  * per-query `train` field + `train_total` — reported SEPARATELY, not
+  * folded into `value`, because the matched DuckDB twin retrains
+  * inside every rep while a production index trains once and serves
+  * many (see BENCH_NOTES "serving vs training"). `exec_s` is the min
   * of SPARK_GRAFT_REPS (default 3) timed noop-sink materializations of
   * the last build — the matched-pair protocol runs the DuckDB twins at
   * the SAME --runs, so both engines amortize their per-query compile
@@ -76,19 +85,34 @@ object Bench {
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val construct = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val exec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // one-off index-training cost for cache-populating queries (the
+    // rep1-minus-rep2 delta when rep 2 bears the ≥5x cache-hit
+    // signature) — reported, never silently dropped
+    val train = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // per-query exec rep spread (max of the reps; `exec` holds the
+    // min): uniform max/min inflation across unchanged queries
+    // identifies a loaded VM from the JSON alone (BENCH_NOTES rule)
+    val execMax = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       try {
         // fn() INSIDE a timer of its own — eager construction-time work
         // (checkpointed iterative algorithms) is real query cost. Built
-        // twice, min taken: the second build repeats every eager step,
-        // so nothing is amortized away — only noise.
+        // twice, min taken. Queries that train a session-scoped index
+        // on build 1 serve from cache on build 2; their training delta
+        // goes to `train`, not the battery total (see scaladoc).
         System.gc()
         var df: DataFrame = null
-        construct(name) = (1 to 2).map { _ =>
+        val creps = (1 to 2).map { _ =>
           val c0 = System.nanoTime()
           df = fn(spark, sfDir)
           (System.nanoTime() - c0) / 1e9
-        }.min
+        }
+        construct(name) = creps.min
+        // 0.4 s absolute floor: genuine index training is multi-second
+        // (e18's cold PQ+residual build ≈ 6 s); sub-0.3 s deltas are
+        // first-build Catalyst/analysis warmup, not training
+        if (creps(0) >= 5 * creps(1) && creps(0) - creps(1) > 0.4)
+          train(name) = math.round((creps(0) - creps(1)) * 1000.0) / 1000.0
         // noop sink forces FULL evaluation of every output column —
         // count() alone would let Catalyst prune projection-only work and
         // under-report (a minhash query "benched" in 0.26s that actually
@@ -103,6 +127,7 @@ object Bench {
           dt
         }
         exec(name) = times.min
+        execMax(name) = math.round(times.max * 1000.0) / 1000.0
         Some(name -> (construct(name) + times.min))
       } catch { case e: Throwable =>
         errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(500)
@@ -158,7 +183,8 @@ object Bench {
     // constant from plan quality without re-deriving it.
     val floorEst = if (exec.nonEmpty)
       math.round(exec.values.min * exec.size * 100.0) / 100.0 else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","construct_total":${construct.values.sum},"exec_total":${exec.values.sum},"exec_reps":$execReps,"floor_est":$floorEst,"queries":$qs,"construct":${jmap(construct)},"exec":${jmap(exec)},"rows":$rs,"errors":$errs$ratioPart,"sf":"$sfDir"}"""
+    val trainTotal = math.round(train.values.sum * 1000.0) / 1000.0
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","construct_total":${construct.values.sum},"exec_total":${exec.values.sum},"train_total":$trainTotal,"exec_reps":$execReps,"floor_est":$floorEst,"queries":$qs,"construct":${jmap(construct)},"exec":${jmap(exec)},"exec_max":${jmap(execMax)},"train":${jmap(train)},"rows":$rs,"errors":$errs$ratioPart,"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")),

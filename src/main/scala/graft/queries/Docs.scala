@@ -1302,7 +1302,12 @@ object Docs {
         val mh = (0 until 8).map(i => s"  ${dMinhash(i)} AS mh$i").mkString(",\n")
         val bands = (0 until 4).map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || ':' || mh${2 * b + 1} AS band_key FROM sig")
           .mkString("\n  UNION ALL ")
-        s"""WITH RECURSIVE w AS (SELECT doc_id, $dWords ws FROM documents),
+        // bounded-iteration CC twin (CcSql): the recursive-CTE closure
+        // materialized O(Σ component²) reachable pairs and DNF'd the
+        // sf10 oracle cap; the unrolled pointer-jumping levels are
+        // linear per level and mirror the Spark operator round-for-round
+        val (cc, lk) = CcSql.unrolled()
+        s"""WITH w AS (SELECT doc_id, $dWords ws FROM documents),
            |s AS (SELECT doc_id,
            |  list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) sh
            |  FROM w),
@@ -1312,17 +1317,13 @@ object Docs {
            |FROM h),
            |banded AS (
            |  $bands),
-           |pairs AS (
+           |pairs AS MATERIALIZED (
            |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
            |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-           |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
-           |reach(u, v) AS (
-           |  SELECT u, v FROM edges
-           |  UNION
-           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-           |rep AS (SELECT u AS id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u)
-           |SELECT d.doc_id, COALESCE(rep.rep, d.doc_id) AS cluster_rep
-           |FROM documents d LEFT JOIN rep ON d.doc_id = rep.id""".stripMargin
+           |edges AS MATERIALIZED (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+           |$cc
+           |SELECT d.doc_id, COALESCE($lk.rep, d.doc_id) AS cluster_rep
+           |FROM documents d LEFT JOIN $lk ON d.doc_id = $lk.id""".stripMargin
       },
       "dedup groups: LSH pairs -> connected components (north-star: dedup)"),
 
@@ -1400,7 +1401,10 @@ object Docs {
         val mh = (0 until 8).map(i => s"  ${dMinhash(i)} AS mh$i").mkString(",\n")
         val bands = (0 until 4).map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || ':' || mh${2 * b + 1} AS band_key FROM sig")
           .mkString("\n  UNION ALL ")
-        s"""WITH RECURSIVE w AS (SELECT doc_id, text, $dWords ws FROM documents),
+        // same bounded-iteration CC twin as d12 (CcSql) for the final
+        // near-dup stage — the closure DNF'd sf10's cap on this family
+        val (cc, lk) = CcSql.unrolled()
+        s"""WITH w AS (SELECT doc_id, text, $dWords ws FROM documents),
            |gate AS (
            |  SELECT doc_id, text, ws, CAST(len(ws) AS BIGINT) AS n_tokens FROM w
            |  WHERE len(list_filter(ws, x -> x IN ('the','a'))) >= len(list_filter(ws, x -> x IN ('data','spark','stream')))
@@ -1431,18 +1435,14 @@ object Docs {
            |FROM h),
            |banded AS (
            |  $bands),
-           |pairs AS (
+           |pairs AS MATERIALIZED (
            |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
            |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-           |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
-           |reach(u, v) AS (
-           |  SELECT u, v FROM edges
-           |  UNION
-           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-           |rep AS (SELECT u AS id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u)
+           |edges AS MATERIALIZED (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+           |$cc
            |SELECT sig.doc_id, sig.n_tokens
-           |FROM sig LEFT JOIN rep ON sig.doc_id = rep.id
-           |WHERE rep.rep IS NULL OR rep.rep = sig.doc_id""".stripMargin
+           |FROM sig LEFT JOIN $lk ON sig.doc_id = $lk.id
+           |WHERE $lk.rep IS NULL OR $lk.rep = sig.doc_id""".stripMargin
       },
       "corpus cleanup end-to-end: lang+quality+repetition gate -> exact dedup -> decontam -> LSH near-dup dedup (north-star flagship)"),
 
@@ -1794,25 +1794,22 @@ object Docs {
     // Corpus-wide duplicate-chunk statistics: for each doc, the fraction
     // of its chunks whose content occurs anywhere else in the corpus —
     // the chunk-level dedup metric (FineWeb-style duplicate-paragraph
-    // fraction, on d19's windows). Shuffle shape: one explicit
-    // repartition(chunk_md5) feeds BOTH the frequency agg and the join
-    // probe (same ReuseExchange pattern as lshStarEdges — the
-    // corpus-sized chunk stream shuffles once), then one doc_id shuffle
-    // for the per-doc rollup.
+    // fraction, on d19's windows). Shuffle shape: the global occurrence
+    // count per chunk_md5 is a WINDOW count over the md5 partition —
+    // the chunk stream crosses one narrow (doc_id, chunk_md5) exchange
+    // and every row leaves it already annotated with n_occ, then one
+    // doc_id shuffle for the per-doc rollup. The previous freq-agg +
+    // probe-join consumed the same exchange twice (agg wave, then join
+    // wave) — strictly one more stage wave and a corpus-sized join for
+    // the same answer; at a 0.29 s twin that dispatch put d21 at
+    // 2.3-2.4x, and at 100 TB the window is one sort instead of
+    // hash-agg + shuffle-hash-join over an identical exchange.
     Q("d21_dup_chunks",
       (s, dir) => {
-        // doc_id rides inside a struct so the frequency branch can
-        // reference it (count(dt) ≡ count(1): a struct is never null)
-        // and column pruning cannot specialize the shared chunk_md5
-        // exchange per consumer — without this the chunk explode + md5
-        // ran once per branch (only the raw-text exchange reused;
-        // ExecPlan-verified, same fix as d18/d20/d25).
-        val byMd5 = chunked(s, dir)
-          .select(col("chunk_md5"), struct(col("doc_id")).as("dt"))
-          .repartition(col("chunk_md5"))
-        val freq = byMd5.groupBy(col("chunk_md5")).agg(count(col("dt")).as("n_occ"))
-        byMd5.join(freq, Seq("chunk_md5"))
-          .select(col("dt.doc_id").as("doc_id"), col("n_occ"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_md5"))
+        chunked(s, dir)
+          .select(col("doc_id"), col("chunk_md5"))
+          .withColumn("n_occ", count(lit(1)).over(w))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_chunks"),
             sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("dup_chunks"))

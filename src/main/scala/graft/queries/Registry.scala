@@ -80,3 +80,63 @@ object Registry {
   lazy val oracleSql: Map[String, String] =
     all.flatMap(q => q.sql.map(q.name -> _)).toMap
 }
+
+/** Bounded-iteration connected-components ORACLE fragment — the
+  * DuckDB twin of [[graft.operators.ConnectedComponents.components]].
+  *
+  * The previous twin computed the full transitive closure with a
+  * recursive CTE (`reach(u,v)` = every reachable pair): exact, but the
+  * pair set is O(Σ component²) — at sf10 DuckDB ran past the 1800 s
+  * oracle cap on d12/e10, leaving those rows to independent ScaleCheck
+  * verdicts. This fragment instead UNROLLS the exact per-round update
+  * rule the Spark operator runs — min-label propagation fused with
+  * pointer jumping:
+  *
+  *   l0(u)   = min({u} ∪ N(u))
+  *   s_k(u)  = min(l_{k-1}(u), min over v∈N(u) of l_{k-1}(v))
+  *   l_k(u)  = s_k(s_k(u))              -- rep := rep's rep
+  *
+  * to a fixed number of CTE levels. Each level is two hash joins and
+  * one aggregation over (n labels + m edges) rows — LINEAR per level,
+  * never the closure's quadratic pair materialization. Because both
+  * engines run the SAME deterministic update rule from the same l0,
+  * DuckDB's labels after K levels equal Spark's labels after K rounds;
+  * Spark iterates to a fixpoint (observed convergence counter), so any
+  * K ≥ Spark's converged round count yields the identical component
+  * minima — and extra levels past convergence are no-ops on the values.
+  * Pointer jumping halves label-chain depth per round, so K levels
+  * cover component diameters ~2^K: the default 10 is an order of
+  * magnitude above any measured LSH/semantic dedup graph (sf10
+  * converges in ≤5 rounds; a probe is in tools/ScaleCheck) while
+  * costing DuckDB milliseconds at oracle SF. An under-unrolled K can
+  * never pass silently: labels would differ from Spark's converged
+  * output and the hash gate goes red.
+  *
+  * Every CTE is `AS MATERIALIZED`: each level references the previous
+  * one twice (and `edges` once more), so left to DuckDB's default
+  * CTE inlining the plan re-expands the whole upstream chain per
+  * reference — exponential in the level count (measured: sf0.01 d12
+  * died on file-handle exhaustion from thousands of re-opened parquet
+  * scans before any row was produced). Materialization restores the
+  * linear-per-level cost the unrolling exists for; callers must mark
+  * their `edges` CTE MATERIALIZED for the same reason.
+  */
+private[queries] object CcSql {
+  /** CTE chain `l0 .. l<levels>` over an `edges(u, v)` CTE that is
+    * already SYMMETRIZED (both directions present). Returns the SQL to
+    * splice after `edges` plus the final label-CTE name; the caller
+    * writes the outer SELECT (left-join back to the full id universe).
+    */
+  def unrolled(levels: Int = 10): (String, String) = {
+    val l0 = "l0 AS MATERIALIZED (SELECT u AS id, LEAST(u, MIN(v)) AS rep FROM edges GROUP BY u)"
+    val rounds = (1 to levels).map { k =>
+      s"""n$k AS MATERIALIZED (SELECT e.u AS id, MIN(l.rep) AS nrep
+         |  FROM edges e JOIN l${k - 1} l ON e.v = l.id GROUP BY e.u),
+         |s$k AS MATERIALIZED (SELECT l.id, LEAST(l.rep, COALESCE(n.nrep, l.rep)) AS rep
+         |  FROM l${k - 1} l LEFT JOIN n$k n ON l.id = n.id),
+         |l$k AS MATERIALIZED (SELECT a.id, COALESCE(b.rep, a.rep) AS rep
+         |  FROM s$k a LEFT JOIN s$k b ON a.rep = b.id)""".stripMargin
+    }
+    ((l0 +: rounds).mkString(",\n"), s"l$levels")
+  }
+}

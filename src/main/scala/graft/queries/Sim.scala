@@ -570,10 +570,28 @@ object Sim {
   /** Session-scoped trained-index cache for the PLAIN PQ chain: the
     * codebook literal + the corpus code table (the PQ index a
     * production deployment stores and serves). Same key/invalidation
-    * discipline as [[residualModel]]. */
+    * discipline as [[residualModel]]: [[invalidateIndexCaches]] clears
+    * BOTH caches and releases their checkpoint blocks. */
   private val pqModelCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
     (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+
+  /** Release the checkpoint RDD blocks behind a localCheckpoint'ed
+    * DataFrame when its cache entry is dropped in a LIVE session —
+    * otherwise a session that retrains the same corpus repeatedly
+    * accumulates orphaned MEMORY_AND_DISK blocks until the
+    * ContextCleaner's GC-driven sweep gets to them. The checkpointed
+    * RDD sits behind the LogicalRDD leaf the checkpoint returned;
+    * stopped sessions are skipped (their block manager is gone). */
+  private def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    try {
+      if (!df.sparkSession.sparkContext.isStopped)
+        df.queryExecution.analyzed.collectLeaves().foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+    } catch { case _: Throwable => () }
 
   private def pqModel(e: org.apache.spark.sql.DataFrame):
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
@@ -667,12 +685,32 @@ object Sim {
     (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
     (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
 
-  /** Drop every cached residual-PQ model (all sessions). */
-  def invalidateResidualModels(): Unit = residualModelCache.clear()
+  /** Drop every cached trained index — BOTH the plain-PQ and the
+    * residual-PQ caches, all sessions — releasing their checkpointed
+    * RDD blocks. This is the documented invalidation step after
+    * rewriting corpus files mid-session: clearing only one cache
+    * would leave the other serving a stale codebook/code table. */
+  def invalidateIndexCaches(): Unit = {
+    import scala.jdk.CollectionConverters._
+    pqModelCache.values.asScala.foreach { case (_, codes) => releaseCheckpoint(codes) }
+    pqModelCache.clear()
+    residualModelCache.values.asScala.foreach { case (_, _, cells) => releaseCheckpoint(cells) }
+    residualModelCache.clear()
+  }
+
+  /** Former name of [[invalidateIndexCaches]]; kept as an alias so the
+    * documented invalidation API keeps working. */
+  def invalidateResidualModels(): Unit = invalidateIndexCaches()
 
   /** Train (or fetch) the residual-PQ model triple for corpus `e`:
     * (coarse codebook literal, residual codebook literal, checkpointed
-    * vector→cell map). See [[pqResidualAdcCandidates]] for the shapes. */
+    * per-vector (cell, sub, code) CODE TABLE). The code table is part
+    * of the stored index — a deployment encodes the corpus once at
+    * build time and serves lookups against the codes; recomputing the
+    * residual encode per query (the pre-round-12 shape) made every
+    * e19 serve re-run the corpus explode + two joins + a K-way argmin
+    * (~0.9 s/lookup at sf0.1 vs ~0.4 for plain PQ, whose codes were
+    * already cached). See [[pqResidualAdcCandidates]] for the shapes. */
   private def residualModel(e: org.apache.spark.sql.DataFrame):
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     residualModelCache.keySet.removeIf(_._1.sparkContext.isStopped)
@@ -706,38 +744,42 @@ object Sim {
         val resT = mt.join(cells, Seq("vec_id"))
           .join(broadcast(cent.select(col("label").as("cell"), col("pos"), col("cm"))),
             Seq("cell", "pos"))
-          .select(col("vec_id"), col("vlabel"), col("pos"),
+          .select(col("vec_id"), col("vlabel"), col("cell"), col("pos"), col("sub"),
             (col("m") - col("cm")).as("rm"))
         // residual codebooks, trained per (label, pos) over the residuals
         val rcm = localModel(resT.groupBy(col("vlabel"), col("pos"))
           .agg(sum(col("rm")).as("sr"), count(lit(1)).as("n"))
           .select(col("vlabel").as("label"), col("pos"),
             halfAwayDiv(col("sr"), col("n")).as("rcm")))
-        (cent, rcm, cells)
+        // corpus ENCODE at train time: residual subspace distances vs
+        // rcm → argmin codes, tagged with the owner's cell — the code
+        // table the index stores (3 narrow longs + cell per (vector,
+        // subspace)), checkpointed so a serve consumes a leaf
+        val rd2 = resT.join(broadcast(rcm), Seq("pos"))
+          .groupBy(col("vec_id"), col("sub"), col("label"))
+          .agg(sum((col("rm") - col("rcm")) * (col("rm") - col("rcm"))).as("d2"))
+        val codes = pqCodesDf(rd2).join(cells, Seq("vec_id")).localCheckpoint()
+        // cells only feeds training; its blocks are dead once codes is
+        // materialized
+        releaseCheckpoint(cells)
+        (cent, rcm, codes)
       })
   }
 
   private[graft] def pqResidualAdcCandidates(e: org.apache.spark.sql.DataFrame,
       queryVecId: Long = 0L): org.apache.spark.sql.DataFrame = {
-    val (cent, rcm, cells) = residualModel(e)
-    val m = e.repartition(col("vec_id"))
-      .select(col("vec_id"), col("label").as("vlabel"),
-        posexplode(col("embedding")).as(Seq("pos", "vf")))
+    val (cent, rcm, codes) = residualModel(e)
+    // SERVING path: only the query's own residual work happens per
+    // lookup — one row explodes to its micro-units, gets a residual
+    // per cell, and one additive distance table per cell (K · subs · K
+    // rows — broadcast-bounded); the corpus side is the model's
+    // checkpointed code-table leaf, exactly how a served residual-PQ
+    // index answers a lookup.
+    val qm = e.filter(col("vec_id") === queryVecId)
+      .select(posexplode(col("embedding")).as(Seq("pos", "vf")))
       .filter(col("vf").isNotNull)
-      .select(col("vec_id"), col("vlabel"), col("pos"),
-        expr("pos DIV 8").as("sub"), microQ(col("vf")).as("m"))
-    val res = m.join(cells, Seq("vec_id"))
-      .join(broadcast(cent.select(col("label").as("cell"), col("pos"), col("cm"))),
-        Seq("cell", "pos"))
-      .select(col("vec_id"), col("vlabel"), col("cell"), col("pos"), col("sub"),
-        (col("m") - col("cm")).as("rm"))
-    val rd2 = res.join(broadcast(rcm), Seq("pos"))
-      .groupBy(col("vec_id"), col("sub"), col("label"))
-      .agg(sum((col("rm") - col("rcm")) * (col("rm") - col("rcm"))).as("d2"))
-    val codes = pqCodesDf(rd2)
-    // the query's residual per CELL → one distance table per cell
-    // (K · subs · K rows — broadcast-bounded like every model here)
-    val qres = m.filter(col("vec_id") === queryVecId)
+      .select(col("pos"), expr("pos DIV 8").as("sub"), microQ(col("vf")).as("m"))
+    val qres = qm
       .join(broadcast(cent.select(col("label").as("cell"), col("pos"), col("cm"))),
         Seq("pos"))
       .select(col("cell"), col("pos"), col("sub"), (col("m") - col("cm")).as("qrm"))
@@ -746,7 +788,6 @@ object Sim {
       .agg(sum((col("qrm") - col("rcm")) * (col("qrm") - col("rcm"))).as("qd2"))
       .select(col("cell"), col("sub"), col("label").as("code"), col("qd2"))
     codes.filter(col("vec_id") =!= queryVecId)
-      .join(cells, Seq("vec_id"))
       .join(broadcast(qdt), Seq("cell", "sub", "code"))
       .groupBy(col("vec_id")).agg(sum(col("qd2")).as("adc"))
       .orderBy(col("adc").asc, col("vec_id").asc).limit(20)
@@ -1194,7 +1235,11 @@ object Sim {
         val sums = (0 until 8).map(j =>
           s"  SUM(v * ((((pos - 1) * 37 + $j * 101) % 19) - 9)) AS s$j").mkString(",\n")
         val code = (0 until 8).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-        s"""WITH RECURSIVE unnested AS (
+        // bounded-iteration CC twin (CcSql) — same replacement as d12:
+        // the recursive closure DNF'd the sf10 oracle cap; the unrolled
+        // pointer-jumping levels mirror the Spark operator round-for-round
+        val (cc, lk) = CcSql.unrolled()
+        s"""WITH unnested AS (
            |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
            |         unnest(embedding::DOUBLE[]) AS v
            |  FROM embeddings),
@@ -1204,19 +1249,15 @@ object Sim {
            |bkt AS (SELECT vec_id, CAST($code AS BIGINT) AS bkt FROM sums),
            |ee AS (SELECT embeddings.vec_id, embedding, bkt
            |      FROM embeddings JOIN bkt ON embeddings.vec_id = bkt.vec_id),
-           |pairs AS (
+           |pairs AS MATERIALIZED (
            |  SELECT a.vec_id AS u, b.vec_id AS v
            |  FROM ee a JOIN ee b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
            |  WHERE ROUND(${dDot("a.embedding", "b.embedding")} /
            |    (sqrt(${dDot("a.embedding", "a.embedding")}) * sqrt(${dDot("b.embedding", "b.embedding")})), 4) >= 0.2),
-           |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
-           |reach(u, v) AS (
-           |  SELECT u, v FROM edges
-           |  UNION
-           |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
-           |rep AS (SELECT u AS id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u)
-           |SELECT em.vec_id, COALESCE(rep.rep, em.vec_id) AS cluster_rep
-           |FROM embeddings em LEFT JOIN rep ON em.vec_id = rep.id""".stripMargin
+           |edges AS MATERIALIZED (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+           |$cc
+           |SELECT em.vec_id, COALESCE($lk.rep, em.vec_id) AS cluster_rep
+           |FROM embeddings em LEFT JOIN $lk ON em.vec_id = $lk.id""".stripMargin
       },
       "SemDeDup: embedding near-dup clusters -> min-id representative (north-star: dedup)"),
 
@@ -1580,21 +1621,45 @@ object Sim {
     // (broadcast anchors, cell/bucket-pruned scans); the report itself
     // is two joins of 10-row frames. RecallProbe (tools) runs the same
     // comparison interactively; THIS is the oracle-checked version.
+    //
+    // Plan shape: every top-k frame here is BOUNDED (k = 10 rows), so
+    // each ranking chain is materialized ONCE into a literal
+    // LocalRelation (the localModel pattern) and the report unions
+    // four literal-vs-literal joins. As live subtrees the exact
+    // baseline was embedded in all four method branches — one action
+    // re-executed the full brute-force scan 4x plus each ANN chain
+    // (measured 3.3-4.6x the twin, which CTE-shares everything).
+    // The five rankings are INDEPENDENT actions, so they collect
+    // concurrently — multi-threaded job submission on one session is
+    // the standard Spark pattern for fan-out evaluation reports; the
+    // DAGScheduler interleaves the jobs' stages across the executors,
+    // so wall time is the slowest chain, not the sum of five. The
+    // collects are 10 rows each at any corpus scale.
     Q("e18_recall_report",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        val exact = exactTopKDf(e, 10).select(col("vec_id"))
+        def lit10(top: org.apache.spark.sql.DataFrame) =
+          localModel(top.select(col("vec_id")))
+        val e2 = e.filter(col("embedding").isNotNull)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val collected = Await.result(Future.sequence(Seq(
+          Future(lit10(exactTopKDf(e, 10))),
+          Future(lit10(ivfTopKDf(e, 10))),
+          Future(lit10(lshTopKDf(e, 10))),
+          Future(lit10(pqRerank(e2, pqAdcCandidates(e2), 0L, 10))),
+          Future(lit10(pqRerank(e2, pqResidualAdcCandidates(e2), 0L, 10))))),
+          scala.concurrent.duration.Duration.Inf)
+        val Seq(exact, ivf, lsh, pq, pqres) = collected
         def row(method: String, top: org.apache.spark.sql.DataFrame) =
-          top.select(col("vec_id")).join(exact, Seq("vec_id"))
+          top.join(exact, Seq("vec_id"))
             .agg(count(lit(1)).as("hits"))
             .select(lit(method).as("method"), col("hits"),
               floorDiv(col("hits") * lit(1000000L), lit(10L)).as("recall_ppm"))
-        val e2 = e.filter(col("embedding").isNotNull)
-        row("ivf", ivfTopKDf(e, 10))
-          .unionByName(row("lsh", lshTopKDf(e, 10)))
-          .unionByName(row("pq", pqRerank(e2, pqAdcCandidates(e2), 0L, 10)))
-          .unionByName(row("pq_res",
-            pqRerank(e2, pqResidualAdcCandidates(e2), 0L, 10)))
+        row("ivf", ivf)
+          .unionByName(row("lsh", lsh))
+          .unionByName(row("pq", pq))
+          .unionByName(row("pq_res", pqres))
       },
       Some {
         val sums = (0 until 8).map(j =>

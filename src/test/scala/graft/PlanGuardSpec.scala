@@ -18,7 +18,8 @@ class PlanGuardSpec extends SparkSpec {
     * allowed to carry raw document text; any ENSURE_REQUIREMENTS (join /
     * agg / window) exchange shipping `text` means a corpus-sized payload
     * is riding a shuffle that should carry computed columns. */
-  private def assertTextOnlyRidesTheSpread(name: String): Unit = {
+  private def assertTextOnlyRidesTheSpread(name: String,
+      requireReuse: Boolean = true): Unit = {
     val df = Registry.queries(name)(spark, sfDir)
     df.collect()
     val sh = PlanInspect.shuffles(df)
@@ -29,8 +30,12 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(textEx.size <= 1,
       s"$name: ${textEx.size} exchanges carry raw text — the corpus is being spread twice")
-    assert(PlanInspect.reused(df).nonEmpty,
-      s"$name: consumers must reuse the doc_id spread exchange, not re-shuffle the corpus")
+    // multi-consumer queries must reuse the spread; a single-pass plan
+    // (d21's window formulation consumes the chunk stream exactly once)
+    // has no second consumer and nothing TO reuse
+    if (requireReuse)
+      assert(PlanInspect.reused(df).nonEmpty,
+        s"$name: consumers must reuse the doc_id spread exchange, not re-shuffle the corpus")
   }
 
   test("tripwire: NO battery query re-evaluates tokenization inside a lambda") {
@@ -58,8 +63,9 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("d18/d21/d25/d30: shared-stage queries never ship text through a join/agg exchange") {
-    Seq("d18_tfidf", "d21_dup_chunks", "d25_lm_surprisal", "d30_dupspan_removal")
-      .foreach(assertTextOnlyRidesTheSpread)
+    Seq("d18_tfidf", "d25_lm_surprisal", "d30_dupspan_removal")
+      .foreach(assertTextOnlyRidesTheSpread(_))
+    assertTextOnlyRidesTheSpread("d21_dup_chunks", requireReuse = false)
   }
 
   test("d30: the block-hash exchange ships narrow (h, dt) tuples, never block content") {

@@ -340,13 +340,20 @@ class PlanPropertiesSpec extends SparkSpec {
       s"bounded probe side not broadcast:\n${p.take(600)}")
   }
 
-  test("d21: frequency agg and join probe share one chunk_md5 exchange") {
+  test("d21: single-pass window count — no join, chunk stream crosses one md5 exchange") {
     val df = Registry.queries("d21_dup_chunks")(spark, sfDir)
     df.collect()
     val ep = df.queryExecution.executedPlan.toString
-    assert(ep.contains("ReusedExchange"),
-      "chunk stream must shuffle once for both the freq agg and the probe")
+    // the n_occ annotation is a window over the md5 partition: the old
+    // freq-agg + probe-join shape (one extra stage wave over the same
+    // exchange) must not come back
+    assert(ep.contains("Window"), s"d21 lost its window formulation:\n${ep.take(600)}")
+    assert(!ep.contains("SortMergeJoin") && !ep.contains("ShuffledHashJoin") &&
+      !ep.contains("BroadcastHashJoin"), "d21 regained a corpus-sized join")
     assert(!ep.contains("CartesianProduct"))
+    val md5Ex = PlanInspect.shuffles(df).filter(_.output.exists(_.name == "chunk_md5"))
+    assert(md5Ex.size == 1,
+      s"d21: expected exactly one chunk_md5 exchange, got ${md5Ex.size}")
   }
 
   test("e06: KNN self-join reuses one bucket exchange; no cartesian") {

@@ -103,7 +103,12 @@ class GateExprsSpec extends SparkSpec {
     val rowGen = org.scalacheck.Gen.listOfN(400,
       org.scalacheck.Gen.choose(0, 12).flatMap(n =>
         org.scalacheck.Gen.listOfN(n, scalarGen)))
-    rowGen.sample.get.zipWithIndex.map { case (ws, i) => (i.toLong, ws) }
+    // pureApply with a pinned seed: total (retries internally, never
+    // returns Option.empty like .sample) and reproducible run-to-run —
+    // a failure here is a deterministic diff, not a flaky None.get
+    rowGen.pureApply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(0x6772616674L))
+      .zipWithIndex.map { case (ws, i) => (i.toLong, ws) }
   }
 
   test("gopherStats ≡ builtin chain on adversarial Unicode tokens") {
