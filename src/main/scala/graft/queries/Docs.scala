@@ -299,20 +299,24 @@ object Docs {
     * of bigrams starting with a (the conditional-model denominator);
     * V = corpus distinct unigrams (the add-one mass).
     *
-    * Shuffle shape: one doc_id spread; the bigram stream joins its own
-    * count table on (a,b) — SHUFFLE_HASH-hinted, not broadcast (a post-
-    * agg row estimate is garbage-small and a "small" bigram vocab at
-    * 100 TB is not broadcastable — the d20 lesson) and not merge (the
-    * probe side is the corpus-sized bigram stream; hashing the
-    * aggregated build side beats sorting the probe side, and the hinted
-    * join is spillable either way); history counts are vocab-sized →
-    * broadcast (AQE self-demotes if a real vocab outgrows an executor).
-    * Docs with <2 tokens carry no bigrams and drop, mirroring d25's
-    * zero-token convention. */
+    * Shuffle shape: NO text spread — bigram extraction is per-row, so
+    * every consumer reads the column-pruned parquet scan directly
+    * (data-local, no corpus-sized text exchange; a scan re-read beats
+    * a text shuffle at any scale). The global (a,b) counts and the
+    * history counts c(a·) both shrink map-side before their exchanges
+    * (partial combine → distinct-ish size), with c(a·) folded from the
+    * global count chain (same canonical (a,b) exchange → runtime-
+    * reusable) rather than a third occurrence pass; both are
+    * vocab-sized → broadcast (AQE self-demotes if a real vocab
+    * outgrows an executor). The probe join stays SHUFFLE_HASH-hinted,
+    * not broadcast (a post-agg row estimate is garbage-small and a
+    * "small" bigram vocab at 100 TB is not broadcastable — the d20
+    * lesson); the occurrence stream crosses exactly two exchanges
+    * (probe (a,b), per-doc rollup). Docs with <2 tokens carry no
+    * bigrams and drop, mirroring d25's zero-token convention. */
   private[graft] def bigramSurprisalDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val base = docs
       .filter(col("text").isNotNull && col("doc_id").isNotNull)
-      .repartition(col("doc_id"))
       .select(col("doc_id"), words(col("text")).as("ws"))
     val bi = base
       .select(col("doc_id"), col("ws"),
@@ -320,10 +324,31 @@ object Docs {
       .select(col("doc_id"),
         element_at(col("ws"), col("i")).as("a"),
         element_at(col("ws"), col("i") + 1).as("b"))
+    // The global (a,b) count runs as its own bigram pass WITH map-side
+    // partial combine (its exchange ships distinct-ish (a,b) partials,
+    // not occurrences) — sharing the probe's raw repartition instead
+    // was tried and rejected: partial-agg placement de-canonicalizes
+    // the two consumers' exchanges (no reuse fires), and giving up the
+    // combine to force sharing ships raw occurrences twice at scale.
     val bc = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
-    val hc = bi.groupBy(col("a")).agg(count(lit(1)).as("ca"))
-    val v = base.select(explode(col("ws")).as("t")).filter(col("t") =!= "")
-      .agg(countDistinct(col("t")).as("v"))
+    // ONE token-keyed pass yields both remaining model terms: a
+    // bigram's history count c(a·) = Σ_b c(ab) is exactly the number
+    // of NON-LAST positions holding token a (every non-last position
+    // starts one bigram), and V is the distinct-token count — so
+    // instead of a second bigram rollup plus a third distinct-count
+    // corpus pass, explode tokens once with a last-position flag and
+    // aggregate per token (map-side combine → vocab-sized exchange).
+    val ta = base
+      .select(posexplode(col("ws")).as(Seq("p", "t")),
+        (size(col("ws")) - 1).as("last"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("p") < col("last"), 1L).otherwise(0L)).as("ca"))
+    val hc = ta.filter(col("ca") > 0).select(col("t").as("a"), col("ca"))
+    // count(when(t ≠ '', ca)) ≡ the distinct non-empty token count
+    // (ca is never null), while REFERENCING ca — count(lit(1)) would
+    // prune ca out of this subtree, de-canonicalize the token exchange
+    // vs hc's, and re-run the whole token pass just for the scalar
+    val v = ta.agg(count(when(col("t") =!= "", col("ca"))).as("v"))
     def bits(c: Column) = length(bin(c)).cast("long")
     bi.join(bc.hint("shuffle_hash"), Seq("a", "b"))
       .join(broadcast(hc), Seq("a"))

@@ -118,22 +118,29 @@ object Temporal {
              |FROM events""".stripMargin),
       "backward fill via first(ignoreNulls) window (SURVEY W2)"),
 
-    // W1: readmission labeling — "∃ later visit within gap" as a self
-    // range-join, the set-based rewrite of cohort.py:268-323's row loop.
+    // W1: readmission labeling — "∃ later visit within gap" as a
+    // RANGE-FRAME window count, the set-based rewrite of
+    // cohort.py:268-323's row loop. "any other order by the same
+    // customer with date in (d+3, d+33]" is, on integer day numbers,
+    // the count over the window frame RANGE BETWEEN 4 FOLLOWING AND
+    // 33 FOLLOWING (strict >d+3 ⇔ ≥d+4 on whole days; same-day rows
+    // sit at offset 0, outside the frame — ties need no special
+    // case). One customer exchange + one partition-parallel sort
+    // replaces the former self range-join's two joins and three
+    // exchanges (probe semi-join + orderkey join-back; measured 6.7×
+    // its twin at sf0.1) — and at 100 TB a per-customer sorted window
+    // scan beats re-shuffling the orders table twice for the same
+    // existence test.
     Q("q08_readmission_label",
       (s, dir) => {
-        val o = t(s, dir, "orders")
-        val a = o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-          .repartition(col("o_custkey")) // see q21 — parallel range probe, integer label
-        val b = o.select(col("o_custkey").as("b_custkey"), col("o_orderdate").as("b_orderdate"))
-        val pos = a.join(b,
-            col("o_custkey") === col("b_custkey") &&
-            col("b_orderdate") > col("o_orderdate") + expr("INTERVAL 3 DAYS") &&
-            col("b_orderdate") <= col("o_orderdate") + expr("INTERVAL 33 DAYS"),
-            "left_semi")
-          .select(col("o_orderkey")).withColumn("label", lit(1))
-        a.join(pos, Seq("o_orderkey"), "left")
-          .select(col("o_orderkey"), coalesce(col("label"), lit(0)).as("label"))
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("d").asc).rangeBetween(4, 33)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).as("d"))
+          .withColumn("label",
+            when(count(lit(1)).over(w) > 0, 1).otherwise(0))
+          .select(col("o_orderkey"), col("label"))
       },
       Some("""SELECT o_orderkey,
              |  CASE WHEN EXISTS (SELECT 1 FROM orders b
