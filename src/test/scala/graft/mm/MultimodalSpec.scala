@@ -377,4 +377,64 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.frameSample(Multimodal.withPayload(docs.filter(col("doc_id") === 2)), 4)
     assert(frames.count() === 0)
   }
+
+  // ── SPI routing: "a codec jar swaps in with no plumbing change" ────
+  // decodePixels/decodeAudio are NOT modified for the toy formats below
+  // (see ToyCodecs): the image provider registers at runtime through
+  // IIORegistry (what a provider jar's static initializer does), the
+  // audio providers load from META-INF/services in test resources
+  // (exactly how a provider jar ships) — and the same public decoder
+  // calls route through them.
+
+  test("decodePixels routes an unknown format through a runtime-registered ImageReaderSpi") {
+    import spark.implicits._
+    val rgb = Array(
+      0xff, 0x00, 0x00, 0x00, 0xff, 0x00,
+      0x00, 0x00, 0xff, 0x12, 0x34, 0x56).map(_.toByte)
+    val df = Seq((1L, ToyCodecs.toyImage(2, 2, rgb))).toDF("doc_id", "payload")
+
+    // before registration the SAME payload must use the error channel
+    val before = Multimodal.decodePixels(df).collect().head
+    assert(!before.ok && before.err.contains("no registered reader"),
+      s"TOYI decoded before its SPI was registered: $before")
+
+    val registry = javax.imageio.spi.IIORegistry.getDefaultInstance
+    val spi = new ToyImageReaderSpi
+    registry.registerServiceProvider(spi)
+    try {
+      val after = Multimodal.decodePixels(df).collect().head
+      assert(after.ok, s"TOYI did not route through the registered SPI: ${after.err}")
+      assert(after.width === 2 && after.height === 2)
+      // raw-RGB toy format is lossless: bytes must round-trip exactly
+      assert(after.pixels.toSeq === rgb.toSeq)
+    } finally registry.deregisterServiceProvider(spi)
+  }
+
+  test("decodeAudio transcodes a toy compressed encoding through META-INF/services providers") {
+    import spark.implicits._
+    val frames = Array[Byte](0, 64, -64, 127, -128)
+    val df = Seq(
+      (1L, ToyCodecs.toyAudio(ToyCodecs.AudioMagicConv, frames)), // TOYENC: convertible
+      (2L, ToyCodecs.toyAudio(ToyCodecs.AudioMagicRaw, frames))   // TOYRAW: no transcoder
+    ).toDF("doc_id", "payload")
+    val m = Multimodal.decodeAudio(df).collect().map(x => x.doc_id -> x).toMap
+
+    // TOYENC routes container parse (AudioFileReader SPI) -> transcoder
+    // probe (FormatConversionProvider SPI) -> PCM level stats
+    val a = m(1L)
+    assert(a.ok, s"TOYENC did not transcode: ${a.err}")
+    assert(a.encoding === "TOYENC->PCM_SIGNED")
+    assert(a.channels === 1 && a.sample_rate === 8000.0 && a.n_frames === 5L)
+    // transcode is sample = byte << 8, levelStats normalizes /32768 ->
+    // v = byte/128 exactly; expected levels computed from the fixture
+    val vs = frames.map(_ / 128.0)
+    assert(math.abs(a.peak - vs.map(math.abs).max) < 1e-12)
+    assert(math.abs(a.rms - math.sqrt(vs.map(v => v * v).sum / vs.length)) < 1e-12)
+
+    // TOYRAW parses (params intact) but has no registered transcoder ->
+    // error channel, exactly the "no codec jar" degradation
+    val b = m(2L)
+    assert(!b.ok && b.err.contains("no PCM transcoder SPI registered"), b.toString)
+    assert(b.encoding === "TOYRAW" && b.channels === 1 && b.n_frames === 5L)
+  }
 }
