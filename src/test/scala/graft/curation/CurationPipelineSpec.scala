@@ -447,4 +447,34 @@ class CurationPipelineSpec extends SparkSpec {
     assert(counts("03_clean") === counts("02_exact"))
     assert(!counts.contains("05_chunks"))
   }
+
+  test("walkthrough config runs end-to-end: every documented stage, non-degenerate, resumable") {
+    // the EXACT config from WALKTHROUGH.md (shared via Walkthrough so
+    // the doc can't drift from a config that works)
+    val out = Files.createTempDirectory("graft-curation-walk").toString
+    val docs = Registry.t(spark, sfDir, "documents")
+    val counts = CurationPipeline.run(spark, docs, out,
+      cfg = Walkthrough.config, selection = Walkthrough.selection)
+
+    // every stage the walkthrough documents, in order
+    assert(counts.map(_._1) === Seq(
+      "00_report/source", "00_report/zipf", "00_stoplist",
+      "01_gated", "02_exact", "03_clean", "04_corpus", "04a_spans",
+      "04b_selected", "05_chunks", "06_pack", "07_order"))
+    val byName = counts.toMap
+    // monotone survivor chain, nothing degenerate
+    assert(byName("01_gated") > 0 && byName("01_gated") <= docs.count())
+    assert(byName("02_exact") <= byName("01_gated"))
+    assert(byName("03_clean") <= byName("02_exact"))
+    assert(byName("04_corpus") <= byName("03_clean"))
+    assert(byName("04b_selected") > 0 && byName("04b_selected") <= byName("04a_spans"))
+    assert(byName("06_pack") === byName("04b_selected"))
+    assert(byName("07_order") === byName("04b_selected"))
+
+    // resume: a second run must reproduce identical counts from the
+    // _SUCCESS-marked stage dirs without recomputation side effects
+    val counts2 = CurationPipeline.run(spark, docs, out,
+      cfg = Walkthrough.config, selection = Walkthrough.selection)
+    assert(counts2 === counts)
+  }
 }
