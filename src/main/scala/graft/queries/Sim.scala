@@ -627,6 +627,94 @@ object Sim {
       .orderBy(col("adc").asc, col("vec_id").asc).limit(20)
   }
 
+  /** The corpus micro-unit subspace stream (vec_id, pos, sub, m) —
+    * shared by the 4-bit chain's train/encode/serve steps. */
+  private def microSubs(vecs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    vecs.repartition(col("vec_id"))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .filter(col("vf").isNotNull)
+      .select(col("vec_id"), col("pos"), expr("pos DIV 8").as("sub"),
+        microQ(col("vf")).as("m"))
+
+  /** e20's 4-BIT PQ model: K = 16 codewords PER SUBSPACE (codes fit a
+    * nibble — half of e15's byte-per-sub storage), trained with one
+    * exact-integer k-means refinement per subspace from deterministic
+    * seeds (the 16 lowest non-null vec_ids' subvectors; ties and
+    * argmins break on the smaller codeword id everywhere, so both
+    * engines learn bit-identical codebooks). Unlike e15/e19 the
+    * codewords are NOT the data's label means: at 4 bits the codebook
+    * must adapt to each subspace's distribution or the nibble budget
+    * is wasted — this is the standard low-bit PQ training step, kept
+    * in pure long arithmetic end-to-end.
+    *
+    * Returns (codebook literal (c, sub, pos, w), PACKED code table
+    * (vec_id, b, packed, mask)): two nibble codes per byte b
+    * (packed = code(2b) + 16·code(2b+1)) with a 2-bit validity mask,
+    * so a vector whose null components erase a whole subspace
+    * round-trips exactly — the storage format a served 4-bit index
+    * keeps (4 packed bytes + mask for 64 dims vs e15's 8 code bytes).
+    * Scale shape: one vec_id spread feeds train + encode, every
+    * aggregation downstream is keyed on a vec_id prefix, codebooks and
+    * the query distance table are 16×dims broadcasts. */
+  private[graft] def pq4Model(e: org.apache.spark.sql.DataFrame):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val m = microSubs(e)
+    // deterministic seeds: the 16 lowest non-null vec_ids, c = rank-1
+    val seeds = localModel(e.select(col("vec_id")).orderBy(col("vec_id").asc).limit(16)
+      .select(col("vec_id"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("vec_id").asc)) - 1).cast("long").as("c")))
+    val cw0 = localModel(m.join(broadcast(seeds), Seq("vec_id"))
+      .select(col("c"), col("sub"), col("pos"), col("m").as("w")))
+    // one refinement round: per-(vec, sub) argmin over the seed
+    // codewords, then per-(c, sub, pos) rounded mean of the members
+    val a2 = m.join(broadcast(cw0), Seq("sub", "pos"))
+      .groupBy(col("vec_id"), col("sub"), col("c"))
+      .agg(sum((col("m") - col("w")) * (col("m") - col("w"))).as("d2"))
+    val asn = a2.groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("c"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best").getField("c").as("c"))
+    val cw = localModel(m.join(asn, Seq("vec_id", "sub"))
+      .groupBy(col("c"), col("sub"), col("pos"))
+      .agg(sum(col("m")).as("sm"), count(lit(1)).as("n"))
+      .select(col("c"), col("sub"), col("pos"), halfAwayDiv(col("sm"), col("n")).as("w")))
+    val d24 = m.join(broadcast(cw), Seq("sub", "pos"))
+      .groupBy(col("vec_id"), col("sub"), col("c"))
+      .agg(sum((col("m") - col("w")) * (col("m") - col("w"))).as("d2"))
+    val codes4 = d24.groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("c"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best").getField("c").as("code"))
+    val packed = codes4
+      .groupBy(col("vec_id"), expr("sub DIV 2").as("b"))
+      .agg(sum(col("code") * when(col("sub") % 2 === 1, 16L).otherwise(1L)).as("packed"),
+        sum(when(col("sub") % 2 === 1, 2L).otherwise(1L)).as("mask"))
+    (cw, packed)
+  }
+
+  /** e20's ADC candidates: UNPACK the nibble code table (mask-guarded,
+    * so missing subspaces never fabricate a code), join the query's
+    * 8×16 distance table, additive rank, top-20. */
+  private[graft] def pq4AdcCandidates(e: org.apache.spark.sql.DataFrame,
+      queryVecId: Long = 0L): org.apache.spark.sql.DataFrame = {
+    val (cw, packed) = pq4Model(e)
+    val unp = packed.select(col("vec_id"), explode(array(
+        struct((col("b") * 2).as("sub"), (col("packed") % 16).as("code"),
+          (col("mask") % 2 === 1).as("ok")),
+        struct((col("b") * 2 + 1).as("sub"), expr("packed DIV 16").as("code"),
+          (col("mask") >= 2).as("ok")))).as("u"))
+      .filter(col("u.ok"))
+      .select(col("vec_id"), col("u.sub").as("sub"), col("u.code").as("code"))
+    val qdt = microSubs(e.filter(col("vec_id") === queryVecId))
+      .join(broadcast(cw), Seq("sub", "pos"))
+      .groupBy(col("sub"), col("c"))
+      .agg(sum((col("m") - col("w")) * (col("m") - col("w"))).as("qd2"))
+      .select(col("sub"), col("c").as("code"), col("qd2"))
+    unp.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(qdt), Seq("sub", "code"))
+      .groupBy(col("vec_id")).agg(sum(col("qd2")).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc).limit(20)
+  }
+
   /** Exact-cosine re-rank of a bounded (vec_id, adc) candidate set —
     * the final stage every PQ variant shares. */
   private[graft] def pqRerank(e: org.apache.spark.sql.DataFrame,
@@ -859,6 +947,52 @@ object Sim {
        |  JOIN rqdt q ON q.cell = ce.cell AND q.sub = co.sub AND q.code = co.code
        |  WHERE co.vec_id <> 0 GROUP BY co.vec_id
        |  ORDER BY adc ASC, co.vec_id ASC LIMIT 20)""".stripMargin
+
+  /** e20's 4-bit PQ candidate CTEs (consumes [[pqPreludeSql]]'s `m`):
+    * 16 per-subspace codewords from one exact-integer k-means
+    * refinement (seeds = 16 lowest non-null vec_ids), nibble codes
+    * PACKED two-per-byte with a validity mask, mask-guarded unpack,
+    * integer ADC. Mirrors [[pq4Model]]/[[pq4AdcCandidates]] step for
+    * step. */
+  private val pq4CandSql: String =
+    s"""s0 AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id ASC) - 1 AS c
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |seeds AS (SELECT vec_id, c FROM s0 WHERE c < 16),
+       |cw0 AS (SELECT s.c, m.sub, m.pos, m.m AS w
+       |  FROM m JOIN seeds s USING (vec_id)),
+       |a2 AS (SELECT m.vec_id, m.sub, w.c,
+       |    SUM((m.m - w.w) * (m.m - w.w)) AS d2
+       |  FROM m JOIN cw0 w ON m.sub = w.sub AND m.pos = w.pos
+       |  GROUP BY m.vec_id, m.sub, w.c),
+       |asn AS (SELECT vec_id, sub, c FROM (
+       |  SELECT vec_id, sub, c,
+       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, c ASC) AS rn
+       |  FROM a2) WHERE rn = 1),
+       |cw AS (SELECT a.c, m.sub, m.pos, ${halfAwayDivSql("SUM(m.m)", "COUNT(*)")} AS w
+       |  FROM m JOIN asn a ON m.vec_id = a.vec_id AND m.sub = a.sub
+       |  GROUP BY a.c, m.sub, m.pos),
+       |d24 AS (SELECT m.vec_id, m.sub, w.c,
+       |    SUM((m.m - w.w) * (m.m - w.w)) AS d2
+       |  FROM m JOIN cw w ON m.sub = w.sub AND m.pos = w.pos
+       |  GROUP BY m.vec_id, m.sub, w.c),
+       |codes4 AS (SELECT vec_id, sub, c AS code FROM (
+       |  SELECT vec_id, sub, c,
+       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, c ASC) AS rn
+       |  FROM d24) WHERE rn = 1),
+       |pk AS (SELECT vec_id, sub // 2 AS b,
+       |    SUM(code * CASE WHEN sub % 2 = 1 THEN 16 ELSE 1 END) AS packed,
+       |    SUM(CASE WHEN sub % 2 = 1 THEN 2 ELSE 1 END) AS mask
+       |  FROM codes4 GROUP BY vec_id, sub // 2),
+       |unp AS (
+       |  SELECT vec_id, b * 2 AS sub, packed % 16 AS code FROM pk WHERE mask % 2 = 1
+       |  UNION ALL
+       |  SELECT vec_id, b * 2 + 1 AS sub, packed // 16 AS code FROM pk WHERE mask >= 2),
+       |qdt4 AS (SELECT sub, c AS code, d2 AS qd2 FROM d24 WHERE vec_id = 0),
+       |cand4 AS (
+       |  SELECT u.vec_id, CAST(SUM(q.qd2) AS BIGINT) AS adc
+       |  FROM unp u JOIN qdt4 q ON u.sub = q.sub AND u.code = q.code
+       |  WHERE u.vec_id <> 0 GROUP BY u.vec_id
+       |  ORDER BY adc ASC, u.vec_id ASC LIMIT 20)""".stripMargin
 
   val qs: Seq[Q] = Seq(
 
@@ -1433,6 +1567,37 @@ object Sim {
               |ORDER BY cos_sim DESC, rcand.vec_id ASC LIMIT 5""".stripMargin),
       "residual-encoded IVF-PQ ANN: codebooks on vector minus cell centroid, per-cell query tables, integer ADC (north-star)"),
 
+    // 4-bit PQ — the compression family's low-memory point (e13 is
+    // 8 bits/dim scalar, e15/e19 are byte-coded subspaces; THIS packs
+    // two 4-bit subspace codes per byte, the production format for
+    // >10⁹-vector indexes where code bytes dominate RAM). K = 16
+    // codewords per subspace are TRAINED (one exact-integer k-means
+    // refinement from deterministic seeds) rather than label means —
+    // at 4 bits the codebook must adapt per subspace or the nibble
+    // budget is wasted. The stored index is the packed nibble table
+    // (4 bytes + validity mask per 64-dim vector — HALF of e15's
+    // 8 code bytes); serving mask-unpacks the codes, joins the query's
+    // broadcast 8×16 distance table, ranks by integer ADC, and
+    // exact-re-ranks the top-20 (e02's rounded discipline). All
+    // arithmetic before the re-rank is pure long — both engines train
+    // bit-identical codebooks and pick identical candidates. Recall
+    // vs the byte-coded variants rides in the e18 report (RecallSpec
+    // asserts ≥ plain PQ at half the code bytes).
+    Q("e20_pq4_ann",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+        pqRerank(e, pq4AdcCandidates(e), 0L, 5)
+      },
+      Some(s"""WITH $pqPreludeSql,
+              |$pq4CandSql,
+              |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+              |SELECT cand4.vec_id, adc,
+              |  ROUND(${dDot("e.embedding", "q.qe")} /
+              |    (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("q.qe", "q.qe")})), 4) AS cos_sim
+              |FROM cand4 JOIN embeddings e ON e.vec_id = cand4.vec_id, q
+              |ORDER BY cos_sim DESC, cand4.vec_id ASC LIMIT 5""".stripMargin),
+      "4-bit PQ ANN: 16 trained codewords per subspace, packed nibble codes at half the byte-PQ footprint, integer ADC (north-star)"),
+
     // Cross-corpus SEMANTIC decontamination — the embedding-space
     // complement of d29's shingle near-dup: drop every TARGET vector
     // (vec_id % 10 ≠ 0) whose rounded cosine with any REFERENCE vector
@@ -1648,9 +1813,10 @@ object Sim {
           Future(lit10(ivfTopKDf(e, 10))),
           Future(lit10(lshTopKDf(e, 10))),
           Future(lit10(pqRerank(e2, pqAdcCandidates(e2), 0L, 10))),
-          Future(lit10(pqRerank(e2, pqResidualAdcCandidates(e2), 0L, 10))))),
+          Future(lit10(pqRerank(e2, pqResidualAdcCandidates(e2), 0L, 10))),
+          Future(lit10(pqRerank(e2, pq4AdcCandidates(e2), 0L, 10))))),
           scala.concurrent.duration.Duration.Inf)
-        val Seq(exact, ivf, lsh, pq, pqres) = collected
+        val Seq(exact, ivf, lsh, pq, pqres, pq4) = collected
         def row(method: String, top: org.apache.spark.sql.DataFrame) =
           top.join(exact, Seq("vec_id"))
             .agg(count(lit(1)).as("hits"))
@@ -1660,6 +1826,7 @@ object Sim {
           .unionByName(row("lsh", lsh))
           .unionByName(row("pq", pq))
           .unionByName(row("pq_res", pqres))
+          .unionByName(row("pq4", pq4))
       },
       Some {
         val sums = (0 until 8).map(j =>
@@ -1704,12 +1871,16 @@ object Sim {
            |$pqPreludeSql,
            |$pqPlainCandSql,
            |$pqResidualCandSql,
+           |$pq4CandSql,
            |pq10 AS (
            |  SELECT cand.vec_id FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id, q0
            |  ORDER BY ${cos("e.embedding")} DESC, cand.vec_id ASC LIMIT 10),
            |pqres10 AS (
            |  SELECT rcand.vec_id FROM rcand JOIN embeddings e ON e.vec_id = rcand.vec_id, q0
            |  ORDER BY ${cos("e.embedding")} DESC, rcand.vec_id ASC LIMIT 10),
+           |pq410 AS (
+           |  SELECT cand4.vec_id FROM cand4 JOIN embeddings e ON e.vec_id = cand4.vec_id, q0
+           |  ORDER BY ${cos("e.embedding")} DESC, cand4.vec_id ASC LIMIT 10),
            |r AS (
            |  SELECT 'ivf' AS method, CAST(COUNT(*) AS BIGINT) AS hits
            |  FROM ivf10 JOIN exact10 USING (vec_id)
@@ -1721,7 +1892,10 @@ object Sim {
            |  FROM pq10 JOIN exact10 USING (vec_id)
            |  UNION ALL
            |  SELECT 'pq_res' AS method, CAST(COUNT(*) AS BIGINT) AS hits
-           |  FROM pqres10 JOIN exact10 USING (vec_id))
+           |  FROM pqres10 JOIN exact10 USING (vec_id)
+           |  UNION ALL
+           |  SELECT 'pq4' AS method, CAST(COUNT(*) AS BIGINT) AS hits
+           |  FROM pq410 JOIN exact10 USING (vec_id))
            |SELECT method, hits, (hits * 1000000) // 10 AS recall_ppm FROM r""".stripMargin
       },
       "ANN recall report: recall@10 of IVF and LSH rankings vs the exact baseline (north-star: index evaluation)")

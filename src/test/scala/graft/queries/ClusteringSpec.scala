@@ -338,7 +338,7 @@ class ClusteringSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val rows = Registry.queries("e18_recall_report")(spark, dir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(rows.keySet === Set("ivf", "lsh", "pq", "pq_res"))
+    assert(rows.keySet === Set("ivf", "lsh", "pq", "pq_res", "pq4"))
     rows.foreach { case (m, (hits, ppm)) =>
       assert(hits >= 0L && hits <= 10L, s"$m hits out of range: $hits")
       assert(ppm === hits * 100000L, s"$m recall_ppm must be hits/10 in ppm")
@@ -371,5 +371,35 @@ class ClusteringSpec extends SparkSpec {
     assert(cand.forall(_._2 >= 0L), "squared integer ADC must be nonnegative")
     assert(cand.sortBy { case (id, adc) => (adc, id) }.toSeq === cand.toSeq,
       "candidates must come out (adc, vec_id)-ordered")
+  }
+
+  test("e20 4-bit PQ: recall@10 at least plain PQ's at HALF the code bytes (both SFs)") {
+    // 16 TRAINED codewords per subspace must beat ~10 label-mean
+    // codewords even though the stored code table is half the size
+    // (two nibble codes per byte vs e15's byte per subspace) — the
+    // whole point of the low-bit training step
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = Registry.queries("e18_recall_report")(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows("pq4") >= rows("pq"),
+        s"$dir: 4-bit PQ recall ${rows("pq4")} < plain PQ ${rows("pq")}")
+    }
+    val e = Registry.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
+    // the packed table IS half the footprint: 4 bytes (+1 mask) per
+    // 64-dim vector vs e15's 8 code rows — and the mask-guarded unpack
+    // must reproduce the pre-pack codes exactly
+    val (_, packed) = Sim.pq4Model(e)
+    val pk = packed.collect()
+    assert(pk.nonEmpty && pk.forall(_.getLong(1) < 4),
+      "64 dims -> 8 subspaces -> 4 packed bytes per full vector")
+    assert(pk.forall { r =>
+      val p = r.getLong(2); p >= 0 && p <= 255
+    }, "each packed value must fit one byte")
+    val cand = Sim.pq4AdcCandidates(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.nonEmpty && cand.length <= 20)
+    assert(cand.forall(_._2 >= 0L))
+    assert(cand.sortBy { case (id, adc) => (adc, id) }.toSeq === cand.toSeq)
   }
 }
