@@ -58,22 +58,22 @@ object ConnectedComponents {
   def components(edges: DataFrame, maxIter: Int = 25,
       strict: Boolean = false, dedupeEdges: Boolean = true,
       localThreshold: Long = 4L << 20): DataFrame = {
-    // Materialize the edge list ONCE before symmetrizing: the union
-    // references `e` twice, and without this the entire upstream
-    // pipeline (for LSH star edges: signatures + banding + bucket join)
-    // is evaluated per branch — measured ~2x the d12 construction cost.
-    // One extra checkpoint of the (small, post-reduction) edge list is
-    // the cluster-scale trade too.
-    val e = edges.toDF("u", "v").localCheckpoint(true)
-    val symRaw = e.union(e.select(col("v"), col("u")))
-    val sym = (if (dedupeEdges) symRaw.distinct() else symRaw)
+    // Symmetrize in ONE pass: each edge row explodes to both
+    // directions, so the upstream pipeline (for LSH star edges:
+    // signatures + banding + bucket join) evaluates exactly once and
+    // straight into the symmetrized checkpoint — a union of two
+    // references to the edge frame would either evaluate that pipeline
+    // per branch (measured ~2x the d12 construction cost) or need its
+    // own eager checkpoint first (one extra materialization job per CC
+    // call, the pre-round-12 shape).
+    val sym = (if (dedupeEdges) symmetrize(edges).distinct()
+               else symmetrize(edges))
       .localCheckpoint(true)
-    // sym's eager checkpoint superseded e — free its blocks NOW. Leaked
-    // intermediates are not hygiene at scale: at sf10, e10's edge list
-    // alone is ~10⁸ symmetrized rows, and a 75-query battery that never
-    // frees them starved hash aggregation of execution memory
-    // (AGGREGATE_OUT_OF_MEMORY) three queries later.
-    freeBlocks(e)
+    // Leaked intermediates are not hygiene at scale: at sf10, e10's
+    // edge list alone is ~10⁸ symmetrized rows, and a 75-query battery
+    // that never frees superseded checkpoint blocks starved hash
+    // aggregation of execution memory (AGGREGATE_OUT_OF_MEMORY) three
+    // queries later — every round below frees its predecessor.
     val allLong = sym.schema.fields
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
     // count() on the eager checkpoint is a cached-metadata scan, not a
@@ -132,6 +132,16 @@ object ConnectedComponents {
     }
     labels
   }
+
+  /** Both directions of every edge from one scan of the edge frame —
+    * a generator, not a self-union, so the (possibly expensive)
+    * upstream plan appears exactly once in the logical tree. */
+  private def symmetrize(edges: DataFrame): DataFrame =
+    edges.toDF("u", "v")
+      .select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
 
   /** Unpersist every persisted ancestor in `df`'s RDD lineage — the
     * eager-checkpoint blocks a later stage has superseded. Public Spark
