@@ -262,13 +262,19 @@ object Docs {
       qTerms: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
     val perDoc = docs.select(col("doc_id"), tokenCount(col("text")).as("ndl"),
       filter(words(col("text")), x => x.isin(qTerms: _*)).as("qws"))
-    val dl = perDoc.select(col("doc_id"), col("ndl").as("dl"))
     val glob = perDoc.agg(
       count(when(col("ndl") > 0, lit(1))).as("nd"),
       sum(col("ndl")).as("ntok"))
+    // doc length rides the posting aggregation (ndl is constant per
+    // doc → max), so no separate corpus-sized (doc_id, dl) table ever
+    // exists, let alone joins: the only per-doc state in flight is the
+    // query-matched postings — query volume, not corpus volume. (The
+    // previous shape joined tf against a full-corpus dl frame: a
+    // corpus-sized exchange to look up lengths for matched docs only.)
     val tf = perDoc.filter(size(col("qws")) > 0)
-      .select(col("doc_id"), explode(col("qws")).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("ndl").as("dl"), explode(col("qws")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idfMilli = round(log(
       (col("nd").cast("double") * 2 + 2) / (col("df").cast("double") * 2 + 1)) * 1000)
@@ -277,8 +283,7 @@ object Docs {
     val tfDen = lit(20L) * col("tf") * col("ntok") + lit(6L) * col("ntok") +
       lit(18L) * col("dl") * col("nd")
     val tfMicro = Sim.floorDiv(tfNum * lit(1000000L), tfDen)
-    tf.join(dl, Seq("doc_id"))
-      .join(broadcast(dft), Seq("term"))
+    tf.join(broadcast(dft), Seq("term"))
       .crossJoin(broadcast(glob))
       .select(col("doc_id"), col("dl"),
         Sim.floorDiv(idfMilli * tfMicro, lit(1000L)).as("ts"))
