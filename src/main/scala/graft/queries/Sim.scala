@@ -656,7 +656,27 @@ object Sim {
     * Scale shape: one vec_id spread feeds train + encode, every
     * aggregation downstream is keyed on a vec_id prefix, codebooks and
     * the query distance table are 16×dims broadcasts. */
+  private val pq4ModelCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+
+  /** Session-scoped (see [[pqModel]] — same key/invalidation
+    * discipline, cleared by [[invalidateIndexCaches]]): the 4-bit
+    * index trains once per (session, corpus plan) and serves many
+    * lookups; the packed code table is checkpointed so a serve
+    * consumes a leaf. Bench surfaces the one-off training cost in its
+    * `train` field via the cache-hit signature. */
   private[graft] def pq4Model(e: org.apache.spark.sql.DataFrame):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    pq4ModelCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    pq4ModelCache.computeIfAbsent(
+      (e.sparkSession, e.queryExecution.analyzed.canonicalized), _ => {
+        val (cw, packed) = pq4Train(e)
+        (cw, packed.localCheckpoint())
+      })
+  }
+
+  private def pq4Train(e: org.apache.spark.sql.DataFrame):
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val m = microSubs(e)
     // deterministic seeds: the 16 lowest non-null vec_ids, c = rank-1
@@ -784,6 +804,8 @@ object Sim {
     pqModelCache.clear()
     residualModelCache.values.asScala.foreach { case (_, _, cells) => releaseCheckpoint(cells) }
     residualModelCache.clear()
+    pq4ModelCache.values.asScala.foreach { case (_, packed) => releaseCheckpoint(packed) }
+    pq4ModelCache.clear()
   }
 
   /** Former name of [[invalidateIndexCaches]]; kept as an alias so the
