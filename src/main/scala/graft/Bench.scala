@@ -108,10 +108,10 @@ object Bench {
           (System.nanoTime() - c0) / 1e9
         }
         construct(name) = creps.min
-        // 0.4 s absolute floor: genuine index training is multi-second
+        // 1 s absolute floor: genuine index training is multi-second
         // (e18's cold PQ+residual build ≈ 6 s); sub-0.3 s deltas are
         // first-build Catalyst/analysis warmup, not training
-        if (creps(0) >= 5 * creps(1) && creps(0) - creps(1) > 0.4)
+        if (creps(0) >= 5 * creps(1) && creps(0) - creps(1) > 1.0)
           train(name) = math.round((creps(0) - creps(1)) * 1000.0) / 1000.0
         // noop sink forces FULL evaluation of every output column —
         // count() alone would let Catalyst prune projection-only work and
