@@ -348,16 +348,20 @@ object Docs {
         (size(col("ws")) - 1).as("last"))
       .groupBy(col("t"))
       .agg(sum(when(col("p") < col("last"), 1L).otherwise(0L)).as("ca"))
-    val hc = ta.filter(col("ca") > 0).select(col("t").as("a"), col("ca"))
     // count(when(t ≠ '', ca)) ≡ the distinct non-empty token count
     // (ca is never null), while REFERENCING ca — count(lit(1)) would
     // prune ca out of this subtree, de-canonicalize the token exchange
     // vs hc's, and re-run the whole token pass just for the scalar
     val v = ta.agg(count(when(col("t") =!= "", col("ca"))).as("v"))
+    // the V scalar rides INSIDE the history-count broadcast (a cross
+    // join of the vocab-sized frame with one row), so the corpus
+    // stream sees one BroadcastHashJoin — no per-row nested-loop cross
+    // join and no second broadcast exchange in the hot path
+    val hc = ta.filter(col("ca") > 0).select(col("t").as("a"), col("ca"))
+      .crossJoin(v)
     def bits(c: Column) = length(bin(c)).cast("long")
     bi.join(bc.hint("shuffle_hash"), Seq("a", "b"))
       .join(broadcast(hc), Seq("a"))
-      .crossJoin(broadcast(v))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(bits(col("ca") + col("v")) - bits(col("cab") + 1)).as("surprisal_bits"))
