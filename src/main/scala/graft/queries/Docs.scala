@@ -248,33 +248,44 @@ object Docs {
     * is unchanged.
     *
     * Shuffle shape — NOTHING corpus-sized ever explodes or shuffles:
-    * per-doc length (dl = tokenCount, the d01 expression) and the
-    * corpus globals (nd, Ntok) are scan-parallel per-row maps + one
-    * scalar agg — no token explode; the ONLY exploded stream is
-    * `filter(ws, isin(query))`, query-matched tokens (query volume,
-    * not corpus volume), which then carries tf through one tiny
-    * (doc,term) exchange; df/globals are broadcast; the top-k is a
-    * TakeOrdered, never a full sort. (The first formulation exploded
-    * the full token stream into three consumer subtrees — 4.7× the
-    * DuckDB twin at sf0.1; this shape is the one you'd want at 100 TB
-    * anyway: the inverted-index probe, not three corpus passes.) */
+    * the per-doc statistics (dl and the per-term tf vector) come out of
+    * ONE compiled byte pass over the text (the codegen'd
+    * [[graft.functions.Bm25DocStats]] expression — the first
+    * formulation tokenized every document TWICE through interpreted
+    * regex/HOF chains, 4.05× the DuckDB twin at sf1); the corpus
+    * globals (nd, Ntok) are one scalar agg over that scan. Because the
+    * expression emits per-TERM counts, `posexplode(tfs)` already IS
+    * the per-(doc, term) tf frame — the (doc_id, term) occurrence
+    * exchange of the previous shape is gone entirely; the only
+    * exchanges left are the vocab-sized df rollup (broadcast back) and
+    * the final per-doc score rollup, both query volume, not corpus
+    * volume; the top-k is a TakeOrdered, never a full sort. (An even
+    * earlier formulation exploded the full token stream into three
+    * consumer subtrees — 4.7× the DuckDB twin at sf0.1; this shape is
+    * the one you'd want at 100 TB anyway: the inverted-index probe,
+    * not three corpus passes.) */
   private[graft] def bm25TopKDf(docs: org.apache.spark.sql.DataFrame,
       qTerms: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
-    val perDoc = docs.select(col("doc_id"), tokenCount(col("text")).as("ndl"),
-      filter(words(col("text")), x => x.isin(qTerms: _*)).as("qws"))
+    // _st bound in its own projection so the two field reads hit the
+    // attribute, not two re-evaluations of the byte pass (the d37
+    // GopherStats binding discipline)
+    val perDoc = docs
+      .select(col("doc_id"),
+        graft.functions.Bm25Exprs.bm25DocStats(col("text"), qTerms).as("_st"))
+      .select(col("doc_id"), col("_st.ndl").as("ndl"), col("_st.tfs").as("tfs"))
     val glob = perDoc.agg(
       count(when(col("ndl") > 0, lit(1))).as("nd"),
       sum(col("ndl")).as("ntok"))
-    // doc length rides the posting aggregation (ndl is constant per
-    // doc → max), so no separate corpus-sized (doc_id, dl) table ever
-    // exists, let alone joins: the only per-doc state in flight is the
-    // query-matched postings — query volume, not corpus volume. (The
-    // previous shape joined tf against a full-corpus dl frame: a
-    // corpus-sized exchange to look up lengths for matched docs only.)
-    val tf = perDoc.filter(size(col("qws")) > 0)
-      .select(col("doc_id"), col("ndl").as("dl"), explode(col("qws")).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // posexplode of the per-term count vector: one row per (doc, term)
+    // with tf already aggregated in the scan — no occurrence stream, no
+    // (doc_id, term) exchange; null text → null tfs → row drops, like
+    // the old filter(size(qws) > 0) gate
+    val tf = perDoc
+      .select(col("doc_id"), col("ndl").as("dl"),
+        posexplode(col("tfs")).as(Seq("ti", "tf")))
+      .filter(col("tf") > 0)
+      .select(col("doc_id"), col("dl"),
+        element_at(lit(qTerms.toArray), col("ti") + 1).as("term"), col("tf"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idfMilli = round(log(
       (col("nd").cast("double") * 2 + 2) / (col("df").cast("double") * 2 + 1)) * 1000)
