@@ -359,17 +359,21 @@ object Docs {
         (size(col("ws")) - 1).as("last"))
       .groupBy(col("t"))
       .agg(sum(when(col("p") < col("last"), 1L).otherwise(0L)).as("ca"))
-    // count(when(t ≠ '', ca)) ≡ the distinct non-empty token count
-    // (ca is never null), while REFERENCING ca — count(lit(1)) would
-    // prune ca out of this subtree, de-canonicalize the token exchange
-    // vs hc's, and re-run the whole token pass just for the scalar
-    val v = ta.agg(count(when(col("t") =!= "", col("ca"))).as("v"))
-    // the V scalar rides INSIDE the history-count broadcast (a cross
-    // join of the vocab-sized frame with one row), so the corpus
-    // stream sees one BroadcastHashJoin — no per-row nested-loop cross
-    // join and no second broadcast exchange in the hot path
-    val hc = ta.filter(col("ca") > 0).select(col("t").as("a"), col("ca"))
-      .crossJoin(v)
+    // V (the distinct non-empty token count) rides INSIDE the
+    // history-count frame as an unpartitioned window count over the
+    // vocab-sized ta — ONE single-partition exchange appended to the
+    // broadcast build, replacing the previous scalar-agg job + cross
+    // join (two stage waves of pure dispatch at bench SF; the window
+    // input is vocab-sized, i.e. exactly what the broadcast already
+    // assumes fits one executor, so the single partition is free at
+    // any scale the broadcast itself survives). The window must run
+    // BEFORE the ca>0 filter: last-position-only tokens have ca=0 but
+    // still count toward V.
+    val v = sum(when(col("t") =!= "", 1L).otherwise(0L))
+      .over(org.apache.spark.sql.expressions.Window
+        .rowsBetween(Long.MinValue, Long.MaxValue))
+    val hc = ta.select(col("t"), col("ca"), v.as("v"))
+      .filter(col("ca") > 0).select(col("t").as("a"), col("ca"), col("v"))
     def bits(c: Column) = length(bin(c)).cast("long")
     bi.join(bc.hint("shuffle_hash"), Seq("a", "b"))
       .join(broadcast(hc), Seq("a"))
