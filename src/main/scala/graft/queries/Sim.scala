@@ -591,7 +591,14 @@ object Sim {
             lr.rdd.unpersist(blocking = false)
           case _ => ()
         }
-    } catch { case _: Throwable => () }
+    } catch {
+      // best-effort release: a block manager mid-shutdown may throw and
+      // that must not fail invalidation — but ONLY non-fatal errors are
+      // tolerated (an OOM/VM error propagates), and an interrupt is
+      // re-flagged so the caller's cancellation still lands
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) => ()
+    }
 
   private def pqModel(e: org.apache.spark.sql.DataFrame):
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
@@ -799,14 +806,34 @@ object Sim {
     * rewriting corpus files mid-session: clearing only one cache
     * would leave the other serving a stale codebook/code table. */
   def invalidateIndexCaches(): Unit = {
-    import scala.jdk.CollectionConverters._
-    pqModelCache.values.asScala.foreach { case (_, codes) => releaseCheckpoint(codes) }
-    pqModelCache.clear()
-    residualModelCache.values.asScala.foreach { case (_, _, cells) => releaseCheckpoint(cells) }
-    residualModelCache.clear()
-    pq4ModelCache.values.asScala.foreach { case (_, packed) => releaseCheckpoint(packed) }
-    pq4ModelCache.clear()
+    // atomic per-entry drain (remove-then-release), not iterate+clear():
+    // an entry inserted concurrently between a values() walk and clear()
+    // would be dropped without its checkpoint blocks ever being freed.
+    // remove() hands each value to exactly one releaser; entries that
+    // land after the iterator passes simply survive this invalidation
+    // (the caller re-invokes if it must win that race). NOTE the
+    // documented contract (see the cache scaladocs): invalidation must
+    // not race IN-FLIGHT serves — unpersisting a localCheckpoint'ed RDD
+    // under a running job can fail that job non-recoverably, because
+    // the truncated lineage cannot be recomputed.
+    def drain[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V])(release: V => Unit): Unit = {
+      val it = m.keySet().iterator()
+      while (it.hasNext) {
+        val v = m.remove(it.next())
+        if (v != null) release(v)
+      }
+    }
+    drain(pqModelCache) { case (_, codes) => releaseCheckpoint(codes) }
+    drain(residualModelCache) { case (_, _, cells) => releaseCheckpoint(cells) }
+    drain(pq4ModelCache) { case (_, packed) => releaseCheckpoint(packed) }
   }
+
+  /** Total live trained-index cache entries across the three model
+    * caches — the EXPLICIT cache-populating signal Bench uses to report
+    * one-off training cost (a size delta around a query's first build),
+    * replacing the former timing-signature heuristic. */
+  private[graft] def indexCacheSize: Int =
+    pqModelCache.size + residualModelCache.size + pq4ModelCache.size
 
   /** Former name of [[invalidateIndexCaches]]; kept as an alias so the
     * documented invalidation API keeps working. */
@@ -975,7 +1002,10 @@ object Sim {
     * refinement (seeds = 16 lowest non-null vec_ids), nibble codes
     * PACKED two-per-byte with a validity mask, mask-guarded unpack,
     * integer ADC. Mirrors [[pq4Model]]/[[pq4AdcCandidates]] step for
-    * step. */
+    * step. `cw`/`d24` are AS MATERIALIZED: d24 has two consumers
+    * (codes4, qdt4) and cw feeds it — under DuckDB's default inlining
+    * the whole k-means chain re-expands per reference (the CcSql
+    * mechanism; a constant-factor recompute for the twin, cost only). */
   private val pq4CandSql: String =
     s"""s0 AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id ASC) - 1 AS c
        |  FROM embeddings WHERE embedding IS NOT NULL),
@@ -990,10 +1020,10 @@ object Sim {
        |  SELECT vec_id, sub, c,
        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, c ASC) AS rn
        |  FROM a2) WHERE rn = 1),
-       |cw AS (SELECT a.c, m.sub, m.pos, ${halfAwayDivSql("SUM(m.m)", "COUNT(*)")} AS w
+       |cw AS MATERIALIZED (SELECT a.c, m.sub, m.pos, ${halfAwayDivSql("SUM(m.m)", "COUNT(*)")} AS w
        |  FROM m JOIN asn a ON m.vec_id = a.vec_id AND m.sub = a.sub
        |  GROUP BY a.c, m.sub, m.pos),
-       |d24 AS (SELECT m.vec_id, m.sub, w.c,
+       |d24 AS MATERIALIZED (SELECT m.vec_id, m.sub, w.c,
        |    SUM((m.m - w.w) * (m.m - w.w)) AS d2
        |  FROM m JOIN cw w ON m.sub = w.sub AND m.pos = w.pos
        |  GROUP BY m.vec_id, m.sub, w.c),
@@ -1828,15 +1858,18 @@ object Sim {
         def lit10(top: org.apache.spark.sql.DataFrame) =
           localModel(top.select(col("vec_id")))
         val e2 = e.filter(col("embedding").isNotNull)
-        import scala.concurrent.{Await, Future}
+        import scala.concurrent.{blocking, Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
+        // each collect is wrapped in blocking{} so the shared fork-join
+        // pool spawns compensation threads instead of degrading the
+        // six-way fan-out to near-sequential on a low-core driver
         val collected = Await.result(Future.sequence(Seq(
-          Future(lit10(exactTopKDf(e, 10))),
-          Future(lit10(ivfTopKDf(e, 10))),
-          Future(lit10(lshTopKDf(e, 10))),
-          Future(lit10(pqRerank(e2, pqAdcCandidates(e2), 0L, 10))),
-          Future(lit10(pqRerank(e2, pqResidualAdcCandidates(e2), 0L, 10))),
-          Future(lit10(pqRerank(e2, pq4AdcCandidates(e2), 0L, 10))))),
+          Future(blocking(lit10(exactTopKDf(e, 10)))),
+          Future(blocking(lit10(ivfTopKDf(e, 10)))),
+          Future(blocking(lit10(lshTopKDf(e, 10)))),
+          Future(blocking(lit10(pqRerank(e2, pqAdcCandidates(e2), 0L, 10)))),
+          Future(blocking(lit10(pqRerank(e2, pqResidualAdcCandidates(e2), 0L, 10)))),
+          Future(blocking(lit10(pqRerank(e2, pq4AdcCandidates(e2), 0L, 10)))))),
           scala.concurrent.duration.Duration.Inf)
         val Seq(exact, ivf, lsh, pq, pqres, pq4) = collected
         def row(method: String, top: org.apache.spark.sql.DataFrame) =

@@ -11,6 +11,13 @@ object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Block until the listener bus has delivered every queued event —
+    * lets a caller counting stages via SparkListener read an EXACT
+    * count right after an action, instead of sleeping and hoping
+    * (listener events are posted asynchronously). */
+  def waitListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** Register a SQL function on an ALREADY-BUILT session — extensions
     * (the preferred path) only apply at session build time, but a library
     * can't always own session construction. */

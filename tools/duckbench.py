@@ -30,12 +30,12 @@ for p in glob.glob(f"{sf}/*.parquet"):
     con.execute(f"create view {name} as select * from '{p}'")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
-times, errors = {}, {}
+times, times_all, errors = {}, {}, {}
 for name in sorted(oracle):
     if name in skip:
         errors[name] = "skipped"
         continue
-    best = None
+    best, reps = None, []
     for _ in range(runs):
         t0 = time.monotonic()
         try:
@@ -62,11 +62,15 @@ for name in sorted(oracle):
             best = None
             break
         dt = time.monotonic() - t0
+        reps.append(round(dt, 6))
         best = dt if best is None else min(best, dt)
     if best is not None:
         times[name] = round(best, 6)
+        times_all[name] = reps
 
 total = round(sum(times.values()), 6)
+# "queries" (the minima) MUST precede "queries_all": Bench.scala's
+# regex parse anchors on the first "queries" object.
 print(json.dumps({"metric": "duckdb_total", "value": total, "unit": "sec",
-                  "queries": times, "errors": errors, "sf": sf,
-                  "n_queries": len(times)}))
+                  "queries": times, "queries_all": times_all,
+                  "errors": errors, "sf": sf, "n_queries": len(times)}))
