@@ -385,6 +385,90 @@ object Docs {
           .as("milli_bits_per_bigram"))
   }
 
+  /** Stages 1-3 of d13 plus the near-dup SIGNATURE pass, ending in the
+    * narrow per-document dedup index `(doc_id, n_tokens, mh)`: language
+    * gate → min-length + repetition gate → exact dedup (fingerprint-only
+    * exchange: the groupBy(md5)→min(doc_id) + doc_id semi-join-back
+    * shape, so document text never shuffles — plan-guarded in
+    * PlanPropertiesSpec) → benchmark decontamination (broadcast gram
+    * set) → shingle + MinHash signature. Everything corpus-sized after
+    * this frame is 10 longs per row. */
+  private[graft] def corpusCleanSigDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = docs
+      .repartition(col("doc_id"))
+      .withColumn("ws", words(col("text")))
+    def cnt(w: String*) = size(filter(col("ws"), x => x.isin(w: _*))).cast("long")
+    val s1 = cnt("the", "a")
+    val s2 = cnt("data", "spark", "stream")
+    val s3 = cnt("join", "merge", "hash")
+    // stage 1: lang gate + min length + repetition gate (dup-token
+    // fraction, the cheap Gopher-style cut — d14's full stats)
+    val nTok = size(col("ws")).cast("long")
+    val dupFrac = lit(1.0) -
+      size(array_distinct(col("ws"))).cast("double") / nTok.cast("double")
+    val gated = base.withColumn("n_tokens", nTok)
+      .filter(s1 >= s2 && s1 >= s3 && col("n_tokens") >= 10 && dupFrac <= 0.6)
+    // stage 2: exact dedup (keep min doc_id per text hash). Shaped as
+    // groupBy(hash)→min(id) + a doc_id semi-join back, NOT a window
+    // over the full rows: the hash exchange then carries only
+    // (md5, doc_id) pairs — at 100 TB that's shuffling fingerprints,
+    // not the corpus — and the join-back reuses the doc_id
+    // partitioning the corpus already has (plan-guarded in
+    // PlanPropertiesSpec).
+    val keepIds = gated
+      .select(md5(col("text").cast("binary")).as("_h"), col("doc_id"))
+      .groupBy(col("_h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exact = gated.join(keepIds, Seq("doc_id"), "left_semi")
+    // stage 3: benchmark decontamination (d15's semantics in-line):
+    // drop held-out benchmark docs and any survivor sharing a 5-gram
+    // with them. Index-explode shape (BENCH_NOTES explode
+    // discipline); benchmark gram set broadcast.
+    def gram5(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("ws"),
+        explode(when(size(col("ws")) >= 5,
+          sequence(lit(1), size(col("ws")) - 4))).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("ws"), col("i")), element_at(col("ws"), col("i") + 1),
+        element_at(col("ws"), col("i") + 2), element_at(col("ws"), col("i") + 3),
+        element_at(col("ws"), col("i") + 4)).as("gram"))
+    val benchGrams = gram5(base.filter(col("doc_id") % 20 === 0))
+      .select(col("gram")).distinct()
+    val contamIds = gram5(exact.filter(col("doc_id") % 20 =!= 0))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .select(col("doc_id")).distinct()
+    val clean = exact.filter(col("doc_id") % 20 =!= 0)
+      .join(contamIds, Seq("doc_id"), "left_anti")
+    // signature pass: each survivor reduced to its MinHash signature +
+    // token count — the dedup INDEX, 10 longs per row
+    clean
+      .withColumn("sh", shingles(col("ws")))
+      .select(col("doc_id"), col("n_tokens"),
+        graft.functions.MinHashExprs.minHashSig(col("sh")).as("mh"))
+  }
+
+  /** d13 end-to-end (see [[corpusCleanSigDf]] for stages 1-3): the
+    * narrow dedup index is materialized ONCE (eager localCheckpoint —
+    * a production cleanup run writes its survivor index out exactly
+    * the same way), then BOTH the LSH/connected-components stage and
+    * the final report consume the leaf. Before this split the gate →
+    * dedup → decontam chain executed once inside the eager CC call and
+    * AGAIN for every downstream materialization — two full corpus
+    * passes per run where one suffices, at any scale. The checkpoint
+    * is 10 longs/row (never text), so the materialization is the
+    * fingerprint volume, not the corpus volume. */
+  private[graft] def corpusCleanDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val idx = corpusCleanSigDf(docs).localCheckpoint()
+    val sig = idx.select(
+      col("doc_id") +: (0 until 8).map(i => minhash(col("mh"), i).as(s"mh$i")): _*)
+    val comps = graft.operators.ConnectedComponents.components(
+      lshStarEdges(sig), dedupeEdges = false)
+    idx.select(col("doc_id"), col("n_tokens"))
+      .join(comps, col("doc_id") === col("id"), "left")
+      .filter(col("rep").isNull || col("rep") === col("doc_id"))
+      .select(col("doc_id"), col("n_tokens"))
+  }
+
   /** DataFrame-in body of d35: the distributed primitive of BPE
     * tokenizer TRAINING — corpus-wide adjacent symbol-pair counts inside
     * word boundaries, occurrence-weighted (each token occurrence votes,
@@ -1387,65 +1471,7 @@ object Docs {
     // remainder. Docs with null text fall out of the gate naturally in
     // both engines (null comparisons are never TRUE).
     Q("d13_corpus_clean",
-      (s, dir) => {
-        val base = t(s, dir, "documents")
-          .repartition(col("doc_id"))
-          .withColumn("ws", words(col("text")))
-        def cnt(w: String*) = size(filter(col("ws"), x => x.isin(w: _*))).cast("long")
-        val s1 = cnt("the", "a")
-        val s2 = cnt("data", "spark", "stream")
-        val s3 = cnt("join", "merge", "hash")
-        // stage 1: lang gate + min length + repetition gate (dup-token
-        // fraction, the cheap Gopher-style cut — d14's full stats)
-        val nTok = size(col("ws")).cast("long")
-        val dupFrac = lit(1.0) -
-          size(array_distinct(col("ws"))).cast("double") / nTok.cast("double")
-        val gated = base.withColumn("n_tokens", nTok)
-          .filter(s1 >= s2 && s1 >= s3 && col("n_tokens") >= 10 && dupFrac <= 0.6)
-        // stage 2: exact dedup (keep min doc_id per text hash). Shaped as
-        // groupBy(hash)→min(id) + a doc_id semi-join back, NOT a window
-        // over the full rows: the hash exchange then carries only
-        // (md5, doc_id) pairs — at 100 TB that's shuffling fingerprints,
-        // not the corpus — and the join-back reuses the doc_id
-        // partitioning the corpus already has (plan-guarded in
-        // PlanPropertiesSpec).
-        val keepIds = gated
-          .select(md5(col("text").cast("binary")).as("_h"), col("doc_id"))
-          .groupBy(col("_h")).agg(min(col("doc_id")).as("doc_id"))
-          .select(col("doc_id"))
-        val exact = gated.join(keepIds, Seq("doc_id"), "left_semi")
-        // stage 3: benchmark decontamination (d15's semantics in-line):
-        // drop held-out benchmark docs and any survivor sharing a 5-gram
-        // with them. Index-explode shape (BENCH_NOTES explode
-        // discipline); benchmark gram set broadcast.
-        def gram5(df: org.apache.spark.sql.DataFrame) = df
-          .select(col("doc_id"), col("ws"),
-            explode(when(size(col("ws")) >= 5,
-              sequence(lit(1), size(col("ws")) - 4))).as("i"))
-          .select(col("doc_id"), concat_ws(" ",
-            element_at(col("ws"), col("i")), element_at(col("ws"), col("i") + 1),
-            element_at(col("ws"), col("i") + 2), element_at(col("ws"), col("i") + 3),
-            element_at(col("ws"), col("i") + 4)).as("gram"))
-        val benchGrams = gram5(base.filter(col("doc_id") % 20 === 0))
-          .select(col("gram")).distinct()
-        val contamIds = gram5(exact.filter(col("doc_id") % 20 =!= 0))
-          .join(broadcast(benchGrams), Seq("gram"))
-          .select(col("doc_id")).distinct()
-        val clean = exact.filter(col("doc_id") % 20 =!= 0)
-          .join(contamIds, Seq("doc_id"), "left_anti")
-        // stage 4: MinHash-LSH near-dup dedup on the survivors
-        val shingled = clean
-          .withColumn("sh", shingles(col("ws")))
-          .withColumn("mh", graft.functions.MinHashExprs.minHashSig(col("sh")))
-        val sig = shingled.select(
-          col("doc_id") +: (0 until 8).map(i => minhash(col("mh"), i).as(s"mh$i")): _*)
-        val comps = graft.operators.ConnectedComponents.components(
-          lshStarEdges(sig), dedupeEdges = false)
-        clean.select(col("doc_id"), col("n_tokens"))
-          .join(comps, col("doc_id") === col("id"), "left")
-          .filter(col("rep").isNull || col("rep") === col("doc_id"))
-          .select(col("doc_id"), col("n_tokens"))
-      },
+      (s, dir) => corpusCleanDf(t(s, dir, "documents")),
       Some {
         val mh = (0 until 8).map(i => s"  ${dMinhash(i)} AS mh$i").mkString(",\n")
         val bands = (0 until 4).map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || ':' || mh${2 * b + 1} AS band_key FROM sig")

@@ -55,13 +55,25 @@ class PlanPropertiesSpec extends SparkSpec {
       s"stats join not broadcast:\n${p.take(800)}")
   }
 
+  // d13's gate → dedup → decontam → signature chain sits BEHIND the
+  // dedup-index checkpoint in the registered query (the final plan's
+  // corpus-side leaves are LogicalRDDs), so the stage guards inspect
+  // the pre-checkpoint frame directly.
+  private def d13SigPlan: String = {
+    val docs = Registry.t(spark, sfDir, "documents")
+    val df = graft.queries.Docs.corpusCleanSigDf(docs)
+    val out = new ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
   test("d13: corpus-clean composite has no cartesian product") {
-    val p = planOf("d13_corpus_clean")
-    assert(!p.contains("CartesianProduct"))
+    assert(!planOf("d13_corpus_clean").contains("CartesianProduct"))
+    assert(!d13SigPlan.contains("CartesianProduct"))
   }
 
   test("d13: exact-dedup exchange ships fingerprints, not documents") {
-    val p = planOf("d13_corpus_clean")
+    val p = d13SigPlan
     // the dedup exchange moves (md5, doc_id) pairs; document text must
     // stay on its doc_id-partitioned side of the semi-join
     val sections = p.split("\n\n")
