@@ -684,10 +684,19 @@ object Sim {
   }
 
   private def pq4Train(e: org.apache.spark.sql.DataFrame):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    pq4TrainOn(microSubs(e), e)
+
+  /** The 4-bit train body over an ARBITRARY micro-unit subspace stream
+    * `m` (vec_id, pos, sub, m) — shared by e20 (raw components) and e21
+    * (OPQ-rotated components); `eligible` supplies the seed id universe
+    * (must match the stream's vector set, or the 16 lowest seeds could
+    * name vectors the stream doesn't carry). */
+  private def pq4TrainOn(m: org.apache.spark.sql.DataFrame,
+      eligible: org.apache.spark.sql.DataFrame):
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val m = microSubs(e)
-    // deterministic seeds: the 16 lowest non-null vec_ids, c = rank-1
-    val seeds = localModel(e.select(col("vec_id")).orderBy(col("vec_id").asc).limit(16)
+    // deterministic seeds: the 16 lowest eligible vec_ids, c = rank-1
+    val seeds = localModel(eligible.select(col("vec_id")).orderBy(col("vec_id").asc).limit(16)
       .select(col("vec_id"),
         (row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("vec_id").asc)) - 1).cast("long").as("c")))
@@ -724,6 +733,16 @@ object Sim {
   private[graft] def pq4AdcCandidates(e: org.apache.spark.sql.DataFrame,
       queryVecId: Long = 0L): org.apache.spark.sql.DataFrame = {
     val (cw, packed) = pq4Model(e)
+    pq4Serve(cw, packed, microSubs(e.filter(col("vec_id") === queryVecId)), queryVecId)
+  }
+
+  /** The 4-bit SERVE body over a trained (codebook, packed-code-table)
+    * pair and the QUERY's own micro-unit subspace stream — shared by
+    * e20 and e21 (whose query stream is OPQ-rotated like its index). */
+  private def pq4Serve(cw: org.apache.spark.sql.DataFrame,
+      packed: org.apache.spark.sql.DataFrame,
+      qsubs: org.apache.spark.sql.DataFrame,
+      queryVecId: Long): org.apache.spark.sql.DataFrame = {
     val unp = packed.select(col("vec_id"), explode(array(
         struct((col("b") * 2).as("sub"), (col("packed") % 16).as("code"),
           (col("mask") % 2 === 1).as("ok")),
@@ -731,7 +750,7 @@ object Sim {
           (col("mask") >= 2).as("ok")))).as("u"))
       .filter(col("u.ok"))
       .select(col("vec_id"), col("u.sub").as("sub"), col("u.code").as("code"))
-    val qdt = microSubs(e.filter(col("vec_id") === queryVecId))
+    val qdt = qsubs
       .join(broadcast(cw), Seq("sub", "pos"))
       .groupBy(col("sub"), col("c"))
       .agg(sum((col("m") - col("w")) * (col("m") - col("w"))).as("qd2"))
@@ -740,6 +759,52 @@ object Sim {
       .join(broadcast(qdt), Seq("sub", "code"))
       .groupBy(col("vec_id")).agg(sum(col("qd2")).as("adc"))
       .orderBy(col("adc").asc, col("vec_id").asc).limit(20)
+  }
+
+  /** e21's rotation-eligible frame: (vec_id, rm) where rm is the
+    * OPQ-rotated micro-unit vector ([[graft.functions.OpqRotateMicro]]);
+    * vectors with a null embedding OR any null component are excluded
+    * (a rotation mixes every dimension, so one missing component
+    * poisons the whole rotated vector — the null-vector gate's
+    * "unscoreable vectors are excluded" rule). The vec_id spread is the
+    * family's ONE corpus repartition. */
+  private def opq4Frame(vecs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    vecs.repartition(col("vec_id"))
+      .select(col("vec_id"),
+        graft.functions.OpqExprs.opqRotateMicro(col("embedding")).as("rm"))
+      .filter(col("rm").isNotNull)
+
+  /** The rotated micro-unit subspace stream (vec_id, pos, sub, m) —
+    * e21's analogue of [[microSubs]]; positions are 0-based like
+    * posexplode's, matching the twin's 0-based rotated prelude. */
+  private def opq4Subs(rf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    rf.select(col("vec_id"), posexplode(col("rm")).as(Seq("pos", "m")))
+      .select(col("vec_id"), col("pos"), expr("pos DIV 8").as("sub"), col("m"))
+
+  /** e21's trained model: the pq4 chain over OPQ-rotated components.
+    * Cached in [[pq4ModelCache]] under the ROTATED frame's canonical
+    * plan — structurally distinct from e20's raw-corpus key (it
+    * contains the rotation expression), so the two indexes of the same
+    * corpus coexist; [[invalidateIndexCaches]] drops both. */
+  private[graft] def opq4Model(e: org.apache.spark.sql.DataFrame):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val rf = opq4Frame(e)
+    pq4ModelCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    pq4ModelCache.computeIfAbsent(
+      (rf.sparkSession, rf.queryExecution.analyzed.canonicalized), _ => {
+        val (cw, packed) = pq4TrainOn(opq4Subs(rf), rf)
+        (cw, packed.localCheckpoint())
+      })
+  }
+
+  /** e21's ADC candidates: the e20 serve body over the rotated index,
+    * with the query's distance table built from its ROTATED subspace
+    * stream (index and query must live in the same rotated space). */
+  private[graft] def opq4AdcCandidates(e: org.apache.spark.sql.DataFrame,
+      queryVecId: Long = 0L): org.apache.spark.sql.DataFrame = {
+    val (cw, packed) = opq4Model(e)
+    pq4Serve(cw, packed,
+      opq4Subs(opq4Frame(e.filter(col("vec_id") === queryVecId))), queryVecId)
   }
 
   /** Exact-cosine re-rank of a bounded (vec_id, adc) candidate set —
@@ -1006,45 +1071,77 @@ object Sim {
     * (codes4, qdt4) and cw feeds it — under DuckDB's default inlining
     * the whole k-means chain re-expands per reference (the CcSql
     * mechanism; a constant-factor recompute for the twin, cost only). */
-  private val pq4CandSql: String =
-    s"""s0 AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id ASC) - 1 AS c
-       |  FROM embeddings WHERE embedding IS NOT NULL),
-       |seeds AS (SELECT vec_id, c FROM s0 WHERE c < 16),
-       |cw0 AS (SELECT s.c, m.sub, m.pos, m.m AS w
-       |  FROM m JOIN seeds s USING (vec_id)),
-       |a2 AS (SELECT m.vec_id, m.sub, w.c,
+  private def pq4CandSqlOn(x: String, mSrc: String, elig: String): String =
+    s"""s0$x AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id ASC) - 1 AS c
+       |  FROM embeddings WHERE $elig),
+       |seeds$x AS (SELECT vec_id, c FROM s0$x WHERE c < 16),
+       |cw0$x AS (SELECT s.c, m.sub, m.pos, m.m AS w
+       |  FROM $mSrc m JOIN seeds$x s USING (vec_id)),
+       |a2$x AS (SELECT m.vec_id, m.sub, w.c,
        |    SUM((m.m - w.w) * (m.m - w.w)) AS d2
-       |  FROM m JOIN cw0 w ON m.sub = w.sub AND m.pos = w.pos
+       |  FROM $mSrc m JOIN cw0$x w ON m.sub = w.sub AND m.pos = w.pos
        |  GROUP BY m.vec_id, m.sub, w.c),
-       |asn AS (SELECT vec_id, sub, c FROM (
+       |asn$x AS (SELECT vec_id, sub, c FROM (
        |  SELECT vec_id, sub, c,
        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, c ASC) AS rn
-       |  FROM a2) WHERE rn = 1),
-       |cw AS MATERIALIZED (SELECT a.c, m.sub, m.pos, ${halfAwayDivSql("SUM(m.m)", "COUNT(*)")} AS w
-       |  FROM m JOIN asn a ON m.vec_id = a.vec_id AND m.sub = a.sub
+       |  FROM a2$x) WHERE rn = 1),
+       |cw$x AS MATERIALIZED (SELECT a.c, m.sub, m.pos, ${halfAwayDivSql("SUM(m.m)", "COUNT(*)")} AS w
+       |  FROM $mSrc m JOIN asn$x a ON m.vec_id = a.vec_id AND m.sub = a.sub
        |  GROUP BY a.c, m.sub, m.pos),
-       |d24 AS MATERIALIZED (SELECT m.vec_id, m.sub, w.c,
+       |d24$x AS MATERIALIZED (SELECT m.vec_id, m.sub, w.c,
        |    SUM((m.m - w.w) * (m.m - w.w)) AS d2
-       |  FROM m JOIN cw w ON m.sub = w.sub AND m.pos = w.pos
+       |  FROM $mSrc m JOIN cw$x w ON m.sub = w.sub AND m.pos = w.pos
        |  GROUP BY m.vec_id, m.sub, w.c),
-       |codes4 AS (SELECT vec_id, sub, c AS code FROM (
+       |codes4$x AS (SELECT vec_id, sub, c AS code FROM (
        |  SELECT vec_id, sub, c,
        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, c ASC) AS rn
-       |  FROM d24) WHERE rn = 1),
-       |pk AS (SELECT vec_id, sub // 2 AS b,
+       |  FROM d24$x) WHERE rn = 1),
+       |pk$x AS (SELECT vec_id, sub // 2 AS b,
        |    SUM(code * CASE WHEN sub % 2 = 1 THEN 16 ELSE 1 END) AS packed,
        |    SUM(CASE WHEN sub % 2 = 1 THEN 2 ELSE 1 END) AS mask
-       |  FROM codes4 GROUP BY vec_id, sub // 2),
-       |unp AS (
-       |  SELECT vec_id, b * 2 AS sub, packed % 16 AS code FROM pk WHERE mask % 2 = 1
+       |  FROM codes4$x GROUP BY vec_id, sub // 2),
+       |unp$x AS (
+       |  SELECT vec_id, b * 2 AS sub, packed % 16 AS code FROM pk$x WHERE mask % 2 = 1
        |  UNION ALL
-       |  SELECT vec_id, b * 2 + 1 AS sub, packed // 16 AS code FROM pk WHERE mask >= 2),
-       |qdt4 AS (SELECT sub, c AS code, d2 AS qd2 FROM d24 WHERE vec_id = 0),
-       |cand4 AS (
+       |  SELECT vec_id, b * 2 + 1 AS sub, packed // 16 AS code FROM pk$x WHERE mask >= 2),
+       |qdt4$x AS (SELECT sub, c AS code, d2 AS qd2 FROM d24$x WHERE vec_id = 0),
+       |cand4$x AS (
        |  SELECT u.vec_id, CAST(SUM(q.qd2) AS BIGINT) AS adc
-       |  FROM unp u JOIN qdt4 q ON u.sub = q.sub AND u.code = q.code
+       |  FROM unp$x u JOIN qdt4$x q ON u.sub = q.sub AND u.code = q.code
        |  WHERE u.vec_id <> 0 GROUP BY u.vec_id
        |  ORDER BY adc ASC, u.vec_id ASC LIMIT 20)""".stripMargin
+
+  private val pq4CandSql: String = pq4CandSqlOn("", "m", "embedding IS NOT NULL")
+
+  /** e21's rotation-eligibility predicate: vectors with a null
+    * embedding or any null component are excluded (see
+    * [[graft.functions.OpqRotateMicro]]'s null semantics). */
+  private val opqEligSql: String =
+    "embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+
+  /** The rotated micro-unit prelude (e21's twin of [[pqPreludeSql]]'s
+    * `m`, 0-based positions like posexplode): sign-flip each
+    * micro-quantized component by popcount((j+1)*2654435769), then the
+    * Walsh-Hadamard mix r_i = SUM_j (-1)^popcount(i AND j) * x_j —
+    * VERBATIM the [[graft.functions.OpqRotateMicro]] formula, exact in
+    * BIGINT. `rdim` carries each vector's own positions so a
+    * short vector never fabricates rotated components. MATERIALIZED:
+    * m21 feeds five consumers in the candidate chain. */
+  private val opqPreludeSql: String =
+    s"""ru AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+       |         unnest(embedding::DOUBLE[]) AS v
+       |  FROM embeddings WHERE $opqEligSql),
+       |rx AS (SELECT vec_id, j,
+       |    (CASE WHEN bit_count(CAST((j + 1) * 2654435769 AS BIGINT)) % 2 = 0
+       |      THEN 1 ELSE -1 END) * ($microQSql) AS x
+       |  FROM ru),
+       |rdim AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i
+       |  FROM embeddings WHERE $opqEligSql),
+       |m21 AS MATERIALIZED (SELECT rx.vec_id, i.i AS pos, i.i // 8 AS sub,
+       |    CAST(SUM(CASE WHEN bit_count(CAST(i.i & rx.j AS BIGINT)) % 2 = 0
+       |      THEN rx.x ELSE -rx.x END) AS BIGINT) AS m
+       |  FROM rx JOIN rdim i ON rx.vec_id = i.vec_id
+       |  GROUP BY rx.vec_id, i.i)""".stripMargin
 
   val qs: Seq[Q] = Seq(
 
@@ -1650,6 +1747,34 @@ object Sim {
               |ORDER BY cos_sim DESC, cand4.vec_id ASC LIMIT 5""".stripMargin),
       "4-bit PQ ANN: 16 trained codewords per subspace, packed nibble codes at half the byte-PQ footprint, integer ADC (north-star)"),
 
+    // OPQ-lite 4-bit PQ — e20 with a seeded Walsh-Hadamard rotation of
+    // the micro-quantized vectors BEFORE the subspace split (the
+    // standard OPQ trick: mix correlated energy across subspaces so the
+    // per-subspace nibble codebooks see isotropic residuals). The
+    // rotation is exact long arithmetic (see OpqRotateMicro), so the
+    // rotated index, codes, and ADC ranks stay bit-deterministic
+    // cross-engine; for the power-of-two dims of this corpus H is
+    // orthogonal, so rotated squared distances are exactly dim x the
+    // originals. Train/encode/serve reuse e20's chain verbatim over the
+    // rotated stream; vectors with any null component are excluded (a
+    // rotation mixes every dimension — one hole poisons the vector).
+    // Recall rides in the e18 report as 'opq4' (RecallSpec gates it
+    // >= e20's pq4).
+    Q("e21_opq4_ann",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+        pqRerank(e, opq4AdcCandidates(e), 0L, 5)
+      },
+      Some(s"""WITH $opqPreludeSql,
+              |${pq4CandSqlOn("r", "m21", opqEligSql)},
+              |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+              |SELECT cand4r.vec_id, adc,
+              |  ROUND(${dDot("e.embedding", "q.qe")} /
+              |    (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("q.qe", "q.qe")})), 4) AS cos_sim
+              |FROM cand4r JOIN embeddings e ON e.vec_id = cand4r.vec_id, q
+              |ORDER BY cos_sim DESC, cand4r.vec_id ASC LIMIT 5""".stripMargin),
+      "OPQ-lite 4-bit PQ ANN: seeded exact-integer Walsh-Hadamard rotation before the nibble codebooks (north-star)"),
+
     // Cross-corpus SEMANTIC decontamination — the embedding-space
     // complement of d29's shingle near-dup: drop every TARGET vector
     // (vec_id % 10 ≠ 0) whose rounded cosine with any REFERENCE vector
@@ -1869,9 +1994,10 @@ object Sim {
           Future(blocking(lit10(lshTopKDf(e, 10)))),
           Future(blocking(lit10(pqRerank(e2, pqAdcCandidates(e2), 0L, 10)))),
           Future(blocking(lit10(pqRerank(e2, pqResidualAdcCandidates(e2), 0L, 10)))),
-          Future(blocking(lit10(pqRerank(e2, pq4AdcCandidates(e2), 0L, 10)))))),
+          Future(blocking(lit10(pqRerank(e2, pq4AdcCandidates(e2), 0L, 10)))),
+          Future(blocking(lit10(pqRerank(e2, opq4AdcCandidates(e2), 0L, 10)))))),
           scala.concurrent.duration.Duration.Inf)
-        val Seq(exact, ivf, lsh, pq, pqres, pq4) = collected
+        val Seq(exact, ivf, lsh, pq, pqres, pq4, opq4) = collected
         def row(method: String, top: org.apache.spark.sql.DataFrame) =
           top.join(exact, Seq("vec_id"))
             .agg(count(lit(1)).as("hits"))
@@ -1882,6 +2008,7 @@ object Sim {
           .unionByName(row("pq", pq))
           .unionByName(row("pq_res", pqres))
           .unionByName(row("pq4", pq4))
+          .unionByName(row("opq4", opq4))
       },
       Some {
         val sums = (0 until 8).map(j =>
@@ -1927,6 +2054,8 @@ object Sim {
            |$pqPlainCandSql,
            |$pqResidualCandSql,
            |$pq4CandSql,
+           |$opqPreludeSql,
+           |${pq4CandSqlOn("r", "m21", opqEligSql)},
            |pq10 AS (
            |  SELECT cand.vec_id FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id, q0
            |  ORDER BY ${cos("e.embedding")} DESC, cand.vec_id ASC LIMIT 10),
@@ -1936,6 +2065,9 @@ object Sim {
            |pq410 AS (
            |  SELECT cand4.vec_id FROM cand4 JOIN embeddings e ON e.vec_id = cand4.vec_id, q0
            |  ORDER BY ${cos("e.embedding")} DESC, cand4.vec_id ASC LIMIT 10),
+           |opq410 AS (
+           |  SELECT cand4r.vec_id FROM cand4r JOIN embeddings e ON e.vec_id = cand4r.vec_id, q0
+           |  ORDER BY ${cos("e.embedding")} DESC, cand4r.vec_id ASC LIMIT 10),
            |r AS (
            |  SELECT 'ivf' AS method, CAST(COUNT(*) AS BIGINT) AS hits
            |  FROM ivf10 JOIN exact10 USING (vec_id)
@@ -1950,7 +2082,10 @@ object Sim {
            |  FROM pqres10 JOIN exact10 USING (vec_id)
            |  UNION ALL
            |  SELECT 'pq4' AS method, CAST(COUNT(*) AS BIGINT) AS hits
-           |  FROM pq410 JOIN exact10 USING (vec_id))
+           |  FROM pq410 JOIN exact10 USING (vec_id)
+           |  UNION ALL
+           |  SELECT 'opq4' AS method, CAST(COUNT(*) AS BIGINT) AS hits
+           |  FROM opq410 JOIN exact10 USING (vec_id))
            |SELECT method, hits, (hits * 1000000) // 10 AS recall_ppm FROM r""".stripMargin
       },
       "ANN recall report: recall@10 of IVF and LSH rankings vs the exact baseline (north-star: index evaluation)")

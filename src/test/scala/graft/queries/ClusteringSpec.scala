@@ -338,7 +338,7 @@ class ClusteringSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val rows = Registry.queries("e18_recall_report")(spark, dir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(rows.keySet === Set("ivf", "lsh", "pq", "pq_res", "pq4"))
+    assert(rows.keySet === Set("ivf", "lsh", "pq", "pq_res", "pq4", "opq4"))
     rows.foreach { case (m, (hits, ppm)) =>
       assert(hits >= 0L && hits <= 10L, s"$m hits out of range: $hits")
       assert(ppm === hits * 100000L, s"$m recall_ppm must be hits/10 in ppm")
@@ -397,6 +397,27 @@ class ClusteringSpec extends SparkSpec {
       val p = r.getLong(2); p >= 0 && p <= 255
     }, "each packed value must fit one byte")
     val cand = Sim.pq4AdcCandidates(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.nonEmpty && cand.length <= 20)
+    assert(cand.forall(_._2 >= 0L))
+    assert(cand.sortBy { case (id, adc) => (adc, id) }.toSeq === cand.toSeq)
+  }
+
+  test("e21 OPQ-lite 4-bit PQ: recall@10 at least pq4's (both SFs), candidates ADC-consistent") {
+    // the seeded Walsh-Hadamard rotation must not LOSE recall vs the
+    // unrotated 4-bit chain on the pinned fixtures (the e18 report
+    // carries both; measured opq4/pq4 = 4/3 at sf0.001, 7/5 at sf0.01
+    // with the 0x9E3779B9 sign seed — thresholds are the e20 values,
+    // not slack)
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = Registry.queries("e18_recall_report")(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows("opq4") >= rows("pq4"),
+        s"$dir: OPQ-lite recall ${rows("opq4")} < plain 4-bit ${rows("pq4")}")
+    }
+    val e = Registry.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
+    val cand = Sim.opq4AdcCandidates(e)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(cand.nonEmpty && cand.length <= 20)
     assert(cand.forall(_._2 >= 0L))

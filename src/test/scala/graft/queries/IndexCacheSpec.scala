@@ -32,20 +32,20 @@ class IndexCacheSpec extends SparkSpec {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
   }
 
-  test("invalidateIndexCaches: all three PQ indexes retrain after a corpus rewrite") {
+  test("invalidateIndexCaches: every trained PQ index retrains after a corpus rewrite") {
     val dir = Files.createTempDirectory("graft-idxcache").toString
     def topOf(q: String): Long =
       Registry.queries(q)(spark, dir).collect().head.getLong(0)
 
     writeCorpus(dir, twin = 7L)
-    for (q <- Seq("e15_pq_ann", "e19_pq_residual_ann", "e20_pq4_ann"))
+    for (q <- Seq("e15_pq_ann", "e19_pq_residual_ann", "e20_pq4_ann", "e21_opq4_ann"))
       assert(topOf(q) === 7L, s"$q should rank the identical twin first")
 
     // rewrite the corpus in place: a different vector is now the twin
     writeCorpus(dir, twin = 13L)
     Registry.invalidate(dir)
     Sim.invalidateIndexCaches()
-    for (q <- Seq("e15_pq_ann", "e19_pq_residual_ann", "e20_pq4_ann"))
+    for (q <- Seq("e15_pq_ann", "e19_pq_residual_ann", "e20_pq4_ann", "e21_opq4_ann"))
       assert(topOf(q) === 13L,
         s"$q served a stale index after the documented invalidation sequence")
 
@@ -53,7 +53,7 @@ class IndexCacheSpec extends SparkSpec {
     writeCorpus(dir, twin = 4L)
     Registry.invalidate(dir)
     Sim.invalidateResidualModels()
-    for (q <- Seq("e15_pq_ann", "e19_pq_residual_ann", "e20_pq4_ann"))
+    for (q <- Seq("e15_pq_ann", "e19_pq_residual_ann", "e20_pq4_ann", "e21_opq4_ann"))
       assert(topOf(q) === 4L, s"$q stale after invalidateResidualModels alias")
   }
 }
