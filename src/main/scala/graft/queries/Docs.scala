@@ -781,6 +781,68 @@ object Docs {
       .drop("__ws")
   }
 
+  /** Compile a corpus SNAPSHOT's 16-token block contents into a Bloom
+    * filter for [[spanDedupFilterDf]] — the d30 analogue of
+    * [[benchBloomBytes]]: the snapshot's span inventory is the keeper
+    * state a batch d30 run already owns, serialized to broadcast-sized
+    * bytes (≈1.8 MB per million blocks at 0.1% fpp) so the ingest path
+    * needs no join against it. Block extraction is [[spanBlocks]] —
+    * the IDENTICAL content strings the batch flagger hashes. */
+  def spanKeeperBloomBytes(snapshotDocs: org.apache.spark.sql.DataFrame,
+      textCol: String = "text", expectedItems: Long = 1000000L,
+      fpp: Double = 0.001): Array[Byte] =
+    benchBloomBytes(
+      spanBlocks(snapshotDocs.withColumnRenamed(textCol, "text"))
+        .select(col("content")),
+      gramCol = "content", expectedItems = expectedItems, fpp = fpp)
+
+  /** Stateless duplicate-SPAN removal against a snapshot keeper set —
+    * the streaming twin of d30 ([[spanDedupDf]]): every 16-token block
+    * of an incoming doc that already exists in the (Bloom-compiled)
+    * snapshot is a duplicate span and is cut; the doc is rebuilt from
+    * its surviving blocks in order, and a doc with nothing left
+    * disappears. Pure per-row expression — the doc's own blocks live
+    * inside its row, so there is NO explode, NO state, NO shuffle, and
+    * the same frame-in/frame-out body runs over a batch frame or an
+    * unbounded stream ([[graft.streaming.StreamingBuckets
+    * .spanDedupStream]]): the scale shape for "strip known boilerplate
+    * spans from 100 TB of ingest". Error is one-sided (Bloom): a block
+    * REALLY in the snapshot is always cut; ~fpp of fresh blocks are
+    * conservatively over-cut. What this twin does NOT do — exactly
+    * like nearDedupStream defers banding — is dedup spans WITHIN the
+    * stream horizon against each other; first-occurrence keeper
+    * election stays on the batch d30 compactor, which backfills
+    * exactly.
+    *
+    * Every HOF lambda reads only bound columns (__ws/__n) plus its own
+    * index — the BENCH_NOTES bound-column discipline. */
+  def spanDedupFilterDf(docs: org.apache.spark.sql.DataFrame,
+      keeperBloom: Array[Byte], textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val bloom = Literal(keeperBloom, BinaryType)
+    def mightContain(v: Column): Column =
+      org.apache.spark.sql.GraftShim.column(
+        BloomFilterMightContain(bloom, org.apache.spark.sql.GraftShim.expression(v)))
+    def blockOf(k: Column): Column = {
+      val bstart = lit(1L) + k * 16L
+      array_join(slice(col("__ws"), bstart.cast("int"),
+        least(lit(16L), col("__n") - bstart + 1L).cast("int")), " ")
+    }
+    docs
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+      .withColumn("__ws", words(col(textCol)))
+      .withColumn("__n", size(col("__ws")).cast("long"))
+      .withColumn("__keep", filter(
+        when(col("__n") >= 1, sequence(lit(0L), expr("(__n + 15) DIV 16 - 1")))
+          .otherwise(array().cast("array<long>")),
+        k => !mightContain(xxhash64(blockOf(k)))))
+      .filter(size(col("__keep")) > 0)
+      .withColumn(textCol, array_join(transform(col("__keep"), k => blockOf(k)), " "))
+      .withColumn("n_chars", length(col(textCol)).cast("long"))
+      .drop("__ws", "__n", "__keep")
+  }
+
   /** Shared body of d29 (and CurationPipeline's NearDup decontamination
     * engine): the distinct TARGET doc_ids whose shingle Jaccard with any
     * REFERENCE doc reaches 0.5. `docs` must carry (doc_id, text) for the
@@ -1076,14 +1138,12 @@ object Docs {
     * (md5, doc_id, k) tuples on one shared block-hash exchange,
     * map-side-combinable min(struct) keeper, flags returned through one
     * narrow doc_id exchange). */
-  private[graft] def spanBlocksFlagged(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // doc_id notnull is filtered EXPLICITLY (not left to join-key
-    // constraint inference): the flags join infers IsNotNull(doc_id)
-    // on its probe subtree only, which de-canonicalizes the keeper
-    // and probe subtrees — both the doc_id spread and the block-hash
-    // exchange then materialize twice (ExecPlan-verified before the
-    // fix: two REPARTITION_BY_COL h exchanges, two corpus spreads).
-    val blocks = docs
+  /** The corpus block stream of the d30 family: non-overlapping
+    * 16-token blocks, (doc_id, k, btok, content). Shared by the batch
+    * flagger and the streaming snapshot-Bloom compile so both sides
+    * hash the IDENTICAL content strings. */
+  private[graft] def spanBlocks(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
       .filter(col("text").isNotNull && col("doc_id").isNotNull)
       .repartition(col("doc_id"))
       .withColumn("ws", words(col("text")))
@@ -1095,6 +1155,16 @@ object Docs {
       .select(col("doc_id"), col("k"), col("btok"),
         array_join(slice(col("ws"), col("bstart").cast("int"), col("btok").cast("int")), " ")
           .as("content"))
+
+  private[graft] def spanBlocksFlagged(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // doc_id notnull is filtered EXPLICITLY inside spanBlocks (not left
+    // to join-key constraint inference): the flags join infers
+    // IsNotNull(doc_id) on its probe subtree only, which
+    // de-canonicalizes the keeper and probe subtrees — both the doc_id
+    // spread and the block-hash exchange then materialize twice
+    // (ExecPlan-verified before the fix: two REPARTITION_BY_COL h
+    // exchanges, two corpus spreads).
+    val blocks = spanBlocks(docs)
     // narrow (h, dt) stream: ONE block-hash exchange feeds both the
     // keeper aggregate and the probe join (count(dt) ≡ count(1): a
     // struct is never null — the d18/d21 reuse discipline)

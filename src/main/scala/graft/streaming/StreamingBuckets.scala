@@ -110,6 +110,21 @@ object StreamingBuckets {
   def crossNeardupStream(docs: DataFrame, refSigBloomBytes: Array[Byte]): DataFrame =
     graft.queries.Docs.crossNeardupFilterDf(docs, refSigBloomBytes)
 
+  /** Streaming twin of d30 duplicate-span removal, against a SNAPSHOT
+    * keeper set: every 16-token block of a streamed doc that already
+    * exists in the batch snapshot (compiled once to a Bloom filter by
+    * [[graft.queries.Docs.spanKeeperBloomBytes]] and shipped as a
+    * literal) is cut, and the doc is rebuilt from its surviving blocks
+    * — a pure stateless per-row expression, no state, no watermark, no
+    * join, so the operator ingests forever at any scale. One-sided
+    * error: a block REALLY in the snapshot is always cut; ~fpp of
+    * fresh blocks are conservatively over-cut. Within-stream span
+    * dedup (first-occurrence keeper election among NEW spans) stays on
+    * the batch d30 compactor, which backfills exactly — the same
+    * split of labor as nearDedupStream vs the banded batch path. */
+  def spanDedupStream(docs: DataFrame, keeperBloomBytes: Array[Byte]): DataFrame =
+    graft.queries.Docs.spanDedupFilterDf(docs, keeperBloomBytes)
+
   /** Streaming twin of e14 semantic decontamination: drop any streamed
     * vector whose rounded cosine with a same-bucket reference vector
     * reaches `threshold`. EXACT (no Bloom, no one-sided error): the

@@ -69,6 +69,42 @@ class FileStreamSpec extends SparkSpec {
     assert(ids.distinct.length === ids.length, "no doc may be processed twice")
   }
 
+  test("checkpointed spanDedupStream: a killed-and-resumed query cuts snapshot spans exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("span_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("span_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("span_out").toString
+    def blk(p: String) = (1 to 16).map(i => s"$p$i").mkString(" ")
+    val A = blk("a"); val F = blk("f"); val G = blk("g")
+    val keeperBloom = graft.queries.Docs.spanKeeperBloomBytes(
+      Seq((100L, A)).toDF("doc_id", "text"), expectedItems = 100L)
+
+    // batch 1 lands, the query runs to completion and is KILLED
+    Seq((1L, s"$A $F"), (2L, A)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def runOnce(): Unit = {
+      val q = StreamingBuckets.spanDedupStream(
+          spark.readStream.schema(schema).parquet(src), keeperBloom)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // batch 2 lands; the RESUMED query must process ONLY the new files
+    Seq((3L, s"$G $A"), (4L, A)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    val rows = spark.read.parquet(out).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    // docs 2 and 4 were pure snapshot spans -> gone; 1 and 3 rebuilt,
+    // each exactly once across the kill/resume boundary
+    assert(rows.map(_._1).toSeq === Seq(1L, 3L), s"got $rows")
+    assert(rows.toMap === Map(1L -> F, 3L -> G))
+  }
+
   test("readStream over documents parquet -> nearDedupStream keeps one doc per signature") {
     val dir = java.nio.file.Files.createTempDirectory("stream_docs").toString
     val docs = graft.queries.Registry.t(spark, "/root/testdata/sf0.001", "documents")

@@ -344,6 +344,48 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("spanDedupStream == batch filter; snapshot spans never survive, fresh spans do") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = System.currentTimeMillis()
+    def at(min: Long) = new Timestamp(base + min * 60000L)
+    def blk(p: String) = (1 to 16).map(i => s"$p$i").mkString(" ")
+    val A = blk("a"); val B = blk("b"); val F = blk("f")
+    val P = (1 to 5).map(i => s"p$i").mkString(" ")   // partial tail block
+    // the batch snapshot owns blocks A, B and the partial block "t1..t5"
+    val keeperBloom = graft.queries.Docs.spanKeeperBloomBytes(
+      Seq((100L, s"$A $B"), (101L, "t1 t2 t3 t4 t5")).toDF("doc_id", "text"),
+      expectedItems = 100L)
+    val docs = Seq(
+      StreamDoc(1L, s"$A $F", at(0)),        // snapshot block cut, fresh kept
+      StreamDoc(2L, s"$A $B", at(1)),        // everything cut -> disappears
+      StreamDoc(3L, s"$F $P", at(2)),        // fully fresh (incl. partial tail)
+      StreamDoc(4L, "t1 t2 t3 t4 t5", at(3)))// snapshot PARTIAL block -> gone
+    val stream = MemoryStream[StreamDoc]
+    val query = StreamingBuckets.spanDedupStream(stream.toDF(), keeperBloom)
+      .writeStream.format("memory").queryName("spandedup")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs.take(2))
+      query.processAllAvailable()
+      stream.addData(docs.drop(2))
+      query.processAllAvailable()
+      val streamed = spark.table("spandedup")
+        .select("doc_id", "text", "n_chars")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+      val batch = graft.queries.Docs.spanDedupFilterDf(docs.toDF(), keeperBloom)
+        .select("doc_id", "text", "n_chars")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+      // trigger split must not change the rebuilds
+      assert(streamed === batch)
+      assert(streamed.map(_._1) === Seq(1L, 3L), s"kept set wrong: $streamed")
+      // doc 1 rebuilt to JUST its fresh block; doc 3 untouched
+      assert(streamed.head._2 === F)
+      assert(streamed(1)._2 === s"$F $P")
+      assert(streamed.forall { case (_, t, n) => n === t.length.toLong })
+    } finally query.stop()
+  }
+
   test("redactStream == batch redaction; PII never survives, counts exact") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
