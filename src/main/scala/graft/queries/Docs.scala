@@ -1614,19 +1614,16 @@ object Docs {
     // document fingerprint (north-star). Exact integer fold, identical
     // in both engines; the fold input is a bound column (PERF note above).
     Q("d11_rolling_hash",
-      (s, dir) => {
-        val code = (x: Column) =>
-          (ascii(x) * lit(256L) + ascii(substring(x, -1, 1)) * lit(16L) + length(x)).cast("long")
-        // null text → 0, matching the oracle (DuckDB's list_prepend(0,
-        // NULL) yields [0] so its fold returns 0; Spark's aggregate over
-        // a null array returns null). Edge-case battery finding.
-        t(s, dir, "documents")
-          .withColumn("ws", words(col("text")))
-          .withColumn("codes", transform(col("ws"), x => code(x)))
-          .select(col("doc_id"),
-            coalesce(aggregate(col("codes"), lit(0L),
-              (acc, c) => pmod(acc * 31L + c, lit(1000000007L))), lit(0L)).as("rhash"))
-      },
+      // ONE codegen'd byte pass per row (RollingHash) — the builtin
+      // formulation paid a regex collapse + split allocation, a
+      // transform evaluating three builtins per token, and an
+      // interpreted aggregate HOF (2.2x the twin at sf1). Null/blank
+      // text → 0, matching the oracle's list_prepend(0, NULL)
+      // convention (edge-case battery finding); byte-for-byte
+      // equivalence with the old chain on adversarial unicode is
+      // pinned by RollingHashExprsSpec.
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.RollingHashExprs.rollingHash(col("text")).as("rhash")),
       Some(s"""SELECT doc_id,
               |  list_reduce(
               |    list_prepend(0::BIGINT, list_transform($dWords,
@@ -2033,17 +2030,34 @@ object Docs {
     Q("d24_heavy_hitters",
       (s, dir) => {
         val eps = 0.0005
-        val toks = t(s, dir, "documents")
+        // ONE corpus token pass into the vocab rollup, checkpointed:
+        // the sketch build (weighted CMS over (term, cnt) — the
+        // counters are sums, so the bytes are IDENTICAL to the builtin
+        // over raw occurrences, CmsWeightedSpec-pinned), the item
+        // total, and the exact top-10 gate all read the leaf. The
+        // previous shape ran the token explode TWICE (once eagerly for
+        // the sketch scalar, once per materialization for the top-10)
+        // with no overlap to hide it — 2.8x the twin at sf1; this is
+        // also the production shape: sketches merge from per-shard
+        // rollups, not from re-scanned raw occurrences.
+        val termCnt = t(s, dir, "documents")
           .select(explode(words(col("text"))).as("term"))
           .filter(col("term") =!= "")
-        // ONE mergeable-sketch pass + the item total, same aggregation
-        val row = toks.agg(
-          expr(s"count_min_sketch(term, ${eps}d, 0.99d, 42)").as("cms"),
-          count(lit(1)).as("n")).head()
+          .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+          // LAZY checkpoint: the sketch scalar below is the first
+          // action, so ONE job runs token-pass + rollup + cache + CMS
+          // (an eager checkpoint would spend a whole extra job wave
+          // materializing before the sketch could start)
+          .localCheckpoint(false)
+        val row = termCnt.agg(
+          graft.functions.CmsExprs.cmsSketchWeighted(
+            col("term"), col("cnt"), eps, 0.99, 42).as("cms"),
+          sum(col("cnt")).as("n")).head()
         val slack = math.ceil(eps * row.getLong(1)).toLong
         val est = graft.functions.CmsExprs.cmsEstimate(col("term"),
           row.getAs[Array[Byte]](0))
-        topTermsDf(t(s, dir, "documents"), 10)
+        termCnt
+          .orderBy(col("cnt").desc, col("term").asc).limit(10)
           .select(col("term"), col("cnt"),
             (est >= col("cnt") && est <= col("cnt") + lit(slack))
               .as("within_envelope"))

@@ -149,16 +149,21 @@ object Sim {
     var iters = 0
     var converged = false
     while (iters < maxIters && !converged) {
+      // element-wise aggregate, no corpus explode: argmin runs once per
+      // vector (the e08 shape — the exploded formulation re-evaluated
+      // it per element above the Generate)
       val rows = e
         .select(graft.functions.KMeansExprs.assignCluster(col("embedding"), model).as("cluster"),
-          posexplode(col("embedding")).as(Seq("pos", "vf")))
+          col("embedding"))
         .filter(col("cluster").isNotNull) // unscoreable vectors contribute to no centroid
-        .filter(col("vf").isNotNull)
-        .select(col("cluster"), col("pos"), microQ(col("vf")).as("m"))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(col("m")).as("sm"), count(lit(1)).as("n"))
+        .groupBy(col("cluster"))
+        .agg(graft.functions.VectorExprs.vecMicroSum(col("embedding")).as("vs"))
+        .select(col("cluster"),
+          posexplode(arrays_zip(col("vs.sm").as("sm"), col("vs.n").as("n")))
+            .as(Seq("pos", "z")))
+        .filter(col("z.n") > 0)
         .select(col("cluster"), col("pos"),
-          (halfAwayDiv(col("sm"), col("n")).cast("double") / 1000000.0).as("c"))
+          (halfAwayDiv(col("z.sm"), col("z.n")).cast("double") / 1000000.0).as("c"))
         .collect()
       val updated = rows.groupBy(_.getInt(0)).map { case (l, rs) =>
         l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toArray }
@@ -1401,19 +1406,30 @@ object Sim {
       (s, dir) => {
         val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
         val model = kmeansSeedModel(s, dir)
-        e.select(col("vec_id"),
+        // NO corpus explode: the centroid update aggregates the vector
+        // column element-wise (VecMicroSumAgg — exact long sums per
+        // position), so the argmin grouping key is evaluated ONCE per
+        // vector. The previous explode-then-groupBy shape put
+        // kmeans_argmin in the Project ABOVE the Generate, where it
+        // re-ran once per ELEMENT — 64x per vector, ~0.9 s of pure
+        // re-evaluation at sf1 (ExecPlan-verified). The posexplode
+        // below runs over K model rows, not the corpus. Positions with
+        // n = 0 drop, exactly as the exploded shape never produced
+        // those (cluster, pos) rows.
+        e.select(
             graft.functions.KMeansExprs.assignCluster(col("embedding"), model)
               .cast("long").as("cluster"),
-            posexplode(col("embedding")).as(Seq("pos0", "vf")))
+            col("embedding"))
           .filter(col("cluster").isNotNull) // unscoreable vectors are excluded (twin: s IS NOT NULL)
-          .filter(col("vf").isNotNull)
-          .withColumn("pos", (col("pos0") + 1).cast("long"))
-          .select(col("cluster"), col("pos"), microQ(col("vf")).as("m"))
-          .groupBy(col("cluster"), col("pos"))
-          .agg(sum(col("m")).as("sm"), count(lit(1)).as("n"))
-          .select(col("cluster"), col("pos"),
-            (halfAwayDiv(col("sm"), col("n") * 100).cast("double") / 10000.0).as("c_new"),
-            col("n").as("n_members"))
+          .groupBy(col("cluster"))
+          .agg(graft.functions.VectorExprs.vecMicroSum(col("embedding")).as("vs"))
+          .select(col("cluster"),
+            posexplode(arrays_zip(col("vs.sm").as("sm"), col("vs.n").as("n")))
+              .as(Seq("pos0", "z")))
+          .filter(col("z.n") > 0)
+          .select(col("cluster"), (col("pos0") + 1).cast("long").as("pos"),
+            (halfAwayDiv(col("z.sm"), col("z.n") * 100).cast("double") / 10000.0).as("c_new"),
+            col("z.n").as("n_members"))
       },
       Some(s"""WITH micro AS (
              |  SELECT vec_id, label, pos, $microQSql AS m FROM (
