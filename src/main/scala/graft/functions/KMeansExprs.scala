@@ -118,6 +118,89 @@ case class KMeansArgMin(
     copy(child = newChild)
 }
 
+/** [[KMeansArgMin]]'s fused sibling: ONE model loop emits BOTH the
+  * winning label and its score as struct(cluster int, score double) —
+  * for consumers that need the distance of the assignment (e09's
+  * quota sample), where running argmin and then re-deriving the score
+  * via a per-label conditional would pay a second dot product per row.
+  * The score is the loop's own bestS = cc(k*) − 2·(e·c(k*)), the exact
+  * double the argmin compared — bit-identical to the oracle's `s` by
+  * construction. Null/unscoreable semantics match [[KMeansArgMin]]:
+  * no scoreable centroid → null struct.
+  */
+case class KMeansAssign(
+    child: Expression,
+    labels: Array[Int],
+    cents: Array[Array[Float]],
+    ccs: Array[Double]) extends UnaryExpression {
+
+  require(labels.length == cents.length && labels.length == ccs.length,
+    "model arrays must be parallel")
+
+  override def dataType: DataType = KMeansAssign.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "kmeans_assign"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"kmeans_assign requires array<float> input, got ${t.sql}")
+  }
+
+  @transient private lazy val scorer = new KMeansAssign.Scorer(labels, cents, ccs)
+
+  override protected def nullSafeEval(a: Any): Any =
+    scorer.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sc = ctx.addReferenceObj("scorer", scorer,
+      classOf[KMeansAssign.Scorer].getName)
+    nullSafeCodeGen(ctx, ev, a => s"""
+      |Object r = $sc.compute($a);
+      |if (r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r; }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KMeansAssign =
+    copy(child = newChild)
+}
+
+object KMeansAssign {
+  import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("score", DoubleType, nullable = false)))
+
+  final class Scorer(labels: Array[Int], cents: Array[Array[Float]],
+      ccs: Array[Double]) extends Serializable {
+    def compute(arr: ArrayData): Any = {
+      val n = arr.numElements()
+      var hasNull = false
+      var i = 0
+      while (i < n && !hasNull) { hasNull = arr.isNullAt(i); i += 1 }
+      var bestS = Double.PositiveInfinity
+      var bestL = Int.MaxValue
+      var k = 0
+      while (k < cents.length) {
+        val c = cents(k)
+        if (!hasNull && c.length == n) {
+          var acc = 0.0
+          var j = 0
+          while (j < n) { acc += arr.getFloat(j).toDouble * c(j).toDouble; j += 1 }
+          val s = ccs(k) - 2.0 * acc
+          if (s < bestS) { bestS = s; bestL = labels(k) }
+        }
+        k += 1
+      }
+      if (bestL == Int.MaxValue) null
+      else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bestL, bestS))
+    }
+  }
+}
+
 object KMeansExprs {
   /** Column wrapper over [[KMeansArgMin]]: assign `embedding` to the
     * nearest centroid of a driver-resident model. `model` pairs each
@@ -131,5 +214,15 @@ object KMeansExprs {
     // (and the DuckDB twin's list_inner_product(cvec, cvec)) uses.
     val ccs = cents.map(_.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
     GraftShim.column(KMeansArgMin(GraftShim.expression(embedding), labels, cents, ccs))
+  }
+
+  /** Column wrapper over [[KMeansAssign]]: struct(cluster, score) of the
+    * nearest centroid in one fused pass. */
+  def assignWithScore(embedding: Column, model: Seq[(Int, Array[Float])]): Column = {
+    val sorted = model.sortBy(_._1)
+    val labels = sorted.map(_._1).toArray
+    val cents = sorted.map(_._2).toArray
+    val ccs = cents.map(_.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+    GraftShim.column(KMeansAssign(GraftShim.expression(embedding), labels, cents, ccs))
   }
 }

@@ -1258,17 +1258,23 @@ object Docs {
       "whitespace token counting (north-star: text analysis)"),
 
     Q("d02_quality_score",
+      // ONE codegen'd byte pass per row (MarkerStats) — the builtin
+      // formulation paid a regex collapse + split allocation plus an
+      // interpreted higher-order filter for the stopword count (2.5x
+      // the twin at sf1). Same arithmetic on the struct fields, so the
+      // doubles are bit-identical; equivalence with the old chain on
+      // adversarial unicode is pinned by TextStatsExprsSpec.
       (s, dir) => {
-        val ws = words(col("text"))
-        val nTok = size(ws).cast("long")
-        val nChars = length(normWs(col("text"))).cast("long")
-        val stopCnt = size(filter(ws, x => x.isin("the", "a", "of", "and"))).cast("long")
-        t(s, dir, "documents").select(
+        val ms = graft.functions.MarkerStats.markerStats(
+          col("text"), Seq(Seq("the", "a", "of", "and")))
+        val nTok = col("ms").getField("n_tokens")
+        val nChars = col("ms").getField("n_chars_norm")
+        t(s, dir, "documents").select(col("doc_id"), ms.as("ms")).select(
           col("doc_id"),
           nTok.as("n_tokens"),
           nChars.as("n_chars_norm"),
           ((nChars - (nTok - 1)).cast("double") / nTok.cast("double")).as("avg_token_len"),
-          (stopCnt.cast("double") / nTok.cast("double")).as("stopword_ratio"))
+          (col("ms").getField("g0").cast("double") / nTok.cast("double")).as("stopword_ratio"))
       },
       Some(s"""SELECT doc_id,
               |  CAST(len($dWords) AS BIGINT) AS n_tokens,
@@ -1280,11 +1286,16 @@ object Docs {
       "quality scoring: length/stopword ratios (north-star: text analysis)"),
 
     Q("d03_lang_id",
+      // ONE codegen'd byte pass per row (MarkerStats, three marker
+      // groups at once) — the builtin formulation ran THREE interpreted
+      // higher-order filters over the split array (2.1x the twin at
+      // sf1); equivalence is pinned by TextStatsExprsSpec.
       (s, dir) => {
-        val ws = words(col("text"))
-        def cnt(w: String*) = size(filter(ws, x => x.isin(w: _*))).cast("long")
-        val s1 = cnt("the", "a"); val s2 = cnt("data", "spark", "stream"); val s3 = cnt("join", "merge", "hash")
-        t(s, dir, "documents").select(
+        val ms = graft.functions.MarkerStats.markerStats(col("text"),
+          Seq(Seq("the", "a"), Seq("data", "spark", "stream"), Seq("join", "merge", "hash")))
+        val s1 = col("ms").getField("g0"); val s2 = col("ms").getField("g1")
+        val s3 = col("ms").getField("g2")
+        t(s, dir, "documents").select(col("doc_id"), ms.as("ms")).select(
           col("doc_id"), s1.as("score_common"), s2.as("score_data"), s3.as("score_db"),
           when(s1 >= s2 && s1 >= s3, "common")
             .when(s2 >= s3, "data").otherwise("db").as("pred_class"))
@@ -1595,13 +1606,18 @@ object Docs {
     // the dialect-portable core of a GPT-style pre-tokenizer (north-star:
     // token counting). Java and RE2 agree on this pattern class.
     Q("d10_bpe_tokens",
+      // ONE codegen'd byte pass per row (BpeRunStats: maximal same-class
+      // runs ≡ the alternation's match sequence) — the builtin paid
+      // three regexp_extract_all scans, each materializing a match array
+      // only to take its size (2.05x the twin at sf1); equivalence is
+      // pinned by TextStatsExprsSpec.
       (s, dir) => {
-        val pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
-        t(s, dir, "documents").select(
+        val bs = graft.functions.BpeRunStats.bpeRunStats(col("text"))
+        t(s, dir, "documents").select(col("doc_id"), bs.as("bs")).select(
           col("doc_id"),
-          size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("n_bpe"),
-          size(regexp_extract_all(col("text"), lit("[a-zA-Z]+"), lit(0))).cast("long").as("n_alpha"),
-          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("long").as("n_num"))
+          col("bs").getField("n_bpe").as("n_bpe"),
+          col("bs").getField("n_alpha").as("n_alpha"),
+          col("bs").getField("n_num").as("n_num"))
       },
       Some("""SELECT doc_id,
              |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_bpe,

@@ -446,22 +446,18 @@ object Sim {
   def clusterSampleDf(e0: org.apache.spark.sql.DataFrame, quota: Int = 20): org.apache.spark.sql.DataFrame = {
     val e = e0.filter(col("embedding").isNotNull)
     val model = kmeansSeedModelDf(e0)
-    // score to the OWN centroid, recomputed from the model literal:
-    // same cc − 2·e·c fold as the argmin and the oracle's `s`, so
-    // the emitted double is bit-identical cross-engine.
-    val score = model.foldLeft(lit(Double.PositiveInfinity)) { case (acc, (l, arr)) =>
-      val cc = arr.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
-      when(col("cluster") === l, lit(cc) - lit(2.0) *
-        graft.functions.VectorExprs.vecDot(col("embedding"), array(arr.map(lit(_)): _*)))
-        .otherwise(acc)
-    }
+    // ONE fused model loop emits (cluster, score) together
+    // (KMeansAssign): the former shape ran the argmin expression and
+    // then re-derived the score via a per-label conditional — a second
+    // dot product per row. The fused score IS the argmin's own bestS
+    // (cc − 2·e·c, same fold), so the double stays bit-identical to
+    // the oracle's `s`; null struct = unscoreable, excluded as before.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster")).orderBy(col("score").asc, col("vec_id").asc)
     e.select(col("vec_id"),
-        graft.functions.KMeansExprs.assignCluster(col("embedding"), model).as("cluster"),
-        col("embedding"))
-      .filter(col("cluster").isNotNull) // unscoreable vectors are excluded (twin: s IS NOT NULL)
-      .withColumn("score", score)
+        graft.functions.KMeansExprs.assignWithScore(col("embedding"), model).as("as"))
+      .filter(col("as").isNotNull) // unscoreable vectors are excluded (twin: s IS NOT NULL)
+      .select(col("vec_id"), col("as.cluster").as("cluster"), col("as.score").as("score"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= quota)
       .select(col("cluster").cast("long").as("cluster"), col("vec_id"),

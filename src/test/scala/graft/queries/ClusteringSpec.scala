@@ -128,6 +128,32 @@ class ClusteringSpec extends SparkSpec {
     assert(diff.count() === 0, "codegen argmin diverges from HOF fold")
   }
 
+  test("e09: fused KMeansAssign (cluster, score) is bit-identical to argmin + per-label score") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Registry.t(spark, dir, "embeddings").filter(col("embedding").isNotNull)
+    val model = Sim.kmeansSeedModel(spark, dir)
+    // the pre-round-13 e09 shape: argmin expression, then the score
+    // re-derived via a per-label conditional over the model literal
+    val score = model.foldLeft(lit(Double.PositiveInfinity)) { case (acc, (l, arr)) =>
+      val cc = arr.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      when(col("cluster") === l, lit(cc) - lit(2.0) *
+        graft.functions.VectorExprs.vecDot(col("embedding"), array(arr.map(lit(_)): _*)))
+        .otherwise(acc)
+    }
+    val ref = e.select(col("vec_id"),
+        graft.functions.KMeansExprs.assignCluster(col("embedding"), model).as("cluster"),
+        col("embedding"))
+      .filter(col("cluster").isNotNull)
+      .withColumn("score", score)
+      .select(col("vec_id"), col("cluster"), col("score"))
+    val fused = e.select(col("vec_id"),
+        graft.functions.KMeansExprs.assignWithScore(col("embedding"), model).as("as"))
+      .filter(col("as").isNotNull)
+      .select(col("vec_id"), col("as.cluster").as("cluster"), col("as.score").as("score"))
+    assert(ref.exceptAll(fused).count() === 0 && fused.exceptAll(ref).count() === 0,
+      "fused assign+score diverges from the two-expression shape")
+  }
+
   test("e09: per-cluster quota keeps the most-central vectors, score-ordered") {
     val dir = Files.createTempDirectory("graft-clsample").toString
     import spark.implicits._
