@@ -715,17 +715,25 @@ object Sim {
       .groupBy(col("c"), col("sub"), col("pos"))
       .agg(sum(col("m")).as("sm"), count(lit(1)).as("n"))
       .select(col("c"), col("sub"), col("pos"), halfAwayDiv(col("sm"), col("n")).as("w")))
+    (cw, pq4EncodeOn(m, cw))
+  }
+
+  /** The 4-bit ENCODE body: per-(vec, sub) argmin over the codebook,
+    * nibble-packed with the validity mask — the train tail, and ALSO
+    * the index-APPEND path ([[pq4EncodeWith]]): new corpus vectors are
+    * encoded against a stored codebook without retraining. */
+  private def pq4EncodeOn(m: org.apache.spark.sql.DataFrame,
+      cw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val d24 = m.join(broadcast(cw), Seq("sub", "pos"))
       .groupBy(col("vec_id"), col("sub"), col("c"))
       .agg(sum((col("m") - col("w")) * (col("m") - col("w"))).as("d2"))
     val codes4 = d24.groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("d2"), col("c"))).as("best"))
       .select(col("vec_id"), col("sub"), col("best").getField("c").as("code"))
-    val packed = codes4
+    codes4
       .groupBy(col("vec_id"), expr("sub DIV 2").as("b"))
       .agg(sum(col("code") * when(col("sub") % 2 === 1, 16L).otherwise(1L)).as("packed"),
         sum(when(col("sub") % 2 === 1, 2L).otherwise(1L)).as("mask"))
-    (cw, packed)
   }
 
   /** e20's ADC candidates: UNPACK the nibble code table (mask-guarded,
@@ -735,6 +743,52 @@ object Sim {
       queryVecId: Long = 0L): org.apache.spark.sql.DataFrame = {
     val (cw, packed) = pq4Model(e)
     pq4Serve(cw, packed, microSubs(e.filter(col("vec_id") === queryVecId)), queryVecId)
+  }
+
+  // ---------- stored-index lifecycle: persist / reload / append ----------
+  // The session caches above model "train once, serve many WITHIN a
+  // session"; a real deployment also stores the trained index BESIDE the
+  // corpus and serves it across sessions/processes. The stored format is
+  // exactly the model pair the caches hold: the 16×sub×pos codebook and
+  // the packed nibble code table (4 bytes + mask per 64-dim vector).
+
+  /** Persist the trained 4-bit PQ index for corpus `e` under `indexDir`
+    * (training it first if this session hasn't): `codebook.parquet`
+    * (c, sub, pos, w) + `codes.parquet` (vec_id, b, packed, mask). */
+  def savePq4Index(e: org.apache.spark.sql.DataFrame, indexDir: String): Unit = {
+    val (cw, packed) = pq4Model(e)
+    cw.write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
+    packed.write.mode("overwrite").parquet(s"$indexDir/codes.parquet")
+  }
+
+  /** Load a stored 4-bit index as its (codebook, packed codes) pair —
+    * both plain parquet scans; nothing retrains or re-encodes. */
+  def loadPq4Index(spark: org.apache.spark.sql.SparkSession, indexDir: String):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    (spark.read.parquet(s"$indexDir/codebook.parquet"),
+     spark.read.parquet(s"$indexDir/codes.parquet"))
+
+  /** ADC candidates served from a STORED index: `query` carries the
+    * query vector(s) as (vec_id, embedding) rows; only the query side
+    * touches the codebook (an 8×16 distance-table broadcast), the code
+    * table is a parquet scan — the cross-session serve path. Emits the
+    * same (vec_id, adc) frame as [[pq4AdcCandidates]]. */
+  def pq4CandidatesFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, query: org.apache.spark.sql.DataFrame,
+      queryVecId: Long = 0L): org.apache.spark.sql.DataFrame = {
+    val (cw, packed) = loadPq4Index(spark, indexDir)
+    pq4Serve(cw, packed, microSubs(query.filter(col("vec_id") === queryVecId)), queryVecId)
+  }
+
+  /** Index APPEND: encode `newVecs` against the STORED codebook (no
+    * retrain — the standard PQ ingest path; codebook drift is handled
+    * by periodic retrains, not per-batch ones) and add their packed
+    * rows to `codes.parquet`. The caller owns id-uniqueness. */
+  def appendPq4Index(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      newVecs: org.apache.spark.sql.DataFrame): Unit = {
+    val cw = spark.read.parquet(s"$indexDir/codebook.parquet")
+    pq4EncodeOn(microSubs(newVecs), cw)
+      .write.mode("append").parquet(s"$indexDir/codes.parquet")
   }
 
   /** The 4-bit SERVE body over a trained (codebook, packed-code-table)
