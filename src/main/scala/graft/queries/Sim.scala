@@ -1841,6 +1841,72 @@ object Sim {
               |ORDER BY cos_sim DESC, cand4r.vec_id ASC LIMIT 5""".stripMargin),
       "OPQ-lite 4-bit PQ ANN: seeded exact-integer Walsh-Hadamard rotation before the nibble codebooks (north-star)"),
 
+    // Predicate-FILTERED ANN — the production retrieval shape the rest
+    // of the e-battery omits: top-k cosine restricted to vectors whose
+    // companion document passes a metadata predicate (here lang = 'en',
+    // joined on vec_id = doc_id). PRE-filter semantics: the predicate
+    // prunes the candidate set BEFORE ranking, so the top-k always
+    // holds k allowed survivors — post-filtering an unfiltered top-k
+    // starves whenever the allowed fraction of the neighborhood is
+    // below k/overfetch. The index (per-label centroids, e03's coarse
+    // quantizer) is built ONCE over the FULL corpus and reused across
+    // predicates — filters change per query, so they can never be
+    // baked into the index; multi-probe (nprobe=2, e07's lever)
+    // compensates for allowed-density variance across cells. Scale
+    // shape: centroids and the query vector are tiny broadcasts; the
+    // predicate side is corpus-scale in general (lang = 'en' is ~40%
+    // of a web corpus), so it is a plain SEMI-join, deliberately
+    // UNhinted — AQE demotes it to broadcast only when runtime stats
+    // prove the filtered keys bounded. The join ships only the probed
+    // cells (nprobe/L of the corpus), not the corpus, and with
+    // doc_id-co-bucketed storage it is exchange-free. Rounding
+    // discipline: cell ranking on round(dot, 6) tie-break label; final
+    // rank on round(cos, 4) tie-break vec_id (cross-engine stable).
+    Q("e22_filtered_ann",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qd = e.filter(col("vec_id") === 0)
+          .select(posexplode(asDoubles(col("embedding")))).toDF("pos", "qv")
+        val cent = e.select(col("label"), posexplode(asDoubles(col("embedding"))))
+          .toDF("label", "pos", "v")
+          .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("c"))
+        val best = cent.join(broadcast(qd), Seq("pos"))
+          .groupBy(col("label")).agg(round(sum(col("c") * col("qv")), 6).as("dot"))
+          .orderBy(col("dot").desc, col("label").asc).limit(2)
+          .select(col("label"))
+        val allowed = t(s, dir, "documents")
+          .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        e.join(broadcast(best), Seq("label")).filter(col("vec_id") > 0)
+          .join(allowed, Seq("vec_id"), "left_semi")
+          .crossJoin(broadcast(q))
+          .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(5)
+          .select(col("label"), col("vec_id"), col("cos_sim"))
+      },
+      Some(s"""WITH qd AS (
+              |  SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding::DOUBLE[]) AS qv
+              |  FROM embeddings WHERE vec_id = 0),
+              |cent AS (
+              |  SELECT label, pos, AVG(v) AS c FROM (
+              |    SELECT label, generate_subscripts(embedding, 1) AS pos,
+              |           unnest(embedding::DOUBLE[]) AS v
+              |    FROM embeddings) GROUP BY label, pos),
+              |best AS (
+              |  SELECT label FROM (
+              |    SELECT cent.label, ROUND(SUM(c * qv), 6) AS dot
+              |    FROM cent JOIN qd USING (pos) GROUP BY cent.label)
+              |  ORDER BY dot DESC, label ASC LIMIT 2),
+              |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+              |SELECT e.label, e.vec_id,
+              |  ROUND(${dDot("e.embedding", "q.qe")} /
+              |    (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("q.qe", "q.qe")})), 4) AS cos_sim
+              |FROM embeddings e JOIN best ON e.label = best.label, q
+              |WHERE e.vec_id > 0
+              |  AND e.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+              |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 5""".stripMargin),
+      "predicate-filtered ANN: metadata pre-filter + multi-probe IVF, index reused across predicates (north-star)"),
+
     // Cross-corpus SEMANTIC decontamination — the embedding-space
     // complement of d29's shingle near-dup: drop every TARGET vector
     // (vec_id % 10 ≠ 0) whose rounded cosine with any REFERENCE vector

@@ -387,4 +387,18 @@ class PlanPropertiesSpec extends SparkSpec {
         s"$name: bucket self-join must share the repartition(bkt) exchange")
     }
   }
+
+  test("e22: predicate scan prunes to (doc_id, lang) — text never enters the filter side") {
+    val p = planOf("e22_filtered_ann")
+    // the lang predicate reaches the documents parquet scan ...
+    assert(p.contains("PushedFilters") && p.contains("lang"),
+      s"lang filter not pushed to the documents scan:\n${p.take(800)}")
+    // ... and the scan reads ONLY the semi-join key + predicate column:
+    // dragging `text` through a metadata filter is the 100 TB defect
+    // this gate exists to avoid (the filter side is corpus-CARDINALITY
+    // but must stay bytes-narrow).
+    assert(!p.contains("text") && !p.contains("n_chars") && !p.contains("source"),
+      s"documents scan reads pruned columns:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), "e22 gained a cartesian")
+  }
 }
