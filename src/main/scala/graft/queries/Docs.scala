@@ -489,6 +489,85 @@ object Docs {
       .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("pair").asc).limit(k)
 
+  /** d41's MERGEABLE vocabulary: lowercase-alnum words of length ≥ 2.
+    * BPE application is byte-level rewriting; pinning the domain to
+    * ASCII alnum keeps every string op (substr, per-char spacing,
+    * replace) code-point-exact across engines — multibyte words pass
+    * through the gate unencoded rather than risking UTF-16-unit vs
+    * code-point drift on astral input (the edge battery's doc 12). The
+    * `^[a-z0-9]+$` class is in the Java∩RE2 common subset (the d17
+    * pattern discipline). */
+  private[graft] val bpeEligibleRe = "^[a-z0-9]+$"
+
+  /** d41's merge table: d35's pair mining restricted to the mergeable
+    * vocabulary — top-k within-word char pairs by (count DESC, pair
+    * ASC). Bounded (k rows), so collecting it to literals is the
+    * Sim "literal model" pattern: the merge list IS the trained
+    * tokenizer artifact a deployment broadcasts. */
+  private[graft] def bpeMergesEligibleDf(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2 && col("w").rlike(bpeEligibleRe))
+      .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc).limit(k)
+
+  /** DataFrame body of d41: APPLY the mined merges — the serving half
+    * of the tokenizer story (d35 trains the merge ranking; this encodes
+    * a corpus with it). Representation: each doc's mergeable words are
+    * joined with ' / ' (a separator no merge can cross — symbols are
+    * [a-z0-9] runs) and char-spaced by ONE top-level regexp_replace, so
+    * a symbol boundary is always a space and a merge (a,b) is the
+    * LITERAL string replace ' a b ' → ' ab '. Each merge runs PASSES
+    * fixed passes of leftmost-non-overlapping replace — simultaneous
+    * batch merging per pass, the vectorized-BPE variant (NOT the
+    * strictly-one-occurrence-at-a-time textbook loop: a same-char run
+    * like 'aaaa' converges to the alternating '[aa][aa]' split, and a
+    * chain 'ththth' needs one pass per overlap depth — 4 passes cover
+    * runs/chains to depth ~16, beyond any natural-language word).
+    * Deterministic and engine-identical: Java's String replace and
+    * DuckDB's replace share the continue-after-replacement scan, and
+    * the oracle compares the md5 of the FULL encoded string.
+    *
+    * Scale shape: mining is d35's narrow (pair, cnt) aggregate; the
+    * k-row merge table is collected to LITERALS baked into the replace
+    * chain (the Sim literal-model pattern — a tokenizer is trained
+    * once and shipped to every task); application is a pure per-row
+    * map — ZERO exchanges at any corpus size, all codegen'd built-ins
+    * (StringReplace/RegExpReplace/RegExpExtractAll). */
+  private[graft] val BpePasses = 4
+  private[graft] def bpeApplyDf(docs: org.apache.spark.sql.DataFrame,
+      k: Int = 8): org.apache.spark.sql.DataFrame = {
+    val merges: Seq[String] =
+      bpeMergesEligibleDf(docs, k).collect().map(_.getString(0)).toSeq
+    // bind the filtered word array once (aliased projection — the
+    // tripwire doctrine), then derive everything from the bound column
+    val eligDf = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(words(col("text")),
+          w => length(w) >= 2 && w.rlike(bpeEligibleRe)).as("elig"))
+    // ' ' + per-char spacing of the ' / '-joined words: every symbol
+    // (incl. the last) gets a trailing space, so ' a b ' patterns see
+    // uniform boundaries; multi-space gaps at word joints still offer
+    // the single leading/trailing space a match needs.
+    val base = concat(lit(" "),
+      regexp_replace(concat_ws(" / ", col("elig")), "(.)", "$1 "))
+    val enc = merges.foldLeft(base) { (acc, p) =>
+      val pat = s" ${p(0)} ${p(1)} "
+      val rep = s" $p "
+      (1 to BpePasses).foldLeft(acc)((a, _) => replace(a, lit(pat), lit(rep)))
+    }
+    eligDf.select(col("doc_id"),
+      size(col("elig")).cast("long").as("n_words"),
+      coalesce(aggregate(col("elig"), lit(0L),
+        (a, w) => a + length(w).cast("long")), lit(0L)).as("chars_total"),
+      size(regexp_extract_all(enc, lit("[a-z0-9]+"), lit(0)))
+        .cast("long").as("syms_total"),
+      md5(enc.cast("binary")).as("enc_fp"))
+  }
+
   /** DataFrame-in body of d36: the data-MIXING plan — given per-language
     * token inventories n_s and target mixture weights w_s (ppm, summing
     * to 10⁶), the largest epoch-1 corpus T that honors the mixture
@@ -2675,6 +2754,55 @@ object Docs {
               |  CAST(COUNT(*) AS BIGINT) AS n_terms,
               |  CAST(SUM(c) AS BIGINT) AS n_occurrences
               |FROM tc GROUP BY length(bin(c))""".stripMargin),
-      "Zipf report: term counts log2-bucketed, distinct terms + occurrence mass per bucket (north-star: corpus diagnostics)")
+      "Zipf report: term counts log2-bucketed, distinct terms + occurrence mass per bucket (north-star: corpus diagnostics)"),
+
+    // BPE merge APPLICATION — the serving half of the tokenizer story
+    // (d35 mines the merge ranking; nothing encoded with it until now).
+    // Domain, representation, pass semantics, and the scale shape are
+    // documented on [[bpeApplyDf]]; the gate output is (per doc) the
+    // mergeable word count, pre-merge symbol count (chars), post-merge
+    // symbol count, and the md5 of the FULL encoded string — the
+    // fingerprint makes the oracle an exact cross-engine equality on
+    // every replace's byte-level behavior, not just on aggregate
+    // counts. The twin re-mines the merge table in SQL (scalar 1-row
+    // cross join) because static SQL cannot collect; the Spark side
+    // bakes the k collected pairs into the replace chain as literals —
+    // the trained-tokenizer-broadcast deployment shape.
+    Q("d41_bpe_apply",
+      (s, dir) => bpeApplyDf(t(s, dir, "documents")),
+      Some {
+        val msCols = (1 to 8).map(j =>
+          s"coalesce(max(CASE WHEN rk = $j THEN pair END), '¤¤') AS p$j")
+          .mkString(",\n|    ")
+        val encSql = (1 to 8).foldLeft("b") { (acc, j) =>
+          (1 to BpePasses).foldLeft(acc)((a, _) =>
+            s"replace($a, ' ' || substr(p$j,1,1) || ' ' || substr(p$j,2,1) || ' ', ' ' || p$j || ' ')")
+        }
+        s"""WITH ew AS (SELECT unnest(list_filter($dWords, w -> length(w) >= 2 AND regexp_matches(w, '$bpeEligibleRe'))) AS w
+           |  FROM documents WHERE text IS NOT NULL),
+           |pr AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+           |  FROM (SELECT w, unnest(range(1, length(w))) AS i FROM ew)),
+           |mr AS (SELECT pair, row_number() OVER (ORDER BY COUNT(*) DESC, pair ASC) AS rk
+           |  FROM pr GROUP BY pair ORDER BY COUNT(*) DESC, pair ASC LIMIT 8),
+           |ms AS (SELECT
+           |    $msCols
+           |  FROM mr),
+           |d AS (SELECT doc_id, list_filter($dWords, w -> length(w) >= 2 AND regexp_matches(w, '$bpeEligibleRe')) AS elig
+           |  FROM documents WHERE text IS NOT NULL),
+           |eb AS (SELECT doc_id, elig,
+           |    -- array_to_string([]) is NULL in DuckDB where Spark's
+           |    -- concat_ws gives '' — coalesce pins the no-words doc
+           |    -- to the same ' ' base both engines hash
+           |    ' ' || regexp_replace(coalesce(array_to_string(elig, ' / '), ''), '(.)', '\\1 ', 'g') AS b
+           |  FROM d),
+           |ec AS (SELECT doc_id, elig, $encSql AS enc FROM eb, ms)
+           |SELECT doc_id,
+           |  CAST(len(elig) AS BIGINT) AS n_words,
+           |  CAST(coalesce(list_aggregate(list_transform(elig, w -> length(w)), 'sum'), 0) AS BIGINT) AS chars_total,
+           |  CAST(len(regexp_extract_all(enc, '[a-z0-9]+')) AS BIGINT) AS syms_total,
+           |  md5(enc) AS enc_fp
+           |FROM ec""".stripMargin
+      },
+      "BPE merge application: encode the corpus with the mined merge ranking — zero-exchange per-row rewrite over a literal merge model (north-star: tokenizer serving)")
   )
 }

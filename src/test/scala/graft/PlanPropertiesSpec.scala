@@ -311,6 +311,12 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"hashed scorer gained a shuffle:\n${p.take(600)}")
   }
 
+  test("d41: merge APPLICATION is a pure per-row map — ZERO exchanges (mining collects at construct)") {
+    val p = planOf("d41_bpe_apply")
+    assert(!p.contains("Exchange"),
+      s"merge application gained a shuffle (the replace chain must stay per-row over literal merges):\n${p.take(600)}")
+  }
+
   test("q42: fact rows pre-aggregate at the finest grouping BEFORE Expand") {
     val p = planOf("q42_rollup")
     assert(p.contains("Expand"), s"rollup lost its Expand:\n${p.take(600)}")
