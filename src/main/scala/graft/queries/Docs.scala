@@ -538,16 +538,18 @@ object Docs {
     * map — ZERO exchanges at any corpus size, all codegen'd built-ins
     * (StringReplace/RegExpReplace/RegExpExtractAll). */
   private[graft] val BpePasses = 4
-  private[graft] def bpeApplyDf(docs: org.apache.spark.sql.DataFrame,
-      k: Int = 8): org.apache.spark.sql.DataFrame = {
-    val merges: Seq[String] =
-      bpeMergesEligibleDf(docs, k).collect().map(_.getString(0)).toSeq
-    // bind the filtered word array once (aliased projection — the
-    // tripwire doctrine), then derive everything from the bound column
-    val eligDf = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        filter(words(col("text")),
-          w => length(w) >= 2 && w.rlike(bpeEligibleRe)).as("elig"))
+
+  /** The mergeable-word array (see [[bpeEligibleRe]]) — bound via an
+    * aliased projection before the encode columns consume it (the
+    * tripwire doctrine). */
+  private[graft] def bpeEligWords: Column =
+    filter(words(col("text")), w => length(w) >= 2 && w.rlike(bpeEligibleRe))
+
+  /** d41's per-row encode projection from a bound `elig` array column —
+    * shared by the gate and the streaming twin (training is a batch
+    * job; serving takes the collected merge snapshot as a literal
+    * model). Columns: n_words, chars_total, syms_total, enc_fp. */
+  private[graft] def bpeEncodeCols(merges: Seq[String]): Seq[Column] = {
     // ' ' + per-char spacing of the ' / '-joined words: every symbol
     // (incl. the last) gets a trailing space, so ' a b ' patterns see
     // uniform boundaries; multi-space gaps at word joints still offer
@@ -559,13 +561,22 @@ object Docs {
       val rep = s" $p "
       (1 to BpePasses).foldLeft(acc)((a, _) => replace(a, lit(pat), lit(rep)))
     }
-    eligDf.select(col("doc_id"),
+    Seq(
       size(col("elig")).cast("long").as("n_words"),
       coalesce(aggregate(col("elig"), lit(0L),
         (a, w) => a + length(w).cast("long")), lit(0L)).as("chars_total"),
       size(regexp_extract_all(enc, lit("[a-z0-9]+"), lit(0)))
         .cast("long").as("syms_total"),
       md5(enc.cast("binary")).as("enc_fp"))
+  }
+
+  private[graft] def bpeApplyDf(docs: org.apache.spark.sql.DataFrame,
+      k: Int = 8): org.apache.spark.sql.DataFrame = {
+    val merges: Seq[String] =
+      bpeMergesEligibleDf(docs, k).collect().map(_.getString(0)).toSeq
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), bpeEligWords.as("elig"))
+      .select((col("doc_id") +: bpeEncodeCols(merges)): _*)
   }
 
   /** DataFrame-in body of d36: the data-MIXING plan — given per-language

@@ -125,6 +125,21 @@ object StreamingBuckets {
   def spanDedupStream(docs: DataFrame, keeperBloomBytes: Array[Byte]): DataFrame =
     graft.queries.Docs.spanDedupFilterDf(docs, keeperBloomBytes)
 
+  /** Streaming twin of the d41 BPE merge application: encode an
+    * unbounded doc ingest against a FIXED merge snapshot (the
+    * batch-mined top-k ranking, collected once — tokenizer TRAINING is
+    * a batch job, this is the serving path every production tokenizer
+    * deploys: the merge table ships to workers as a literal model and
+    * never changes mid-stream; retraining is a new snapshot + restart,
+    * exactly the e15/e19 index-invalidation contract). Stateless
+    * per-row map (shared [[graft.queries.Docs.bpeEncodeCols]] body):
+    * no watermark, no state store, batch backfill ≡ stream by
+    * construction. */
+  def bpeEncodeStream(docs: DataFrame, merges: Seq[String]): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), graft.queries.Docs.bpeEligWords.as("elig"))
+      .select((col("doc_id") +: graft.queries.Docs.bpeEncodeCols(merges)): _*)
+
   /** Streaming twin of e14 semantic decontamination: drop any streamed
     * vector whose rounded cosine with a same-bucket reference vector
     * reaches `threshold`. EXACT (no Bloom, no one-sided error): the

@@ -386,6 +386,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("bpeEncodeStream == batch d41 encoding under a fixed merge snapshot (any batch split)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = System.currentTimeMillis()
+    def at(min: Long) = new Timestamp(base + min * 60000L)
+    val docs = (1L to 40L).map { i =>
+      val text =
+        if (i % 3 == 0) s"ththth the then aaaa doc$i"
+        else if (i % 3 == 1) s"hehe thethe w$i"
+        else s"Short X UPPER Ünïcödé $i"
+      StreamDoc(i, text, at(i % 5))
+    }
+    // tokenizer TRAINING is a batch job: mine the snapshot once, ship
+    // the literal merge table to the stream
+    val merges = graft.queries.Docs.bpeMergesEligibleDf(docs.toDF(), 8)
+      .collect().map(_.getString(0)).toSeq
+    val stream = MemoryStream[StreamDoc]
+    val query = StreamingBuckets.bpeEncodeStream(stream.toDF(), merges)
+      .writeStream.format("memory").queryName("bpeencode")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs.take(17))
+      query.processAllAvailable()
+      stream.addData(docs.drop(17))
+      query.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "n_words", "chars_total", "syms_total", "enc_fp")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .sortBy(_._1).toSeq
+      val streamed = rows(spark.table("bpeencode"))
+      val batch = rows(graft.queries.Docs.bpeApplyDf(docs.toDF()))
+      assert(streamed === batch)
+      // merges really applied: compression on the mergeable docs
+      assert(streamed.filter(_._1 % 3 == 0).forall(r => r._4 < r._3))
+    } finally query.stop()
+  }
+
   test("redactStream == batch redaction; PII never survives, counts exact") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
