@@ -186,6 +186,16 @@ object CurationPipeline {
         * training order — the last artifact a pretraining pipeline
         * emits. None disables the stage. */
       orderShards: Option[Int] = None,
+      /** BPE tokenizer handoff (`08_bpe`, d41's shape over the SELECTED
+        * corpus): mine the top-K merge ranking from the selected corpus
+        * (the tokenizer-training artifact, `08_bpe/merges`) and encode
+        * the corpus with it (`08_bpe/encoded` — per-doc word/symbol
+        * counts + the encoded-string fingerprint). The merge table is
+        * bounded (K rows), so collecting it for the encode literals is
+        * the K×dim-model pattern; encoding itself is a zero-exchange
+        * per-row map (shared [[graft.queries.Docs.bpeEncodeCols]] body,
+        * pinned by the d41 oracle). None disables the stage. */
+      bpeMerges: Option[Int] = None,
       /** C4-style duplicate-SPAN removal (`04a_spans`, d30's shape over
         * the near-dup survivors): every 16-token block keeps exactly ONE
         * corpus-wide occurrence (min (doc_id, k)) and each doc is
@@ -435,6 +445,22 @@ object CurationPipeline {
     // selected corpus (d28's two-level shape — no shard-serial sort)
     cfg.orderShards.foreach { n =>
       stage("07_order", Docs.trainOrderDf(selected, n))
+      ()
+    }
+
+    // stage 8: BPE tokenizer handoff — merge-table artifact + encoded
+    // corpus (d41's shape over the selected corpus). The merge ranking
+    // is read BACK from its stage dir (resume-stable) and re-ordered
+    // before the bounded collect, so the encode literals always come
+    // from the artifact a resumed run would serve.
+    cfg.bpeMerges.foreach { k =>
+      val mergesBack = stage("08_bpe/merges", Docs.bpeMergesEligibleDf(selected, k))
+      val merges = mergesBack.orderBy(col("cnt").desc, col("pair").asc)
+        .collect().map(_.getString(0)).toSeq
+      stage("08_bpe/encoded", selected
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), Docs.bpeEligWords.as("elig"))
+        .select((col("doc_id") +: Docs.bpeEncodeCols(merges)): _*))
       ()
     }
     counts.toSeq

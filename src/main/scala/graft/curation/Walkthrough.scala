@@ -42,10 +42,11 @@ object Walkthrough {
     decontam = BloomGrams(fpp = 0.001),
     // stage 4a: C4-style duplicate-span removal after near-dup dedup
     spanDedup = true,
-    // stages 5-7: chunks, packing offsets, train order
+    // stages 5-8: chunks, packing offsets, train order, BPE handoff
     chunk = true,
     packCtx = Some(512L),
     orderShards = Some(8),
+    bpeMerges = Some(8),
     // observability reports of the RAW corpus + stage resume
     corpusReport = true,
     resume = true)

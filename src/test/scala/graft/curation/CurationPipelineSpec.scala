@@ -53,6 +53,33 @@ class CurationPipelineSpec extends SparkSpec {
     assert(langDirs.nonEmpty)
   }
 
+  test("bpeMerges stage: merge artifact + encoded corpus equal the d41 body over the selected corpus") {
+    val out = Files.createTempDirectory("graft-curation-bpe").toString
+    val docs = Registry.t(spark, sfDir, "documents")
+    val counts = CurationPipeline.run(spark, docs, out,
+      cfg = CurationPipeline.Config(chunk = false, bpeMerges = Some(8)),
+      customGate = langGate)
+    assert(counts.map(_._1).takeRight(2) === Seq("08_bpe/merges", "08_bpe/encoded"))
+
+    val corpus = spark.read.parquet(s"$out/04_corpus")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_words", "chars_total", "syms_total", "enc_fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1).toSeq
+    // encoded stage == the oracle-pinned d41 body applied to the same corpus
+    assert(rows(spark.read.parquet(s"$out/08_bpe/encoded")) ===
+      rows(graft.queries.Docs.bpeApplyDf(corpus)))
+    // merge artifact == the mining body (set + count equality)
+    val stageMerges = spark.read.parquet(s"$out/08_bpe/merges")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val bodyMerges = graft.queries.Docs.bpeMergesEligibleDf(corpus, 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(stageMerges === bodyMerges)
+    // merges really compress something on this corpus
+    val enc = rows(spark.read.parquet(s"$out/08_bpe/encoded"))
+    assert(enc.exists(r => r._4 < r._3))
+  }
+
   test("RateSample selection equals the d23 gate restricted to survivors; pack stage equals d22's offsets") {
     val out = Files.createTempDirectory("graft-curation-sel").toString
     val docs = Registry.t(spark, sfDir, "documents")
@@ -460,7 +487,8 @@ class CurationPipelineSpec extends SparkSpec {
     assert(counts.map(_._1) === Seq(
       "00_report/source", "00_report/zipf", "00_stoplist",
       "01_gated", "02_exact", "03_clean", "04_corpus", "04a_spans",
-      "04b_selected", "05_chunks", "06_pack", "07_order"))
+      "04b_selected", "05_chunks", "06_pack", "07_order",
+      "08_bpe/merges", "08_bpe/encoded"))
     val byName = counts.toMap
     // monotone survivor chain, nothing degenerate
     assert(byName("01_gated") > 0 && byName("01_gated") <= docs.count())
@@ -470,6 +498,8 @@ class CurationPipelineSpec extends SparkSpec {
     assert(byName("04b_selected") > 0 && byName("04b_selected") <= byName("04a_spans"))
     assert(byName("06_pack") === byName("04b_selected"))
     assert(byName("07_order") === byName("04b_selected"))
+    assert(byName("08_bpe/encoded") === byName("04b_selected"))
+    assert(byName("08_bpe/merges") > 0)
 
     // resume: a second run must reproduce identical counts from the
     // _SUCCESS-marked stage dirs without recomputation side effects
