@@ -1083,6 +1083,112 @@ object Docs {
       .distinct()
   }
 
+  /** DataFrame body of d42: the LSH banding TUNING report — the dedup
+    * family's analogue of e18's ANN recall report. For three band
+    * configurations over the SAME 8 minhash values — (8 bands × 1 row),
+    * (4 × 2, the d07/d12/d13 production config), (2 × 4) — report the
+    * candidate-pair volume (the cost axis) and the exactly-verified
+    * duplicate count (the yield axis), plus recall against the most
+    * sensitive config's verified set. Any pair matching an r-row band
+    * also matches each of that band's 1-row sub-bands, so candidates
+    * (and verified pairs) of every coarser config are a SUBSET of
+    * b8r1's — b8r1's verified set is a sound recall denominator without
+    * computing all-pairs ground truth. recall_ppm is exact long floor
+    * arithmetic (the d36 discipline).
+    *
+    * Runs on a DETERMINISTIC 10% sample (doc_id % 10 = 3 — a residue
+    * class no other gate's benchMod convention uses): banding curves
+    * are corpus statistics, and b8r1's single-row bands are Θ(pairs·
+    * P[any minhash collides]) — measured 0.67% of ALL pairs on this
+    * corpus, which is quadratic blowup at full sf10 volume. Tuning on
+    * a sample is exactly what a 100 TB deployment does; the REPORT is
+    * sampled, the production dedup (d12/d13) still runs the chosen
+    * config over the full corpus. Verification reuses d20's join
+    * discipline (narrow shuffle-hash build + merge second side, never
+    * broadcast). */
+  private[graft] def lshTuningDf(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val sets = t(s, dir, "documents")
+      .filter(col("doc_id").isNotNull && col("doc_id") % 10 === 3)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), array_distinct(shingles(col("ws"))).as("ss"))
+    val sig = sets
+      .withColumn("mh", graft.functions.MinHashExprs.minHashSig(col("ss")))
+      .select(col("doc_id") +: (0 until 8).map(i => minhash(col("mh"), i).as(s"mh$i")): _*)
+    // ONE explode of all 14 (config, band_key) structs per doc — a
+    // 3-branch union would re-evaluate the sig chain (scan → shingles →
+    // minhash) once per config
+    val banded = sig.select(col("doc_id"), explode(array(
+      lshTuningConfigs.flatMap { case (cfg, r) =>
+        (0 until 8 / r).map { b =>
+          val parts = (0 until r).flatMap(k =>
+            Seq(lit(":"), col(s"mh${b * r + k}"))).drop(1)
+          struct(lit(cfg).as("config"),
+            concat((lit(s"$b:") +: parts): _*).as("band_key"))
+        }
+      }: _*)).as("cb"))
+      .select(col("doc_id"), col("cb.config").as("config"),
+        col("cb.band_key").as("band_key"))
+      .filter(col("band_key").isNotNull)
+    val buckets = banded
+      .groupBy(col("config"), col("band_key"))
+      .agg(graft.functions.SmallestKAgg.smallestK(2048)(col("doc_id")).as("b"))
+      .select(col("config"), col("b.ids").as("ids"), col("b.n").as("n"))
+      .filter(col("n") > 1)
+    val pairs = buckets
+      .select(col("config"), col("ids"),
+        explode(sequence(lit(1), size(col("ids")) - 1)).as("i"))
+      .select(col("config"), col("ids"), col("i"),
+        explode(sequence(col("i") + 1, size(col("ids")))).as("j"))
+      .select(col("config"),
+        element_at(col("ids"), col("i")).as("doc_id_a"),
+        element_at(col("ids"), col("j")).as("doc_id_b"))
+      .distinct()
+    // verify per (config, pair) row directly — the config duplication
+    // (≤3×) is trivial against re-deriving the whole shingle chain for
+    // a distinct-pair branch, and it keeps the query ONE linear flow:
+    // banded → buckets → pairs → verify joins → two tiny aggregates.
+    // n_true needs no separate subtree: verified(cfg) ⊆ verified(b8r1)
+    // (the subset argument above), so the reference count IS the max
+    // n_verified across the report's own rows — a window over ≤3 rows.
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val uni = (size(col("sa")) + size(col("sb"))).cast("double") - inter
+    val ver = pairs.hint("shuffle_hash")
+      .join(sets.select(col("doc_id").as("doc_id_a"), col("ss").as("sa")),
+        Seq("doc_id_a"))
+      .join(sets.select(col("doc_id").as("doc_id_b"), col("ss").as("sb")).hint("merge"),
+        Seq("doc_id_b"))
+      .select(col("config"),
+        when(inter / uni >= 0.5, 1L).otherwise(0L).as("dup"))
+    // ONE conditional global aggregate (map-side combinable to a single
+    // row) instead of groupBy(config) + an all-rows window: the config
+    // grid is a 3-element literal, so per-config counts are 6 columns
+    // of one row and the recall denominator is greatest() of three of
+    // them. Every config is always reported (zero rows included) — a
+    // tuning report with a silently missing config reads as "not
+    // measured" when it means "found nothing".
+    val aggCols: Seq[Column] = lshTuningConfigs.flatMap { case (cfg, _) => Seq(
+      coalesce(sum(when(col("config") === cfg, 1L).otherwise(0L)), lit(0L)).as(s"c_$cfg"),
+      coalesce(sum(when(col("config") === cfg, col("dup")).otherwise(0L)), lit(0L)).as(s"v_$cfg")) }
+    val one = ver.agg(aggCols.head, aggCols.tail: _*)
+    val nTrue = greatest(lshTuningConfigs.map { case (cfg, _) => col(s"v_$cfg") }: _*)
+    one.select(explode(array(lshTuningConfigs.map { case (cfg, _) =>
+        struct(lit(cfg).as("config"), col(s"c_$cfg").as("n_candidates"),
+          col(s"v_$cfg").as("n_verified"))
+      }: _*)).as("r"), nTrue.as("n_true"))
+      .select(col("r.config").as("config"),
+        col("r.n_candidates").as("n_candidates"),
+        col("r.n_verified").as("n_verified"),
+        col("n_true"),
+        when(col("n_true") === 0, 0L)
+          .otherwise(expr("(r.n_verified * 1000000) div n_true")).as("recall_ppm"))
+  }
+
+  /** d42's banding grid: (label, rows-per-band) over the 8-value
+    * signature. */
+  private[graft] val lshTuningConfigs = Seq(("b8r1", 1), ("b4r2", 2), ("b2r4", 4))
+
   /** Star edges (bucket-min, member) per bucket — the scale path for
     * dedup clustering. Any two members of a bucket are connected through
     * the bucket minimum, so connected components over star edges are
@@ -2814,6 +2920,62 @@ object Docs {
            |  md5(enc) AS enc_fp
            |FROM ec""".stripMargin
       },
-      "BPE merge application: encode the corpus with the mined merge ranking — zero-exchange per-row rewrite over a literal merge model (north-star: tokenizer serving)")
+      "BPE merge application: encode the corpus with the mined merge ranking — zero-exchange per-row rewrite over a literal merge model (north-star: tokenizer serving)"),
+
+    // LSH banding TUNING report — the dedup family's analogue of e18's
+    // ANN recall report (semantics, sample discipline, and the
+    // subset/recall argument documented on [[lshTuningDf]]): per band
+    // config, candidate volume vs exactly-verified yield vs recall
+    // against the most sensitive config. The artifact a deployment
+    // reads to CHOOSE the d07/d12/d13 banding before paying for it at
+    // corpus scale.
+    Q("d42_lsh_tuning",
+      (s, dir) => lshTuningDf(s, dir),
+      Some {
+        val mh = (0 until 8).map(i => s"  ${dMinhash(i)} AS mh$i").mkString(",\n")
+        val bandSel = lshTuningConfigs.flatMap { case (cfg, r) =>
+          (0 until 8 / r).map { b =>
+            val key = (0 until r).map(k => s"mh${b * r + k}")
+              .mkString(s"'$b:'||", "||':'||", "")
+            s"SELECT '$cfg' AS config, doc_id, $key AS band_key FROM sig"
+          }
+        }.mkString("\n  UNION ALL ")
+        s"""WITH w AS (SELECT doc_id, $dWords ws FROM documents WHERE doc_id % 10 = 3),
+           |s AS (SELECT doc_id,
+           |  list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) sh
+           |  FROM w),
+           |h AS (SELECT doc_id, sh, $dHh hh FROM s),
+           |sig AS (SELECT doc_id,
+           |$mh
+           |FROM h),
+           |banded AS (
+           |  $bandSel),
+           |pairs AS (
+           |  SELECT DISTINCT a.config, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+           |  FROM banded a JOIN banded b
+           |    ON a.config = b.config AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |sets AS (SELECT doc_id, list_distinct(sh) AS ss FROM h),
+           |ver AS (SELECT p.config,
+           |    CASE WHEN CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+           |      (CAST(len(sa.ss) + len(sb.ss) AS DOUBLE) - CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)) >= 0.5
+           |      THEN 1 ELSE 0 END AS dup
+           |  FROM pairs p
+           |  JOIN sets sa ON p.doc_id_a = sa.doc_id
+           |  JOIN sets sb ON p.doc_id_b = sb.doc_id),
+           |percfg AS (SELECT
+           |${lshTuningConfigs.map { case (cfg, _) =>
+             s"    CAST(coalesce(SUM(CASE WHEN config = '$cfg' THEN 1 ELSE 0 END), 0) AS BIGINT) AS c_$cfg,\n" +
+             s"    CAST(coalesce(SUM(CASE WHEN config = '$cfg' THEN dup ELSE 0 END), 0) AS BIGINT) AS v_$cfg"
+           }.mkString(",\n")}
+           |  FROM ver)
+           |${lshTuningConfigs.map { case (cfg, _) =>
+             val gt = s"greatest(${lshTuningConfigs.map(c => s"v_${c._1}").mkString(", ")})"
+             s"SELECT '$cfg' AS config, c_$cfg AS n_candidates, v_$cfg AS n_verified,\n" +
+             s"  $gt AS n_true,\n" +
+             s"  CASE WHEN $gt = 0 THEN CAST(0 AS BIGINT)\n" +
+             s"    ELSE (v_$cfg * 1000000) // $gt END AS recall_ppm\nFROM percfg"
+           }.mkString("\nUNION ALL ")}""".stripMargin
+      },
+      "LSH banding tuning report: per-config candidate cost vs verified yield vs recall on a deterministic sample (north-star: dedup tuning)")
   )
 }
