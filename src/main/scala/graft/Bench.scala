@@ -57,7 +57,11 @@ import org.apache.spark.sql.functions.{count, lit}
   * (construct + exec − stages×floor_wave)/twin is ≤ 2 moves from
   * `over2x` to `floor_adjudicated` with {stages, raw, adj} so the gate
   * reads the evidence, not a narrative claim. Raw ratios stay in
-  * `ratios` untouched.
+  * `ratios` untouched. The 0.2 s twin materiality floor has an
+  * absolute-gap escape hatch: a >2x query whose spark−twin gap exceeds
+  * 1 s enters the gate even when its twin is sub-floor (`gap_flagged`
+  * carries the gap) — a tiny twin must not hide a multi-second
+  * regression.
   *
   * The JSON line is also written to BENCH_LAST.json: a log-capture
   * truncation on the driver side can never lose the number.
@@ -222,10 +226,23 @@ object Bench {
     val ratioPart = if (duckTimes.isEmpty) "" else {
       val ratios = results.collect { case (k, v) if duckTimes.get(k).exists(_ > 0) =>
         k -> math.round(v / duckTimes(k) * 100.0) / 100.0 }
+      val sparkTotalOf = results.toMap
       // formal floor adjudication (see scaladoc): raw-over-2x queries
-      // whose floor-adjusted ratio clears the gate carry their evidence
+      // whose floor-adjusted ratio clears the gate carry their evidence.
+      // Two admission routes close the materiality-floor blind spot:
+      // (a) the twin exceeds the 0.2 s floor (ratio is meaningful), OR
+      // (b) the ABSOLUTE gap spark−twin exceeds 1 s — a sub-floor twin
+      // must not hide a multi-second Spark regression (q03 at sf1 read
+      // 4.18 s against a 0.171 s twin for two rounds and never appeared
+      // in over2x). Gap-admitted rows are also listed in `gap_flagged`
+      // with their absolute gap so the new criterion is auditable.
       val candidates = ratios.collect { case (k, r)
-        if r > 2.0 && duckTimes.getOrElse(k, 0.0) > 0.2 => k -> r }
+        if r > 2.0 && (duckTimes.getOrElse(k, 0.0) > 0.2 ||
+          sparkTotalOf.getOrElse(k, 0.0) - duckTimes.getOrElse(k, 0.0) > 1.0) => k -> r }
+      val gapFlagged = ratios.collect { case (k, r)
+        if r > 2.0 && duckTimes.getOrElse(k, 0.0) <= 0.2 &&
+          sparkTotalOf.getOrElse(k, 0.0) - duckTimes.getOrElse(k, 0.0) > 1.0 =>
+        s"${Verify.jq(k)}:${math.round((sparkTotalOf(k) - duckTimes(k)) * 100.0) / 100.0}" }
       val adjOf = candidates.map { case (k, r) =>
         val adj = math.round(math.max(0.0,
           construct(k) + exec(k) - stages.getOrElse(k, 0L) * floorWave) /
@@ -240,7 +257,7 @@ object Bench {
       // = driver-side Catalyst analysis excluded) vs the twin total.
       val execRatio = if (duckTotal > 0)
         math.round(exec.values.sum / duckTotal * 100.0) / 100.0 else -1
-      s""","duck_total":$duckTotal,"ratio_total":${if (duckTotal > 0) math.round(total / duckTotal * 100.0) / 100.0 else -1},"exec_ratio":$execRatio,"ratios":${jmap(ratios.toMap)},"over2x":${over2x.map(Verify.jq).mkString("[", ",", "]")},"floor_adjudicated":${floorAdj.mkString("{", ",", "}")}"""
+      s""","duck_total":$duckTotal,"ratio_total":${if (duckTotal > 0) math.round(total / duckTotal * 100.0) / 100.0 else -1},"exec_ratio":$execRatio,"ratios":${jmap(ratios.toMap)},"over2x":${over2x.map(Verify.jq).mkString("[", ",", "]")},"gap_flagged":${gapFlagged.mkString("{", ",", "}")},"floor_adjudicated":${floorAdj.mkString("{", ",", "}")}"""
     }
     // floor_est: the per-query harness constant the battery pays n times —
     // calibrated IN-RUN as the minimum warm exec across queries (the

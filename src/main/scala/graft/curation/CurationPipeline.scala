@@ -186,11 +186,15 @@ object CurationPipeline {
         * training order — the last artifact a pretraining pipeline
         * emits. None disables the stage. */
       orderShards: Option[Int] = None,
-      /** BPE tokenizer handoff (`08_bpe`, d41's shape over the SELECTED
-        * corpus): mine the top-K merge ranking from the selected corpus
-        * (the tokenizer-training artifact, `08_bpe/merges`) and encode
-        * the corpus with it (`08_bpe/encoded` — per-doc word/symbol
-        * counts + the encoded-string fingerprint). The merge table is
+      /** BPE-style merge handoff (`08_bpe`, d41's shape over the
+        * SELECTED corpus): mine the top-K merge ranking from the
+        * selected corpus (`08_bpe/merges` — single-level pair-merge
+        * ranking over raw characters, d35's mining; NOT an iterative
+        * BPE train, so the file is a pair-frequency artifact, not a
+        * drop-in merge table for a standard BPE tokenizer loader) and
+        * encode the corpus with it (`08_bpe/encoded` — per-doc
+        * word/symbol counts + the encoded-string fingerprint, the d41
+        * application semantics). The merge table is
         * bounded (K rows), so collecting it for the encode literals is
         * the K×dim-model pattern; encoding itself is a zero-exchange
         * per-row map (shared [[graft.queries.Docs.bpeEncodeCols]] body,

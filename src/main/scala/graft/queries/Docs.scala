@@ -501,9 +501,13 @@ object Docs {
 
   /** d41's merge table: d35's pair mining restricted to the mergeable
     * vocabulary — top-k within-word char pairs by (count DESC, pair
-    * ASC). Bounded (k rows), so collecting it to literals is the
-    * Sim "literal model" pattern: the merge list IS the trained
-    * tokenizer artifact a deployment broadcasts. */
+    * ASC). SINGLE-LEVEL ranking over raw characters applied once — real
+    * BPE re-mines over the evolving symbol sequence per merge, so this
+    * is a pair-frequency artifact in the d41 application semantics, not
+    * a standard tokenizer's merges.txt. Bounded (k rows), so collecting
+    * it to literals is the Sim "literal model" pattern: the merge list
+    * plays the broadcast-trained-artifact ROLE a tokenizer table plays
+    * in a deployment. */
   private[graft] def bpeMergesEligibleDf(docs: org.apache.spark.sql.DataFrame,
       k: Int): org.apache.spark.sql.DataFrame =
     docs.filter(col("text").isNotNull)
@@ -539,6 +543,12 @@ object Docs {
     * (StringReplace/RegExpReplace/RegExpExtractAll). */
   private[graft] val BpePasses = 4
 
+  /** Size of the d41 merge table. The DuckDB twin's pivot columns
+    * (p1..pK) and encode chain are GENERATED from this same constant —
+    * the Spark default and the SQL must agree or the gate silently
+    * diverges (the twin is static SQL; it cannot read a runtime k). */
+  private[graft] val BpeMerges = 8
+
   /** The mergeable-word array (see [[bpeEligibleRe]]) — bound via an
     * aliased projection before the encode columns consume it (the
     * tripwire doctrine). */
@@ -571,7 +581,7 @@ object Docs {
   }
 
   private[graft] def bpeApplyDf(docs: org.apache.spark.sql.DataFrame,
-      k: Int = 8): org.apache.spark.sql.DataFrame = {
+      k: Int = BpeMerges): org.apache.spark.sql.DataFrame = {
     val merges: Seq[String] =
       bpeMergesEligibleDf(docs, k).collect().map(_.getString(0)).toSeq
     docs.filter(col("text").isNotNull)
@@ -1105,7 +1115,17 @@ object Docs {
     * sampled, the production dedup (d12/d13) still runs the chosen
     * config over the full corpus. Verification reuses d20's join
     * discipline (narrow shuffle-hash build + merge second side, never
-    * broadcast). */
+    * broadcast).
+    *
+    * Oracle-divergence caveat: buckets are capped at 2048 ids (the
+    * lshCandidatePairs bound) while the DuckDB twin self-joins
+    * uncapped — identical results hold only while no bucket exceeds
+    * the cap (true on this corpus family; the 10% sample keeps buckets
+    * far from the bound). A capped run is never silent: the
+    * `lsh_tuning_bucket_truncation` observed metric reports
+    * truncated_docs/max_bucket, and nonzero truncation also voids the
+    * verified(cfg) ⊆ verified(b8r1) recall denominator (coarser
+    * configs truncate later than b8r1). */
   private[graft] def lshTuningDf(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val sets = t(s, dir, "documents")
@@ -1131,11 +1151,23 @@ object Docs {
       .select(col("doc_id"), col("cb.config").as("config"),
         col("cb.band_key").as("band_key"))
       .filter(col("band_key").isNotNull)
+    // Same 2048-id bucket cap as lshCandidatePairs, and the same
+    // truncation-is-never-silent discipline: the DuckDB twin self-joins
+    // UNCAPPED, so a (config, band_key) bucket past the cap would
+    // silently undercount n_candidates/n_verified AND break the
+    // verified(cfg) ⊆ verified(b8r1) recall-denominator argument
+    // (coarse configs have fewer, larger buckets and truncate later).
+    // The observed metric makes a capped tuning run auditable exactly
+    // like a capped pair run — nonzero truncated_docs means the report
+    // (and its oracle twin) must be re-read with that caveat.
     val buckets = banded
       .groupBy(col("config"), col("band_key"))
       .agg(graft.functions.SmallestKAgg.smallestK(2048)(col("doc_id")).as("b"))
       .select(col("config"), col("b.ids").as("ids"), col("b.n").as("n"))
       .filter(col("n") > 1)
+      .observe("lsh_tuning_bucket_truncation",
+        sum(when(col("n") > 2048, col("n") - 2048).otherwise(0L)).as("truncated_docs"),
+        max(col("n")).as("max_bucket"))
     val pairs = buckets
       .select(col("config"), col("ids"),
         explode(sequence(lit(1), size(col("ids")) - 1)).as("i"))
@@ -2888,10 +2920,10 @@ object Docs {
     Q("d41_bpe_apply",
       (s, dir) => bpeApplyDf(t(s, dir, "documents")),
       Some {
-        val msCols = (1 to 8).map(j =>
+        val msCols = (1 to BpeMerges).map(j =>
           s"coalesce(max(CASE WHEN rk = $j THEN pair END), '¤¤') AS p$j")
           .mkString(",\n|    ")
-        val encSql = (1 to 8).foldLeft("b") { (acc, j) =>
+        val encSql = (1 to BpeMerges).foldLeft("b") { (acc, j) =>
           (1 to BpePasses).foldLeft(acc)((a, _) =>
             s"replace($a, ' ' || substr(p$j,1,1) || ' ' || substr(p$j,2,1) || ' ', ' ' || p$j || ' ')")
         }
@@ -2900,7 +2932,7 @@ object Docs {
            |pr AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
            |  FROM (SELECT w, unnest(range(1, length(w))) AS i FROM ew)),
            |mr AS (SELECT pair, row_number() OVER (ORDER BY COUNT(*) DESC, pair ASC) AS rk
-           |  FROM pr GROUP BY pair ORDER BY COUNT(*) DESC, pair ASC LIMIT 8),
+           |  FROM pr GROUP BY pair ORDER BY COUNT(*) DESC, pair ASC LIMIT $BpeMerges),
            |ms AS (SELECT
            |    $msCols
            |  FROM mr),

@@ -69,14 +69,31 @@ object Relational {
       (s, dir) => {
         val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
         val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
-        li.select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        // Shape (r14, matched-pair measured at sf1 — see BENCH_NOTES):
+        //  - revenue is computed BEFORE the spreading exchange so the
+        //    single-row-group scan task writes 16 B rows, not 24 B
+        //    (the serial scan task is the floor at bench SF; 1.62 →
+        //    1.35 s warm);
+        //  - orders joins as a narrow-build SHUFFLE-HASH (16 B build
+        //    rows, co-partitioned with the lineitem spread) instead of
+        //    the statically-chosen broadcast: a 1.5 M-row broadcast
+        //    rebuilt its HashedRelation on the DRIVER every run
+        //    (~0.9 s serial, 2.30 → 1.62 s warm), and at 100 TB orders
+        //    never fits a broadcast anyway — the d20 narrow-build-SHJ
+        //    doctrine is the right shape at every SF. A pre-agg by
+        //    l_orderkey before the join was also measured and is WORSE
+        //    (1.49 s: the map-side partial agg serializes in the scan
+        //    task). Dims stay broadcast (bounded small).
+        li.select(col("l_orderkey"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
           .repartition(col("l_orderkey")) // see q21 — parallel probe; dsum is order-exact
-          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(o.select(col("o_orderkey"), col("o_custkey")).hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
-          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          .agg(dsum(col("rev")).as("revenue"),
             count(lit(1)).as("n_items"))
       },
       Some("""SELECT r_name, n_name,

@@ -27,9 +27,15 @@ class PlanPropertiesSpec extends SparkSpec {
       "scan reads pruned columns")
   }
 
-  test("q03: all four dimension joins broadcast; no sort-merge join") {
+  test("q03: orders joins as narrow-build SHJ, the three dims broadcast; no SMJ") {
     val p = planOf("q03_join_multi")
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(500))
+    // orders must NOT broadcast: its 1.5 M-row HashedRelation rebuilt on
+    // the driver every run (~0.9 s serial at sf1) and never fits at
+    // production SF — the narrow-build shuffle-hash co-partitioned with
+    // the lineitem spread is the d20 doctrine shape (r14 matched-pair).
+    assert(p.contains("ShuffledHashJoin"),
+      s"orders join must be shuffle-hash:\n${p.take(500)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(500))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
@@ -396,15 +402,24 @@ class PlanPropertiesSpec extends SparkSpec {
 
   test("e22: predicate scan prunes to (doc_id, lang) — text never enters the filter side") {
     val p = planOf("e22_filtered_ann")
-    // the lang predicate reaches the documents parquet scan ...
+    // Anchor on the documents scan NODE, not whole-plan substrings:
+    // a bare !p.contains("text") also trips on unrelated tokens
+    // ("context") and scan-node renames across Spark versions
+    // ("DataSourceV2" contains "source"). The formatted explain gives
+    // each scan its own block — find the documents scan's ReadSchema
+    // and assert on the actual column set it reads.
+    val docsSchemas = """ReadSchema: struct<([^>]*)>""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+      .filter(s => s.contains("doc_id:"))
+    assert(docsSchemas.nonEmpty,
+      s"no documents scan (ReadSchema with doc_id) found:\n${p.take(800)}")
+    val fieldNames = docsSchemas.map(_.split(",").map(_.split(":")(0).trim).toSet)
+    assert(fieldNames.forall(_ == Set("doc_id", "lang")),
+      s"documents scan must read exactly (doc_id, lang), got $fieldNames:\n${p.take(800)}")
+    // the lang predicate reaches the documents parquet scan: the filter
+    // side is corpus-CARDINALITY but must stay bytes-narrow at 100 TB.
     assert(p.contains("PushedFilters") && p.contains("lang"),
       s"lang filter not pushed to the documents scan:\n${p.take(800)}")
-    // ... and the scan reads ONLY the semi-join key + predicate column:
-    // dragging `text` through a metadata filter is the 100 TB defect
-    // this gate exists to avoid (the filter side is corpus-CARDINALITY
-    // but must stay bytes-narrow).
-    assert(!p.contains("text") && !p.contains("n_chars") && !p.contains("source"),
-      s"documents scan reads pruned columns:\n${p.take(800)}")
     assert(!p.contains("CartesianProduct"), "e22 gained a cartesian")
   }
 }
