@@ -134,6 +134,15 @@ object CurationPipeline {
       /** Stage-3 decontamination engine: [[ExactGrams]] (default),
         * [[BloomGrams]], [[NearDup]], or [[Semantic]]. */
       decontam: Decontam = ExactGrams,
+      /** Stage-4 MinHash banding, in the d42 tuning report's label
+        * vocabulary ("b8r1" = 8 bands × 1 row, most sensitive /
+        * most candidates; "b4r2" = the historical default; "b2r4" =
+        * cheapest / most precise). Run the d42 report on a sample,
+        * pick the row whose cost-vs-recall suits the corpus, put its
+        * label here — the stage keys buckets with the report's exact
+        * band-key constructor ([[graft.queries.Docs.bandKeyExpr]]).
+        * Unknown labels fail fast at run() entry. */
+      lshBanding: String = "b4r2",
       /** Unigram-LM surprisal quality gate (d25's shape, part of stage
         * 1): drop docs whose mean surprisal under the corpus's OWN
         * unigram model exceeds this many milli-bits/token — the
@@ -234,6 +243,10 @@ object CurationPipeline {
       cfg: Config = Config(),
       customGate: DataFrame => DataFrame = identity,
       selection: Selection = KeepAll): Seq[(String, Long)] = {
+
+    // fail-fast on a bad banding label BEFORE any stage writes — a typo
+    // must not surface only after hours of upstream stages at scale
+    Docs.lshBandingOf(cfg.lshBanding)
 
     val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     def complete(name: String): Boolean =
@@ -387,8 +400,9 @@ object CurationPipeline {
         .withColumn("mh", graft.functions.MinHashExprs.minHashSig(col("sh")))
         .select(col("doc_id") +:
           (0 until 8).map(i => element_at(col("mh"), i + 1).as(s"mh$i")): _*)
+      val (nBands, rowsPerBand) = Docs.lshBandingOf(cfg.lshBanding)
       val comps = graft.operators.ConnectedComponents.components(
-        Docs.lshStarEdges(sig), dedupeEdges = false)
+        Docs.lshStarEdges(sig, nBands, rowsPerBand), dedupeEdges = false)
       val survivors = clean
         .join(comps, clean("doc_id") === comps("id"), "left")
         .filter(col("rep").isNull || col("rep") === col("doc_id"))

@@ -1027,16 +1027,36 @@ object Docs {
     * keys, so this also diverges cross-engine). Found by edge-case
     * battery, kept as a guard.
     */
+  /** Band-key expression for band `b` of an (nBands × rowsPerBand)
+    * banding over the mh0..mh7 signature columns: the band index plus
+    * its `rowsPerBand` minhash values, ':'-delimited. The delimiter is
+    * load-bearing: minhashes are variable-width decimal longs, so bare
+    * concatenation aliases distinct tuples — (1,23) and (12,3) both
+    * give "123" — and spuriously buckets unrelated docs. This ONE
+    * constructor is shared by the production banding ([[lshBanded]])
+    * and the d42 tuning report ([[lshTuningDf]]), so a banding chosen
+    * from the report keys buckets identically in deployment. */
+  private[graft] def bandKeyExpr(b: Int, rowsPerBand: Int): Column =
+    concat((lit(s"$b:") +: (0 until rowsPerBand).flatMap(k =>
+      Seq(lit(":"), col(s"mh${b * rowsPerBand + k}"))).drop(1)): _*)
+
+  /** Parse a d42 grid label ("b8r1" / "b4r2" / "b2r4") to
+    * (nBands, rowsPerBand) — the deployment-facing banding parameter
+    * shares the tuning report's vocabulary, so "act on the d42 row you
+    * picked" is a one-string config change. */
+  private[graft] def lshBandingOf(label: String): (Int, Int) =
+    lshTuningConfigs.find(_._1 == label) match {
+      case Some((_, r)) => (8 / r, r)
+      case None => throw new IllegalArgumentException(
+        s"unknown LSH banding '$label' — valid: " +
+          lshTuningConfigs.map(_._1).mkString(", "))
+    }
+
   /** (doc_id, band_key) rows — one per doc per band. */
   private def lshBanded(sig: org.apache.spark.sql.DataFrame,
-      nBands: Int): org.apache.spark.sql.DataFrame =
+      nBands: Int, rowsPerBand: Int = 2): org.apache.spark.sql.DataFrame =
     sig.select(col("doc_id"), explode(array(
-      (0 until nBands).map(b =>
-        // ':' delimiter between the two minhash values: they are
-        // variable-width decimal longs, so bare concatenation aliases
-        // distinct pairs — (1,23) and (12,3) both give "123" — and
-        // spuriously buckets unrelated docs.
-        concat(lit(s"$b:"), col(s"mh${2 * b}"), lit(":"), col(s"mh${2 * b + 1}"))): _*)).as("band_key"))
+      (0 until nBands).map(b => bandKeyExpr(b, rowsPerBand)): _*)).as("band_key"))
       .filter(col("band_key").isNotNull && col("doc_id").isNotNull)
 
   /** Buckets as (band_key, ids ≤ maxBucket sorted asc, n = TRUE size).
@@ -1049,8 +1069,9 @@ object Docs {
     * bucket under the cap; `n` keeps truncation observable above it.
     */
   private[graft] def lshBuckets(sig: org.apache.spark.sql.DataFrame,
-      nBands: Int = 4, maxBucket: Int = 2048): org.apache.spark.sql.DataFrame =
-    lshBanded(sig, nBands)
+      nBands: Int = 4, maxBucket: Int = 2048,
+      rowsPerBand: Int = 2): org.apache.spark.sql.DataFrame =
+    lshBanded(sig, nBands, rowsPerBand)
       .groupBy(col("band_key"))
       .agg(graft.functions.SmallestKAgg.smallestK(maxBucket)(col("doc_id")).as("b"))
       .select(col("band_key"), col("b.ids").as("ids"), col("b.n").as("n"))
@@ -1070,8 +1091,9 @@ object Docs {
     * connectivity with O(|bucket|) rows and needs no cap.
     */
   private[graft] def lshCandidatePairs(sig: org.apache.spark.sql.DataFrame,
-      nBands: Int = 4, maxBucket: Int = 2048): org.apache.spark.sql.DataFrame = {
-    val buckets = lshBuckets(sig, nBands, maxBucket)
+      nBands: Int = 4, maxBucket: Int = 2048,
+      rowsPerBand: Int = 2): org.apache.spark.sql.DataFrame = {
+    val buckets = lshBuckets(sig, nBands, maxBucket, rowsPerBand)
       .observe("lsh_bucket_truncation",
         sum(when(col("n") > maxBucket, col("n") - maxBucket)
           .otherwise(0L)).as("truncated_docs"),
@@ -1142,10 +1164,9 @@ object Docs {
     val banded = sig.select(col("doc_id"), explode(array(
       lshTuningConfigs.flatMap { case (cfg, r) =>
         (0 until 8 / r).map { b =>
-          val parts = (0 until r).flatMap(k =>
-            Seq(lit(":"), col(s"mh${b * r + k}"))).drop(1)
-          struct(lit(cfg).as("config"),
-            concat((lit(s"$b:") +: parts): _*).as("band_key"))
+          // the SHARED band-key constructor — the report measures the
+          // exact keys lshBanded(nBands, r) deploys
+          struct(lit(cfg).as("config"), bandKeyExpr(b, r).as("band_key"))
         }
       }: _*)).as("cb"))
       .select(col("doc_id"), col("cb.config").as("config"),
@@ -1239,8 +1260,8 @@ object Docs {
     * is splittable by AQE skew-join — per-task memory is O(1).
     */
   private[graft] def lshStarEdges(sig: org.apache.spark.sql.DataFrame,
-      nBands: Int = 4): org.apache.spark.sql.DataFrame = {
-    val banded = lshBanded(sig, nBands).repartition(col("band_key"))
+      nBands: Int = 4, rowsPerBand: Int = 2): org.apache.spark.sql.DataFrame = {
+    val banded = lshBanded(sig, nBands, rowsPerBand).repartition(col("band_key"))
     val minima = banded.groupBy(col("band_key"))
       .agg(min(col("doc_id")).as("u"), count(lit(1)).as("bn"))
       .filter(col("bn") > 1)

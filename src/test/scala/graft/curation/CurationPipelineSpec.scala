@@ -475,6 +475,35 @@ class CurationPipelineSpec extends SparkSpec {
     assert(!counts.contains("05_chunks"))
   }
 
+  test("lshBanding sweep: d42 grid labels drive stage 4; sensitivity monotone; default unchanged") {
+    val docs = Registry.t(spark, sfDir, "documents")
+    def survivors(cfg: CurationPipeline.Config): Set[Long] = {
+      val out = Files.createTempDirectory("graft-curation-banding").toString
+      CurationPipeline.run(spark, docs, out, cfg = cfg)
+      spark.read.parquet(s"$out/04_corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val base = CurationPipeline.Config(benchMod = 0L, chunk = false)
+    val s8 = survivors(base.copy(lshBanding = "b8r1"))
+    val s4 = survivors(base.copy(lshBanding = "b4r2"))
+    val s2 = survivors(base.copy(lshBanding = "b2r4"))
+    assert(s4 === survivors(base), "explicit b4r2 must equal the default banding")
+    // d42's candidate-subset property carried to deployment: finer
+    // bands see every coarser banding's matches, so clustering only
+    // coarsens and the min-id survivor set only shrinks
+    assert(s8.subsetOf(s4) && s4.subsetOf(s2),
+      s"banding sensitivity not monotone: |b8r1|=${s8.size} |b4r2|=${s4.size} |b2r4|=${s2.size}")
+    assert(s8.nonEmpty)
+    // a label outside the d42 grid fails BEFORE any stage writes
+    val bad = Files.createTempDirectory("graft-curation-badband").toFile
+    intercept[IllegalArgumentException] {
+      CurationPipeline.run(spark, docs, bad.toString,
+        cfg = base.copy(lshBanding = "b16r1"))
+    }
+    assert(bad.listFiles() == null || bad.listFiles().isEmpty,
+      "bad banding label must fail before any stage output is written")
+  }
+
   test("walkthrough config runs end-to-end: every documented stage, non-degenerate, resumable") {
     // the EXACT config from WALKTHROUGH.md (shared via Walkthrough so
     // the doc can't drift from a config that works)
