@@ -20,13 +20,18 @@ import org.apache.spark.sql.functions._
   *    decode for real and a registered MP3/OGG provider jar lights up
   *    with no code change);
   *  - video CONTAINER metadata ([[decodeVideo]]: MP4/ISO-BMFF box tree
-  *    and AVI RIFF header — duration, track count, dimensions).
+  *    and AVI RIFF header — duration, track count, dimensions);
+  *  - video FRAME pixels ([[decodeFrames]]: MJPEG and uncompressed
+  *    BI_RGB DIB frames inside AVI, every-K sampling, per-frame
+  *    channel means).
   *
-  * The one JDK-blocked gap: compressed video/audio FRAME decode (the
-  * JRE ships no H.264/VP9/AV1 or MP3/AAC codec). [[frameSample]] keeps
-  * that stage's explode plumbing real with a byte-stride stand-in;
-  * dropping a codec SPI jar on the executor classpath swaps the real
-  * decoder in without touching any plumbing.
+  * The remaining JDK-blocked gap: MODERN compressed codec decode (the
+  * JRE ships no H.264/VP9/AV1 or MP3/AAC decoder). Such frames take
+  * [[decodeFrames]]'s per-frame error channel; [[frameSample]] keeps a
+  * codec-free byte-stride stand-in for them, and dropping a codec SPI
+  * jar on the executor classpath lights the real decode up without
+  * touching any plumbing (the seam is exercised by the test suite's
+  * toy providers).
   */
 object Multimodal {
 
@@ -561,6 +566,209 @@ object Multimodal {
     * compressed-video frame pixel decode is JDK-blocked (no
     * H.264/VP9/AV1 decoder ships with the JRE; a codec SPI jar on the
     * executor classpath swaps it in without touching the plumbing). */
+  /** Typed result of a REAL video frame-pixel decode: one row per
+    * SAMPLED frame, with the per-frame channel means a frame-features
+    * pipeline emits. */
+  final case class VideoFrame(
+      doc_id: Long, frame_no: Int, codec: String, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double, ok: Boolean, err: String)
+
+  /** First video stream's pixel format inside an AVI 'strf'
+    * BITMAPINFOHEADER. `streamId` is the stream's index among the
+    * strl headers — movi chunk ids are '<NN>dc'/'<NN>db' with NN the
+    * zero-padded stream index, so frame chunks of OTHER streams
+    * (audio, subtitles) are filtered out by prefix. */
+  private[mm] final case class AviVideoFormat(
+      streamId: Int, width: Int, height: Int, bitCount: Int, compression: Long)
+
+  /** REAL frame-PIXEL decode for the video encodings a stock JVM can
+    * actually decode, inside an AVI container:
+    *
+    *  - MJPEG ('NNdc' chunks that are standalone JPEGs) via the JDK's
+    *    ImageIO JPEG reader;
+    *  - uncompressed BI_RGB DIB ('NNdb' chunks: bottom-up BGR rows,
+    *    24-bit, 4-byte row padding) via plain byte arithmetic.
+    *
+    * Every `everyK`-th chunk of the FIRST video stream decodes to a
+    * (frame_no, dims, mean RGB) row. Modern compressed codecs
+    * (H.264/VP9/AV1) still need an external ImageIO/codec SPI on the
+    * executor classpath — such frames keep the documented per-FRAME
+    * error channel ("needs an external codec SPI"), never a silent
+    * skip, and a non-AVI payload gets one frame_no = -1 error row so
+    * every input doc is accounted for in the output. Bomb bounds:
+    * `maxFrames` caps emitted rows per video, `maxPixels` caps one
+    * frame's decode, every chunk read is bounds-checked. Same
+    * mapPartitions batch shape as the other decoders (ImageIO disk
+    * cache off once per task). */
+  def decodeFrames(df: DataFrame, everyK: Int = 1, maxFrames: Int = 1024,
+      maxPixels: Long = 1L << 24): Dataset[VideoFrame] = {
+    require(everyK >= 1, s"everyK must be >= 1, got $everyK")
+    val enc = Encoders.product[VideoFrame]
+    df.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          aviVideoChunks(b) match {
+            case Left(e) =>
+              Iterator.single(VideoFrame(id, -1, "", 0, 0, 0.0, 0.0, 0.0,
+                ok = false, err = e))
+            case Right((fmt, chunks)) =>
+              val prefix = f"${fmt.streamId}%02d"
+              chunks.iterator.filter(_._1.startsWith(prefix))
+                .zipWithIndex
+                .filter { case (_, idx) => idx % everyK == 0 }
+                .take(maxFrames)
+                .map { case ((ctyp, off, len), idx) =>
+                  decodeOneFrame(id, idx, ctyp, b, off, len, fmt, maxPixels)
+                }
+          }
+        }
+      }(enc)
+  }
+
+  /** One movi chunk → one VideoFrame row (never throws — hostile bytes
+    * land in the row's error channel). */
+  private def decodeOneFrame(id: Long, frameNo: Int, ctyp: String,
+      b: Array[Byte], off: Int, len: Int, fmt: AviVideoFormat,
+      maxPixels: Long): VideoFrame = {
+    def fail(codec: String, e: String) =
+      VideoFrame(id, frameNo, codec, 0, 0, 0.0, 0.0, 0.0, ok = false, err = e)
+    try {
+      if (ctyp.endsWith("db")) {
+        // uncompressed DIB: validate against the strf header
+        if (fmt.compression != 0L || fmt.bitCount != 24)
+          return fail("dib", s"unsupported DIB format: biCompression=${fmt.compression} " +
+            s"biBitCount=${fmt.bitCount} (only BI_RGB 24-bit)")
+        val w = fmt.width
+        val h = math.abs(fmt.height)
+        if (w <= 0 || h <= 0) return fail("rgb24", s"bad dims ${w}x$h")
+        if (w.toLong * h.toLong > maxPixels)
+          return fail("rgb24", s"${w}x$h exceeds maxPixels=$maxPixels")
+        val stride = ((w * 3 + 3) / 4) * 4
+        if (stride.toLong * h > len)
+          return fail("rgb24", s"chunk $len bytes < ${stride.toLong * h} for ${w}x$h rgb24")
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          // positive biHeight = bottom-up row order (the DIB default)
+          val row = off + (if (fmt.height > 0) (h - 1 - y) else y) * stride
+          var x = 0
+          while (x < w) {
+            sb += b(row + x * 3) & 0xff
+            sg += b(row + x * 3 + 1) & 0xff
+            sr += b(row + x * 3 + 2) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        VideoFrame(id, frameNo, "rgb24", w, h,
+          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, ok = true, err = "")
+      } else if (len >= 2 && (b(off) & 0xff) == 0xff && (b(off + 1) & 0xff) == 0xd8) {
+        // MJPEG: the chunk is a standalone JPEG
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b, off, len))
+        if (img == null) return fail("mjpeg", "JPEG reader returned null")
+        val w = img.getWidth; val h = img.getHeight
+        if (w.toLong * h.toLong > maxPixels)
+          return fail("mjpeg", s"${w}x$h exceeds maxPixels=$maxPixels")
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        VideoFrame(id, frameNo, "mjpeg", w, h,
+          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, ok = true, err = "")
+      } else
+        fail("", s"compressed '$ctyp' frame is not MJPEG — decoding it " +
+          "needs an external codec SPI on the executor classpath")
+    } catch {
+      case e: Exception =>
+        fail("", s"frame decode: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+  }
+
+  /** The first video stream's format + the movi chunk directory
+    * (fourcc, payload offset, payload length). Bounds-checked walk —
+    * truncated or hostile sizes error instead of throwing. */
+  private[mm] def aviVideoChunks(b: Array[Byte]):
+      Either[String, (AviVideoFormat, Vector[(String, Int, Int)])] = {
+    if (b == null || b.length < 12) return Left("payload too short")
+    if (fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+      return Left("not an AVI payload")
+    var fmt: Option[AviVideoFormat] = None
+    val chunks = Vector.newBuilder[(String, Int, Int)]
+    var i = 12L
+    while (i + 8 <= b.length) {
+      val typ = fourcc(b, i.toInt)
+      val sz = le32L(b, i.toInt + 4)
+      if (i + 8 + sz > b.length) return Left(s"avi: truncated chunk '$typ'")
+      if (typ == "LIST" && sz >= 4) {
+        val ltyp = fourcc(b, i.toInt + 8)
+        if (ltyp == "hdrl") {
+          // walk strl LISTs; the Nth strl is stream N
+          var streamIdx = -1
+          var j = i + 12
+          val end = i + 8 + sz
+          while (j + 8 <= end) {
+            val ctyp = fourcc(b, j.toInt)
+            val csz = le32L(b, j.toInt + 4)
+            if (j + 8 + csz > end) return Left(s"avi: truncated hdrl chunk '$ctyp'")
+            if (ctyp == "LIST" && csz >= 4 && fourcc(b, j.toInt + 8) == "strl") {
+              streamIdx += 1
+              if (fmt.isEmpty) {
+                var k = j + 12
+                val lend = j + 8 + csz
+                var isVids = false
+                while (k + 8 <= lend) {
+                  val styp = fourcc(b, k.toInt)
+                  val ssz = le32L(b, k.toInt + 4)
+                  if (k + 8 + ssz > lend) return Left(s"avi: truncated strl chunk '$styp'")
+                  val p = (k + 8).toInt
+                  if (styp == "strh" && ssz >= 4 && fourcc(b, p) == "vids")
+                    isVids = true
+                  if (styp == "strf" && isVids) {
+                    if (ssz < 20) return Left("avi: strf too short for BITMAPINFOHEADER")
+                    fmt = Some(AviVideoFormat(streamIdx,
+                      le32L(b, p + 4).toInt, le32L(b, p + 8).toInt,
+                      le16(b, p + 14), le32L(b, p + 16)))
+                  }
+                  k += 8 + ssz + (ssz & 1)
+                }
+              }
+            }
+            j += 8 + csz + (csz & 1)
+          }
+        } else if (ltyp == "movi") {
+          var j = i + 12
+          val end = i + 8 + sz
+          while (j + 8 <= end) {
+            val ctyp = fourcc(b, j.toInt)
+            val csz = le32L(b, j.toInt + 4)
+            if (j + 8 + csz > end) return Left(s"avi: truncated movi chunk '$ctyp'")
+            if (ctyp.endsWith("dc") || ctyp.endsWith("db"))
+              chunks += ((ctyp, (j + 8).toInt, csz.toInt))
+            j += 8 + csz + (csz & 1)
+          }
+        }
+      }
+      i += 8 + sz + (sz & 1)
+    }
+    fmt match {
+      case Some(f) => Right((f, chunks.result()))
+      case None => Left("avi: no video stream ('vids' strh + strf) in hdrl")
+    }
+  }
+
   def frameSample(df: DataFrame, everyK: Int): DataFrame =
     df.select(col("doc_id"), col("payload"))
       // guard empty payloads: sequence(0, -1) is a DESCENDING range in

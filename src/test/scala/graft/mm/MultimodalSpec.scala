@@ -263,6 +263,150 @@ class MultimodalSpec extends SparkSpec {
     bb.array()
   }
 
+  // --- RIFF builders for the frame-decode fixtures (byte-exact, so the
+  // --- tests pin the chunk grammar, not a library's idea of it) ---
+
+  private val LE = java.nio.ByteOrder.LITTLE_ENDIAN
+
+  private def riffChunk(id: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer
+      .allocate(8 + payload.length + (payload.length & 1)).order(LE)
+    bb.put(id.getBytes).putInt(payload.length).put(payload)
+    bb.array() // pad byte (if any) stays zero
+  }
+
+  private def riffList(ltyp: String, children: Array[Byte]*): Array[Byte] = {
+    val body = children.toArray.flatten
+    val bb = java.nio.ByteBuffer.allocate(12 + body.length).order(LE)
+    bb.put("LIST".getBytes).putInt(4 + body.length).put(ltyp.getBytes).put(body)
+    bb.array()
+  }
+
+  /** Playable-shape AVI with (optionally) leading audio streams and ONE
+    * video stream: hdrl(avih, strl*...) + movi with the given chunks. */
+  private def aviWithFrames(w: Int, h: Int, bitCount: Int, compression: Int,
+      moviChunks: Seq[(String, Array[Byte])],
+      leadingAudioStreams: Int = 0): Array[Byte] = {
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(LE)
+      bb.putInt(40000).putInt(0).putInt(0).putInt(0)
+        .putInt(moviChunks.size).putInt(0)
+        .putInt(leadingAudioStreams + 1).putInt(0)
+        .putInt(w).putInt(h)
+      bb.array()
+    }
+    val strhVids = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(LE)
+      bb.put("vids".getBytes).put("MJPG".getBytes)
+      bb.array()
+    }
+    val strfVids = {
+      // BITMAPINFOHEADER: biSize,biWidth,biHeight,biPlanes,biBitCount,
+      // biCompression, rest zero
+      val bb = java.nio.ByteBuffer.allocate(40).order(LE)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1)
+        .putShort(bitCount.toShort).putInt(compression)
+      bb.array()
+    }
+    val strhAuds = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(LE)
+      bb.put("auds".getBytes)
+      bb.array()
+    }
+    val audioStrls = (0 until leadingAudioStreams).map(_ =>
+      riffList("strl", riffChunk("strh", strhAuds),
+        riffChunk("strf", new Array[Byte](16))))
+    val hdrl = riffList("hdrl",
+      (riffChunk("avih", avih) +: audioStrls :+
+        riffList("strl", riffChunk("strh", strhVids),
+          riffChunk("strf", strfVids))): _*)
+    val movi = riffList("movi",
+      moviChunks.map { case (id, p) => riffChunk(id, p) }: _*)
+    val body = hdrl ++ movi
+    val bb = java.nio.ByteBuffer.allocate(12 + body.length).order(LE)
+    bb.put("RIFF".getBytes).putInt(4 + body.length).put("AVI ".getBytes).put(body)
+    bb.array()
+  }
+
+  /** One uniform-color bottom-up BI_RGB 24-bit DIB frame (BGR byte
+    * order, rows padded to 4 bytes — the raw-AVI frame encoding). */
+  private def dibFrame(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](stride * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      out(y * stride + x * 3) = b.toByte
+      out(y * stride + x * 3 + 1) = g.toByte
+      out(y * stride + x * 3 + 2) = r.toByte
+    }
+    out
+  }
+
+  /** One uniform-color JPEG via the JDK encoder (what an MJPEG '00dc'
+    * chunk holds). */
+  private def jpegFrame(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("decodeFrames: uncompressed RGB24 DIB frames decode to exact channel means") {
+    import spark.implicits._
+    val payload = aviWithFrames(4, 2, bitCount = 24, compression = 0,
+      Seq("00db" -> dibFrame(4, 2, 10, 20, 30),
+          "00db" -> dibFrame(4, 2, 200, 100, 50)))
+    val df = Seq((1L, payload)).toDF("doc_id", "payload")
+    val fs = Multimodal.decodeFrames(df).collect().sortBy(_.frame_no)
+    assert(fs.length === 2)
+    assert(fs.forall(f => f.ok && f.codec == "rgb24" && f.width == 4 && f.height == 2))
+    assert((fs(0).mean_r, fs(0).mean_g, fs(0).mean_b) === ((10.0, 20.0, 30.0)))
+    assert((fs(1).mean_r, fs(1).mean_g, fs(1).mean_b) === ((200.0, 100.0, 50.0)))
+  }
+
+  test("decodeFrames: MJPEG via the JDK JPEG reader; everyK sampling; stream-id filter") {
+    import spark.implicits._
+    // video is stream 1 (one leading audio stream) — its chunks are
+    // '01dc'; the bogus '00dc' garbage chunk belongs to stream 0 and
+    // MUST be ignored by the prefix filter, not decoded or errored
+    val colors = Seq((64, 128, 192), (250, 10, 10), (10, 250, 10), (10, 10, 250))
+    val chunks = ("00dc" -> "not a jpeg".getBytes("UTF-8")) +:
+      colors.map { case (r, g, b) => "01dc" -> jpegFrame(8, 8, r, g, b) }
+    val payload = aviWithFrames(8, 8, bitCount = 24, compression = 0x47504A4D, // 'MJPG'
+      chunks, leadingAudioStreams = 1)
+    val df = Seq((1L, payload)).toDF("doc_id", "payload")
+    val all = Multimodal.decodeFrames(df).collect().sortBy(_.frame_no)
+    assert(all.length === 4, s"expected 4 frames, got ${all.map(f => (f.frame_no, f.err)).toSeq}")
+    assert(all.forall(f => f.ok && f.codec == "mjpeg" && f.width == 8 && f.height == 8))
+    for ((f, (r, g, b)) <- all.zip(colors)) {
+      assert(math.abs(f.mean_r - r) <= 3 && math.abs(f.mean_g - g) <= 3 &&
+        math.abs(f.mean_b - b) <= 3,
+        s"frame ${f.frame_no}: got (${f.mean_r},${f.mean_g},${f.mean_b}), want ($r,$g,$b)")
+    }
+    // every-2nd sampling keeps chunk indexes 0 and 2 of the VIDEO stream
+    val sampled = Multimodal.decodeFrames(df, everyK = 2).collect().sortBy(_.frame_no)
+    assert(sampled.map(_.frame_no).toSeq === Seq(0, 2))
+    assert(math.abs(sampled(1).mean_g - 250) <= 3)
+  }
+
+  test("decodeFrames: non-MJPEG compressed frames and non-AVI payloads use the error channel") {
+    import spark.implicits._
+    val h264ish = aviWithFrames(4, 2, bitCount = 24, compression = 0x34363248, // 'H264'
+      Seq("00dc" -> Array[Byte](0, 0, 0, 1, 0x67, 0x42))) // NAL-ish bytes
+    val df = Seq(
+      (1L, h264ish),
+      (2L, "definitely not a video".getBytes("UTF-8")),
+      (3L, aviWithFrames(4, 2, 24, 0, Nil))) // video stream, zero frames
+      .toDF("doc_id", "payload")
+    val m = Multimodal.decodeFrames(df).collect().groupBy(_.doc_id)
+    assert(m(1L).length === 1 && !m(1L)(0).ok &&
+      m(1L)(0).err.contains("needs an external codec SPI"))
+    assert(m(2L).length === 1 && m(2L)(0).frame_no === -1 &&
+      m(2L)(0).err === "not an AVI payload")
+    assert(!m.contains(3L), "a frameless video emits no rows (nothing sampled)")
+  }
+
   test("decodeVideo: real MP4 box walk — brand, duration, tracks, 16.16 dims") {
     import spark.implicits._
     val df = Seq(
