@@ -57,6 +57,33 @@ class IndexCacheSpec extends SparkSpec {
       assert(topOf(q) === 4L, s"$q stale after invalidateResidualModels alias")
   }
 
+  test("semDedupIndex: one clustering per corpus snapshot; documented invalidation retrains") {
+    val dir = Files.createTempDirectory("graft-semdedupcache").toString
+    def reps(): Map[Long, Long] =
+      Registry.queries("e10_semdedup")(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    writeCorpus(dir, twin = 7L)
+    Registry.invalidate(dir)
+    Sim.invalidateIndexCaches()
+    val before = Sim.indexCacheSize
+    val a = reps()
+    assert(a(7L) === 0L, "identical twin must share vec 0's cluster")
+    assert(Sim.indexCacheSize === before + 1, "first build must train the cluster index")
+    val a2 = reps()
+    assert(Sim.indexCacheSize === before + 1,
+      "a second build of the same corpus must serve from the cache, not retrain")
+    assert(a2 === a)
+
+    // corpus rewrite + the documented invalidation sequence → fresh clusters
+    writeCorpus(dir, twin = 13L)
+    Registry.invalidate(dir)
+    Sim.invalidateIndexCaches()
+    val b = reps()
+    assert(b(13L) === 0L, "retrained index must cluster the NEW twin with vec 0")
+    assert(b(7L) !== 0L, "the old twin is far from vec 0 in the rewritten corpus")
+  }
+
   test("stored index: save → load → serve is bit-identical to the in-session serve") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-idxstore").toString
