@@ -628,6 +628,77 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic synthetic raw-RGB AVI for doc `docId`: container
+    * bytes a downstream decoder must treat as REAL video.
+    * (docId % 3 + 1) frames of 4×2 uncompressed BI_RGB 24-bit DIB;
+    * frame f is the uniform color
+    * ((docId·7 + f·13) % 256, (docId·11 + f·17) % 256,
+    *  (docId·3 + f·29) % 256). The m02 gate decodes these bytes with
+    * [[decodeFrames]] while the DuckDB twin recomputes the expected
+    * means straight from this formula — the full container/stride/BGR/
+    * bottom-up byte path is cross-checked against an independent
+    * derivation that never touches the bytes. Also a handy fixture
+    * generator for pipelines that need valid video payloads. */
+  def syntheticRgbAvi(docId: Long): Array[Byte] = {
+    val w = 4; val h = 2
+    val nFrames = (math.floorMod(docId, 3) + 1).toInt
+    val stride = ((w * 3 + 3) / 4) * 4
+    val le = java.nio.ByteOrder.LITTLE_ENDIAN
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer
+        .allocate(8 + payload.length + (payload.length & 1)).order(le)
+      bb.put(id.getBytes).putInt(payload.length).put(payload)
+      bb.array()
+    }
+    def list(ltyp: String, children: Array[Byte]*): Array[Byte] = {
+      val body = children.toArray.flatten
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length).order(le)
+      bb.put("LIST".getBytes).putInt(4 + body.length).put(ltyp.getBytes).put(body)
+      bb.array()
+    }
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(le)
+      bb.putInt(40000).putInt(0).putInt(0).putInt(0)
+        .putInt(nFrames).putInt(0).putInt(1).putInt(0).putInt(w).putInt(h)
+      bb.array()
+    }
+    val strh = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(le)
+      bb.put("vids".getBytes).put("DIB ".getBytes)
+      bb.array()
+    }
+    val strf = {
+      val bb = java.nio.ByteBuffer.allocate(40).order(le)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24).putInt(0)
+      bb.array()
+    }
+    val frames = (0 until nFrames).map { f =>
+      val r = math.floorMod(docId * 7 + f * 13, 256).toInt
+      val g = math.floorMod(docId * 11 + f * 17, 256).toInt
+      val bl = math.floorMod(docId * 3 + f * 29, 256).toInt
+      val p = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          p(y * stride + x * 3) = bl.toByte
+          p(y * stride + x * 3 + 1) = g.toByte
+          p(y * stride + x * 3 + 2) = r.toByte
+          x += 1
+        }
+        y += 1
+      }
+      chunk("00db", p)
+    }
+    val hdrl = list("hdrl", chunk("avih", avih),
+      list("strl", chunk("strh", strh), chunk("strf", strf)))
+    val movi = list("movi", frames: _*)
+    val body = hdrl ++ movi
+    val bb = java.nio.ByteBuffer.allocate(12 + body.length).order(le)
+    bb.put("RIFF".getBytes).putInt(4 + body.length).put("AVI ".getBytes).put(body)
+    bb.array()
+  }
+
   /** One movi chunk → one VideoFrame row (never throws — hostile bytes
     * land in the row's error channel). */
   private def decodeOneFrame(id: Long, frameNo: Int, ctyp: String,

@@ -2017,6 +2017,41 @@ object Sim {
              |FROM documents""".stripMargin),
       "multimodal binary column + fake-decode metadata (north-star)"),
 
+    // REAL video frame decode, oracle-checked end to end: each doc gets
+    // a deterministic raw-RGB AVI (real RIFF container, real DIB stride/
+    // BGR/bottom-up byte layout — Multimodal.syntheticRgbAvi), Spark
+    // decodes the BYTES with decodeFrames, and the DuckDB twin
+    // recomputes the expected per-frame means from the construction
+    // FORMULA alone — it never sees the container, so builder and
+    // decoder are cross-checked against an independent derivation. Any
+    // stride/channel-order/row-order defect in either side breaks the
+    // hash. Scale shape: scan-parallel map (payload synthesis) +
+    // per-row decode — ZERO exchanges at any corpus size.
+    Q("m02_video_frames",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, graft.mm.Multimodal.syntheticRgbAvi(id))))
+          .toDF("doc_id", "payload")
+        graft.mm.Multimodal.decodeFrames(payloads)
+          .select(col("doc_id"),
+            col("frame_no").cast("long").as("frame_no"),
+            col("codec"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("mean_r"), col("mean_g"), col("mean_b"))
+      },
+      Some("""SELECT doc_id, CAST(f AS BIGINT) AS frame_no, 'rgb24' AS codec,
+             |  CAST(4 AS BIGINT) AS width, CAST(2 AS BIGINT) AS height,
+             |  CAST((doc_id * 7 + f * 13) % 256 AS DOUBLE) AS mean_r,
+             |  CAST((doc_id * 11 + f * 17) % 256 AS DOUBLE) AS mean_g,
+             |  CAST((doc_id * 3 + f * 29) % 256 AS DOUBLE) AS mean_b
+             |FROM (SELECT doc_id, unnest(range(doc_id % 3 + 1)) AS f
+             |      FROM documents WHERE doc_id IS NOT NULL)""".stripMargin),
+      "REAL video frame decode: synthetic raw-RGB AVI -> per-frame means, formula-oracle (north-star: multimodal)"),
+
     // Topic-mix report — the corpus-composition view a data-curation
     // owner reads before setting d36 mixture weights: every vector
     // assigned to its nearest centroid (e08's codegen'd broadcast-model
