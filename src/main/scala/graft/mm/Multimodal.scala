@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   *    BMP, pure byte parsing) and image PIXELS ([[decodePixels]]:
   *    PNG/JPEG/GIF/BMP via `javax.imageio`, row-major RGB888 out);
   *  - pixel RESIZE ([[resizePixels]]: bilinear resample over RGB888,
-  *    pure arithmetic);
+  *    pure arithmetic) and image PERCEPTUAL HASH ([[perceptualHash]]:
+  *    canonical 9x8 dHash64 over the decoded, resampled pixels — the
+  *    image-dedup key);
   *  - audio ([[decodeAudio]]: WAV/AIFF/AU PCM via
   *    `javax.sound.sampled`, with level features; non-PCM encodings
   *    probe the runtime SPI registry for a transcoder, so μ-law/a-law
@@ -522,41 +524,49 @@ object Multimodal {
           val px = r.getAs[Array[Byte]](3)
           if (px == null || iw <= 0 || ih <= 0 || px.length < iw.toLong * ih * 3)
             ResizedMedia(id, Array.emptyByteArray, w, h, ok = false)
-          else {
-            val out = new Array[Byte](w * h * 3)
-            var y = 0
-            var k = 0
-            while (y < h) {
-              val sy = (y + 0.5) * ih / h - 0.5
-              val y0 = math.min(ih - 1, math.max(0, math.floor(sy).toInt))
-              val y1 = math.min(ih - 1, y0 + 1)
-              val fy = math.min(1.0, math.max(0.0, sy - y0))
-              var x = 0
-              while (x < w) {
-                val sx = (x + 0.5) * iw / w - 0.5
-                val x0 = math.min(iw - 1, math.max(0, math.floor(sx).toInt))
-                val x1 = math.min(iw - 1, x0 + 1)
-                val fx = math.min(1.0, math.max(0.0, sx - x0))
-                var c = 0
-                while (c < 3) {
-                  val p00 = px((y0 * iw + x0) * 3 + c) & 0xff
-                  val p01 = px((y0 * iw + x1) * 3 + c) & 0xff
-                  val p10 = px((y1 * iw + x0) * 3 + c) & 0xff
-                  val p11 = px((y1 * iw + x1) * 3 + c) & 0xff
-                  val v = p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy) +
-                    p10 * (1 - fx) * fy + p11 * fx * fy
-                  out(k) = math.min(255L, math.max(0L, math.round(v))).toByte
-                  k += 1
-                  c += 1
-                }
-                x += 1
-              }
-              y += 1
-            }
-            ResizedMedia(id, out, w, h, ok = true)
-          }
+          else
+            ResizedMedia(id, resampleRgb(px, iw, ih, w, h), w, h, ok = true)
         }
       }(enc)
+  }
+
+  /** The bilinear-resample kernel [[resizePixels]] wraps (and
+    * [[perceptualHash]] reuses for its canonical-grid step): pixel-
+    * center sampling, edge clamp, per-channel interpolation, half-up
+    * rounding. Callers guarantee `px.length >= iw*ih*3`. */
+  private def resampleRgb(px: Array[Byte], iw: Int, ih: Int,
+      w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    var k = 0
+    while (y < h) {
+      val sy = (y + 0.5) * ih / h - 0.5
+      val y0 = math.min(ih - 1, math.max(0, math.floor(sy).toInt))
+      val y1 = math.min(ih - 1, y0 + 1)
+      val fy = math.min(1.0, math.max(0.0, sy - y0))
+      var x = 0
+      while (x < w) {
+        val sx = (x + 0.5) * iw / w - 0.5
+        val x0 = math.min(iw - 1, math.max(0, math.floor(sx).toInt))
+        val x1 = math.min(iw - 1, x0 + 1)
+        val fx = math.min(1.0, math.max(0.0, sx - x0))
+        var c = 0
+        while (c < 3) {
+          val p00 = px((y0 * iw + x0) * 3 + c) & 0xff
+          val p01 = px((y0 * iw + x1) * 3 + c) & 0xff
+          val p10 = px((y1 * iw + x0) * 3 + c) & 0xff
+          val p11 = px((y1 * iw + x1) * 3 + c) & 0xff
+          val v = p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy) +
+            p10 * (1 - fx) * fy + p11 * fx * fy
+          out(k) = math.min(255L, math.max(0L, math.round(v))).toByte
+          k += 1
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** Byte-stride frame sampler: take every k-th payload byte as a
@@ -853,4 +863,95 @@ object Multimodal {
       .withColumn("frame_byte",
         expr(s"substring(payload, frame_no * $everyK + 1, 1)"))
       .drop("payload")
+
+  /** Typed result of a REAL perceptual-hash pass: the canonical 64-bit
+    * dHash split into two non-negative 32-bit halves (`phash_hi` bits
+    * 32-63, `phash_lo` bits 0-31) so BOTH engines stay inside exact
+    * BIGINT arithmetic — a single 64-bit value would need bit 63 and
+    * overflow a SQL BIGINT sum. */
+  final case class PerceptualHash(
+      doc_id: Long, format: String, width: Int, height: Int,
+      phash_hi: Long, phash_lo: Long, ok: Boolean, err: String)
+
+  /** dHash grid dims (the canonical 9x8: 8 horizontal gradients x 8
+    * rows = 64 bits). */
+  private val DHashW = 9
+  private val DHashH = 8
+
+  /** REAL image perceptual hash — the image-dedup op of a multimodal
+    * training pipeline: decode the payload ([[decodePixels]], real
+    * javax.imageio), bilinear-resample the pixels to the canonical
+    * 9x8 dHash grid ([[resizePixels]]'s kernel; skipped exactly when
+    * the decode already IS 9x8), then emit one bit per horizontal
+    * gradient of the R channel: bit (y*8+x) set iff R(x+1,y) > R(x,y).
+    * Gradient hashes are translation-of-brightness invariant, which is
+    * what makes dHash a NEAR-dup key: re-encoded/resized copies of an
+    * image land on the same 64 bits, so exact grouping on
+    * (phash_hi, phash_lo) is the image twin of d09's text dedup, and
+    * hamming-distance banding over the halves extends it to d07-style
+    * LSH. Scale shape: scan-parallel per-row map (decode + hash), ZERO
+    * exchanges — grouping/banding downstream shuffles 2 longs per
+    * image, never pixels. */
+  def perceptualHash(df: DataFrame): Dataset[PerceptualHash] = {
+    val enc = Encoders.product[PerceptualHash]
+    decodePixels(df).map { d =>
+      if (!d.ok)
+        PerceptualHash(d.doc_id, d.format, d.width, d.height, 0L, 0L,
+          ok = false, err = d.err)
+      else {
+        val grid =
+          if (d.width == DHashW && d.height == DHashH) d.pixels
+          else resampleRgb(d.pixels, d.width, d.height, DHashW, DHashH)
+        var hi = 0L
+        var lo = 0L
+        var y = 0
+        while (y < DHashH) {
+          var x = 0
+          while (x < DHashW - 1) {
+            val a = grid((y * DHashW + x) * 3) & 0xff
+            val b = grid((y * DHashW + x + 1) * 3) & 0xff
+            if (b > a) {
+              val idx = y * 8 + x
+              if (idx >= 32) hi |= 1L << (idx - 32) else lo |= 1L << idx
+            }
+            x += 1
+          }
+          y += 1
+        }
+        PerceptualHash(d.doc_id, d.format, d.width, d.height, hi, lo,
+          ok = true, err = "")
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic grayscale PNG for doc `docId`: REAL PNG
+    * bytes (ImageIO encoder) a downstream decoder must treat as a real
+    * image. 9x8 RGB pixels with r=g=b =
+    * ((docId%16)*31 + x*29 + y*13) % 256 — PNG is lossless, so the m03
+    * gate's [[perceptualHash]] over the DECODED bytes must reproduce
+    * the dHash the DuckDB twin derives from this formula alone (bit =
+    * value+29 not wrapping mod 256), cross-checking encoder, decoder,
+    * and hash against an independent derivation. doc_id%16 bases give
+    * 16 duplicate groups per corpus — the image-dedup regime. Replica
+    * offsets (tools/replicate.py, +r*10^8) preserve the base because
+    * 16 divides 10^8. */
+  def syntheticGrayPng(docId: Long): Array[Byte] = {
+    val base = math.floorMod(docId, 16).toInt
+    val img = new java.awt.image.BufferedImage(
+      DHashW, DHashH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < DHashH) {
+      var x = 0
+      while (x < DHashW) {
+        val v = (base * 31 + x * 29 + y * 13) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 }

@@ -2052,6 +2052,52 @@ object Sim {
              |      FROM documents WHERE doc_id IS NOT NULL)""".stripMargin),
       "REAL video frame decode: synthetic raw-RGB AVI -> per-frame means, formula-oracle (north-star: multimodal)"),
 
+    // REAL image perceptual-hash dedup, oracle-checked end to end: each
+    // doc gets a deterministic grayscale PNG (real ImageIO encode —
+    // Multimodal.syntheticGrayPng), Spark DECODES the bytes and hashes
+    // the decoded pixels (perceptualHash: javax.imageio decode → 9x8
+    // dHash64), groups on the hash halves, and the DuckDB twin
+    // recomputes the expected bits from the construction FORMULA alone
+    // (pixel value v=(base*31+x*29+y*13)%256 ⇒ gradient bit = v+29 not
+    // wrapping ⇒ v%256 < 227) — encoder, decoder, and hash are
+    // cross-checked against a derivation that never touches the bytes.
+    // doc_id%16 bases ⇒ 16 dup groups: the image twin of d09's exact
+    // text dedup, with keeper_id = min doc_id per group, the d13 keeper
+    // rule. Scale shape: scan-parallel encode+decode+hash (zero
+    // exchanges), then ONE exchange of 2 longs per image for the group
+    // — pixels never shuffle at any corpus size.
+    Q("m03_image_phash",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, graft.mm.Multimodal.syntheticGrayPng(id))))
+          .toDF("doc_id", "payload")
+        graft.mm.Multimodal.perceptualHash(payloads)
+          .filter(col("ok"))
+          .groupBy(col("phash_hi"), col("phash_lo"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
+      },
+      Some {
+        def bit(x: Int, y: Int) = s"(base * 31 + ${x * 29 + y * 13}) % 256 < 227"
+        def half(lo: Int, hi: Int) = (for {
+          y <- 0 until 8; x <- 0 until 8; idx = y * 8 + x
+          if idx >= lo && idx < hi
+        } yield s"(CASE WHEN ${bit(x, y)} THEN ${1L << (idx - lo)} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH b AS (SELECT doc_id, doc_id % 16 AS base FROM documents
+           |  WHERE doc_id IS NOT NULL),
+           |h AS (SELECT doc_id,
+           |  CAST(${half(32, 64)} AS BIGINT) AS phash_hi,
+           |  CAST(${half(0, 32)} AS BIGINT) AS phash_lo
+           |FROM b)
+           |SELECT phash_hi, phash_lo, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  MIN(doc_id) AS keeper_id
+           |FROM h GROUP BY phash_hi, phash_lo""".stripMargin
+      },
+      "REAL image perceptual-hash dedup: PNG decode -> dHash64 -> dup groups, formula-oracle (north-star: multimodal dedup)"),
+
     // Topic-mix report — the corpus-composition view a data-curation
     // owner reads before setting d36 mixture weights: every vector
     // assigned to its nearest centroid (e08's codegen'd broadcast-model

@@ -508,6 +508,56 @@ class MultimodalSpec extends SparkSpec {
     assert(out.resized.distinct.length <= 3) // one RGB triple replicated
   }
 
+  test("perceptualHash: decoded synthetic PNG reproduces the formula dHash bit-for-bit") {
+    import spark.implicits._
+    // independent derivation (the m03 DuckDB twin's formula): bit
+    // (y*8+x) set iff pixel value + 29 does not wrap mod 256
+    def expected(id: Long): (Long, Long) = {
+      val base = math.floorMod(id, 16)
+      var hi = 0L; var lo = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        if ((base * 31 + x * 29 + y * 13) % 256 < 227) {
+          val idx = y * 8 + x
+          if (idx >= 32) hi |= 1L << (idx - 32) else lo |= 1L << idx
+        }
+      }
+      (hi, lo)
+    }
+    val ids = Seq(0L, 1L, 7L, 15L, 16L, 123L)
+    val payloads = ids.map(id => (id, Multimodal.syntheticGrayPng(id)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.perceptualHash(payloads).collect()
+      .map(p => p.doc_id -> p).toMap
+    ids.foreach { id =>
+      val p = got(id)
+      assert(p.ok, s"doc $id: ${p.err}")
+      assert(p.format === "png" && p.width === 9 && p.height === 8)
+      assert((p.phash_hi, p.phash_lo) === expected(id), s"doc $id hash")
+      // halves stay inside 32 bits → non-negative in both engines
+      assert(p.phash_hi >= 0L && p.phash_hi < (1L << 32))
+      assert(p.phash_lo >= 0L && p.phash_lo < (1L << 32))
+    }
+    // base = id % 16 ⇒ ids 16 apart collide (the dup-group regime),
+    // different bases differ
+    assert((got(0L).phash_hi, got(0L).phash_lo) ===
+      (got(16L).phash_hi, got(16L).phash_lo))
+    assert((got(0L).phash_hi, got(0L).phash_lo) !==
+      (got(1L).phash_hi, got(1L).phash_lo))
+  }
+
+  test("perceptualHash: non-canonical sizes resample to the 9x8 grid; bad payloads flag") {
+    import spark.implicits._
+    // a 1x1 PNG upscales to a CONSTANT 9x8 grid → no gradient exceeds →
+    // all bits zero; junk bytes ride the error channel
+    val png1x1 = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    val rows = Multimodal.perceptualHash(
+      Seq((1L, png1x1), (2L, "not an image".getBytes("UTF-8")))
+        .toDF("doc_id", "payload")).collect().map(p => p.doc_id -> p).toMap
+    assert(rows(1L).ok && rows(1L).phash_hi === 0L && rows(1L).phash_lo === 0L)
+    assert(!rows(2L).ok && rows(2L).err.nonEmpty)
+  }
+
   test("frameSample explodes one row per sampled byte") {
     val frames = Multimodal.frameSample(Multimodal.withPayload(docs.filter(col("doc_id") === 1)), 4)
     // 11 bytes, every 4th → frames at 0,4,8 → (11-1)/4 = 2 → 0..2 = 3 rows
