@@ -3029,6 +3029,78 @@ object Docs {
              s"    ELSE (v_$cfg * 1000000) // $gt END AS recall_ppm\nFROM percfg"
            }.mkString("\nUNION ALL ")}""".stripMargin
       },
-      "LSH banding tuning report: per-config candidate cost vs verified yield vs recall on a deterministic sample (north-star: dedup tuning)")
+      "LSH banding tuning report: per-config candidate cost vs verified yield vs recall on a deterministic sample (north-star: dedup tuning)"),
+
+    // Cross-source keeper selection — the PROVENANCE-PRIORITY dedup a
+    // multi-source corpus needs: when near-duplicates span sources
+    // (wiki mirror vs web crawl), the keeper is chosen by source rank,
+    // not arrival order. Clusters come from the same star-edge CC as
+    // d12; within a cluster the keeper is the (source, doc_id)-minimum
+    // (lexicographic source = the priority table of this corpus; a
+    // deployment swaps in a rank join, the selection shape is
+    // identical). Report: per source, docs held / keepers won /
+    // evicted — the attrition view a curation owner reads to see which
+    // source is feeding duplicates. Scale shape: CC as in d12; keeper
+    // selection is ONE map-side-combinable min(struct) agg keyed by
+    // cluster (skew-safe — a 10⁶-member cluster partial-aggregates to
+    // one struct per map task, where a row_number window would sort the
+    // whole cluster in one task); both report aggs shuffle 2-3 columns.
+    Q("d43_keeper_priority",
+      (s, dir) => {
+        val sig = withShingles(s, dir).select(
+          col("doc_id") +: (0 until 8).map(i => minhash(col("mh"), i).as(s"mh$i")): _*)
+        val comps = graft.operators.ConnectedComponents
+          .components(lshStarEdges(sig), dedupeEdges = false)
+        val cl = t(s, dir, "documents").select(col("doc_id"), col("source"))
+          .join(comps, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"), col("source"),
+            coalesce(col("rep"), col("doc_id")).as("cluster"))
+        val keepers = cl.groupBy(col("cluster"))
+          .agg(min(struct(col("source"), col("doc_id"))).as("k"))
+          .groupBy(col("k.source").as("source"))
+          .agg(count(lit(1)).as("n_keepers"))
+        cl.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .join(keepers, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_keepers"), lit(0L)).as("n_keepers"),
+            (col("n_docs") - coalesce(col("n_keepers"), lit(0L))).as("n_evicted"))
+      },
+      Some {
+        val mh = (0 until 8).map(i => s"  ${dMinhash(i)} AS mh$i").mkString(",\n")
+        val bands = (0 until 4).map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || ':' || mh${2 * b + 1} AS band_key FROM sig")
+          .mkString("\n  UNION ALL ")
+        val (cc, lk) = CcSql.unrolled()
+        s"""WITH w AS (SELECT doc_id, $dWords ws FROM documents),
+           |s AS (SELECT doc_id,
+           |  list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) sh
+           |  FROM w),
+           |h AS (SELECT doc_id, $dHh hh FROM s),
+           |sig AS (SELECT doc_id,
+           |$mh
+           |FROM h),
+           |banded AS (
+           |  $bands),
+           |pairs AS MATERIALIZED (
+           |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+           |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |edges AS MATERIALIZED (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+           |$cc,
+           |cl AS (SELECT d.doc_id, d.source, COALESCE($lk.rep, d.doc_id) AS cluster
+           |  FROM documents d LEFT JOIN $lk ON d.doc_id = $lk.id),
+           |keep AS (SELECT cluster, source FROM (
+           |  SELECT cluster, source,
+           |    row_number() OVER (PARTITION BY cluster
+           |      ORDER BY source ASC NULLS FIRST, doc_id ASC) AS rn
+           |  FROM cl) WHERE rn = 1),
+           |k AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_keepers
+           |  FROM keep GROUP BY source),
+           |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           |  FROM cl GROUP BY source)
+           |SELECT tot.source, tot.n_docs,
+           |  COALESCE(k.n_keepers, 0) AS n_keepers,
+           |  tot.n_docs - COALESCE(k.n_keepers, 0) AS n_evicted
+           |FROM tot LEFT JOIN k ON tot.source = k.source""".stripMargin
+      },
+      "cross-source keeper selection: near-dup clusters -> source-priority keeper -> per-source attrition report (north-star: multi-source dedup)")
   )
 }
