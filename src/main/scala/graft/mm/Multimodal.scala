@@ -924,6 +924,121 @@ object Multimodal {
     }(enc)
   }
 
+  /** Typed result of a REAL audio feature-extraction pass: one row per
+    * analysis window, with the window's sample count and total absolute
+    * amplitude in EXACT integer raw-PCM units (Σ|s16|) — the
+    * energy-envelope fingerprint an audio-dedup/segmentation pipeline
+    * keys on, integer so both engines agree bit-for-bit. */
+  final case class AudioWindow(
+      doc_id: Long, win_no: Long, n_samples: Long, energy: Long,
+      ok: Boolean, err: String)
+
+  /** REAL audio windowed-energy fingerprint — the feature-extract op of
+    * a multimodal training pipeline: decode the payload's linear PCM
+    * (real `javax.sound.sampled`, same container support as
+    * [[decodeAudio]]), then emit per consecutive `window` samples the
+    * channel-folded Σ|amplitude| in raw int16 units. The envelope rows
+    * are an audio clip's dedup/segmentation key the way
+    * [[perceptualHash]]'s bits are an image's. 8-bit PCM upscales to
+    * int16 units (<<8) so the fingerprint is bit-depth-stable. Scale
+    * shape: scan-parallel per-row decode, ZERO exchanges — downstream
+    * grouping shuffles (win_no, energy) longs, never audio bytes.
+    * Non-PCM encodings and bombs ride [[decodeAudio]]'s error-channel
+    * discipline. */
+  def audioFingerprint(df: DataFrame, window: Int = 16,
+      maxFrames: Long = 1L << 24): Dataset[AudioWindow] = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val enc = Encoders.product[AudioWindow]
+    df.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          def fail(e: String) =
+            Iterator.single(AudioWindow(id, -1L, 0L, 0L, ok = false, err = e))
+          if (b == null || b.isEmpty) fail("empty payload")
+          else {
+            try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(b))
+              try {
+                val f = in.getFormat
+                val bits = f.getSampleSizeInBits
+                val signed =
+                  f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+                val unsigned =
+                  f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+                if (in.getFrameLength > maxFrames)
+                  fail(s"${in.getFrameLength} frames exceeds maxFrames=$maxFrames")
+                else if (!signed && !unsigned || (bits != 8 && bits != 16))
+                  fail(s"not linear PCM: ${f.getEncoding}/$bits-bit")
+                else {
+                  val data = in.readAllBytes()
+                  val bytesPer = bits / 8
+                  val n = data.length / bytesPer
+                  val out = Vector.newBuilder[AudioWindow]
+                  var i = 0
+                  var win = 0L
+                  var cnt = 0L
+                  var energy = 0L
+                  while (i < n) {
+                    val s =
+                      if (bits == 16) {
+                        val off = i * 2
+                        if (f.isBigEndian)
+                          ((data(off) << 8) | (data(off + 1) & 0xff)).toShort.toLong
+                        else
+                          ((data(off + 1) << 8) | (data(off) & 0xff)).toShort.toLong
+                      } else if (signed) data(i).toLong << 8
+                      else ((data(i) & 0xff) - 128).toLong << 8
+                    energy += math.abs(s)
+                    cnt += 1
+                    if (cnt == window) {
+                      out += AudioWindow(id, win, cnt, energy, ok = true, err = "")
+                      win += 1; cnt = 0L; energy = 0L
+                    }
+                    i += 1
+                  }
+                  if (cnt > 0)
+                    out += AudioWindow(id, win, cnt, energy, ok = true, err = "")
+                  out.result().iterator
+                }
+              } finally in.close()
+            } catch {
+              case e: Exception =>
+                fail(s"decode: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** Deterministic synthetic 16-bit mono PCM WAV for doc `docId`: REAL
+    * RIFF/WAVE bytes. 40 + (docId%5)*10 frames at 8 kHz; sample i =
+    * (((docId%8)*37 + i*11) % 256 − 128) · 256 — the m04 gate's
+    * [[audioFingerprint]] over the DECODED stream must reproduce the
+    * windowed Σ|amplitude| the DuckDB twin derives from this formula
+    * alone, cross-checking container, decoder, and fingerprint. The
+    * frame counts are NOT window multiples, so partial trailing windows
+    * are always exercised. Replica offsets (+r·10⁸) preserve both
+    * docId%8 and docId%5. */
+  def syntheticPcmWav(docId: Long): Array[Byte] = {
+    val base = math.floorMod(docId, 8).toInt
+    val n = (40 + math.floorMod(docId, 5) * 10).toInt
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + n * 2).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(n * 2)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((base * 37 + i * 11) % 256 - 128) * 256).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** Deterministic synthetic grayscale PNG for doc `docId`: REAL PNG
     * bytes (ImageIO encoder) a downstream decoder must treat as a real
     * image. 9x8 RGB pixels with r=g=b =

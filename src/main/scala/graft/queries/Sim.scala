@@ -2098,6 +2098,38 @@ object Sim {
       },
       "REAL image perceptual-hash dedup: PNG decode -> dHash64 -> dup groups, formula-oracle (north-star: multimodal dedup)"),
 
+    // REAL audio feature extraction, oracle-checked end to end: each
+    // doc gets a deterministic 16-bit mono PCM WAV (real RIFF container
+    // — Multimodal.syntheticPcmWav), Spark decodes the STREAM with
+    // audioFingerprint (javax.sound.sampled) and emits the per-window
+    // Σ|amplitude| energy envelope in exact integer raw-PCM units; the
+    // DuckDB twin recomputes the expected windows from the construction
+    // FORMULA alone — container, decoder, and fingerprint cross-checked
+    // against a derivation that never touches the bytes. Frame counts
+    // are non-multiples of the window, so partial trailing windows are
+    // gated too. Scale shape: scan-parallel synth+decode+window (zero
+    // exchanges at any corpus size — the dump's exchange is the
+    // driver's coalesce(1), not the operator's).
+    Q("m04_audio_fp",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, graft.mm.Multimodal.syntheticPcmWav(id))))
+          .toDF("doc_id", "payload")
+        graft.mm.Multimodal.audioFingerprint(payloads, window = 16)
+          .filter(col("ok"))
+          .select(col("doc_id"), col("win_no"), col("n_samples"), col("energy"))
+      },
+      Some("""SELECT doc_id, CAST(i // 16 AS BIGINT) AS win_no,
+             |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+             |  CAST(SUM(ABS(((doc_id % 8) * 37 + i * 11) % 256 - 128) * 256) AS BIGINT) AS energy
+             |FROM (SELECT doc_id, unnest(range(40 + (doc_id % 5) * 10)) AS i
+             |      FROM documents WHERE doc_id IS NOT NULL)
+             |GROUP BY doc_id, i // 16""".stripMargin),
+      "REAL audio feature extraction: PCM WAV decode -> windowed energy envelope, formula-oracle (north-star: multimodal features)"),
+
     // Topic-mix report — the corpus-composition view a data-curation
     // owner reads before setting d36 mixture weights: every vector
     // assigned to its nearest centroid (e08's codegen'd broadcast-model

@@ -558,6 +558,51 @@ class MultimodalSpec extends SparkSpec {
     assert(!rows(2L).ok && rows(2L).err.nonEmpty)
   }
 
+  test("audioFingerprint: decoded synthetic WAV reproduces the formula envelope; partial window exact") {
+    import spark.implicits._
+    // independent derivation (the m04 DuckDB twin's formula)
+    def expected(id: Long): Seq[(Long, Long, Long)] = {
+      val base = math.floorMod(id, 8)
+      val n = (40 + math.floorMod(id, 5) * 10).toInt
+      (0 until n).map(i => (i / 16, math.abs((base * 37 + i * 11) % 256 - 128) * 256L))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (w, xs) => (w.toLong, xs.size.toLong, xs.map(_._2).sum) }
+    }
+    val ids = Seq(0L, 3L, 7L, 8L, 42L)
+    val payloads = ids.map(id => (id, Multimodal.syntheticPcmWav(id)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.audioFingerprint(payloads, window = 16).collect()
+      .groupBy(_.doc_id)
+    ids.foreach { id =>
+      val rows = got(id).sortBy(_.win_no)
+      assert(rows.forall(_.ok), s"doc $id: ${rows.find(!_.ok).map(_.err)}")
+      assert(rows.map(r => (r.win_no, r.n_samples, r.energy)).toSeq === expected(id))
+      // frame counts are never window multiples: last window is partial
+      assert(rows.last.n_samples < 16L, s"doc $id should end on a partial window")
+    }
+  }
+
+  test("audioFingerprint: 8-bit PCM upscales to int16 units; non-audio payloads flag") {
+    import spark.implicits._
+    // hand-built 8-bit unsigned mono WAV: values 128+v store signal v
+    val vals = Array[Int](0, 10, -20, 127, -128)
+    val bb = java.nio.ByteBuffer.allocate(44 + vals.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + vals.length).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(8000).putShort(1).putShort(8)
+    bb.put("data".getBytes).putInt(vals.length)
+    vals.foreach(v => bb.put((v + 128).toByte))
+    val rows = Multimodal.audioFingerprint(
+      Seq((1L, bb.array()), (2L, "not audio".getBytes("UTF-8")))
+        .toDF("doc_id", "payload"), window = 16)
+      .collect().groupBy(_.doc_id)
+    val w = rows(1L).head
+    assert(w.ok && w.win_no === 0L && w.n_samples === vals.length.toLong)
+    assert(w.energy === vals.map(v => math.abs(v) * 256L).sum)
+    assert(rows(2L).forall(r => !r.ok && r.err.nonEmpty))
+  }
+
   test("frameSample explodes one row per sampled byte") {
     val frames = Multimodal.frameSample(Multimodal.withPayload(docs.filter(col("doc_id") === 1)), 4)
     // 11 bytes, every 4th → frames at 0,4,8 → (11-1)/4 = 2 → 0..2 = 3 rows
