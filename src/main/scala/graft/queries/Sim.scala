@@ -1099,25 +1099,24 @@ object Sim {
        |  SELECT vec_id, label AS vlabel, generate_subscripts(embedding, 1) AS pos,
        |         unnest(embedding::DOUBLE[]) AS v
        |  FROM embeddings WHERE embedding IS NOT NULL),
-       |m AS (SELECT vec_id, vlabel, pos, (pos - 1) // 8 AS sub, $microQSql AS m
+       |m AS MATERIALIZED (SELECT vec_id, vlabel, pos, (pos - 1) // 8 AS sub, $microQSql AS m
        |  FROM u WHERE v IS NOT NULL),
        |cu AS (SELECT e.label, generate_subscripts(e.embedding, 1) AS pos,
        |         unnest(e.embedding::DOUBLE[]) AS v
        |  FROM embeddings e WHERE e.embedding IS NOT NULL),
-       |cm AS (SELECT label, pos, ${halfAwayDivSql("SUM(m)", "COUNT(*)")} AS cm
+       |cm AS MATERIALIZED (SELECT label, pos, ${halfAwayDivSql("SUM(m)", "COUNT(*)")} AS cm
        |  FROM (SELECT label, pos, $microQSql AS m FROM cu WHERE v IS NOT NULL)
        |  GROUP BY label, pos),
-       |d2 AS (SELECT m.vec_id, m.sub, c.label,
+       |d2 AS MATERIALIZED (SELECT m.vec_id, m.sub, c.label,
        |    SUM((m.m - c.cm) * (m.m - c.cm)) AS d2
        |  FROM m JOIN cm c ON m.pos = c.pos
        |  GROUP BY m.vec_id, m.sub, c.label)""".stripMargin
 
   /** e15's plain-PQ candidate CTEs (consumes [[pqPreludeSql]]'s d2). */
   private val pqPlainCandSql: String =
-    s"""codes AS (SELECT vec_id, sub, label AS code FROM (
-       |  SELECT vec_id, sub, label,
-       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, label ASC) AS rn
-       |  FROM d2) WHERE rn = 1),
+    s"""codes AS (SELECT vec_id, sub,
+       |    (min(struct_pack(d := d2, l := label))).l AS code
+       |  FROM d2 GROUP BY vec_id, sub),
        |qdt AS (SELECT sub, label AS code, d2 AS qd2 FROM d2 WHERE vec_id = 0),
        |cand AS (
        |  SELECT c.vec_id, CAST(SUM(q.qd2) AS BIGINT) AS adc
@@ -1128,23 +1127,21 @@ object Sim {
   /** e19's residual-PQ candidate CTEs (consumes [[pqPreludeSql]]). */
   private val pqResidualCandSql: String =
     s"""cd2 AS (SELECT vec_id, label, SUM(d2) AS cd2 FROM d2 GROUP BY vec_id, label),
-       |cell AS (SELECT vec_id, label AS cell FROM (
-       |  SELECT vec_id, label,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY cd2 ASC, label ASC) AS rn
-       |  FROM cd2) WHERE rn = 1),
-       |res AS (SELECT m.vec_id, m.vlabel, ce.cell, m.pos, m.sub, m.m - c.cm AS rm
+       |cell AS (SELECT vec_id,
+       |    (min(struct_pack(d := cd2, l := label))).l AS cell
+       |  FROM cd2 GROUP BY vec_id),
+       |res AS MATERIALIZED (SELECT m.vec_id, m.vlabel, ce.cell, m.pos, m.sub, m.m - c.cm AS rm
        |  FROM m JOIN cell ce USING (vec_id)
        |  JOIN cm c ON c.label = ce.cell AND c.pos = m.pos),
-       |rcm AS (SELECT vlabel AS label, pos, ${halfAwayDivSql("SUM(rm)", "COUNT(*)")} AS rcm
+       |rcm AS MATERIALIZED (SELECT vlabel AS label, pos, ${halfAwayDivSql("SUM(rm)", "COUNT(*)")} AS rcm
        |  FROM res GROUP BY vlabel, pos),
        |rd2 AS (SELECT r.vec_id, r.sub, rc.label,
        |    SUM((r.rm - rc.rcm) * (r.rm - rc.rcm)) AS d2
        |  FROM res r JOIN rcm rc ON r.pos = rc.pos
        |  GROUP BY r.vec_id, r.sub, rc.label),
-       |rcodes AS (SELECT vec_id, sub, label AS code FROM (
-       |  SELECT vec_id, sub, label,
-       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, label ASC) AS rn
-       |  FROM rd2) WHERE rn = 1),
+       |rcodes AS (SELECT vec_id, sub,
+       |    (min(struct_pack(d := d2, l := label))).l AS code
+       |  FROM rd2 GROUP BY vec_id, sub),
        |qres AS (SELECT c.label AS cell, m.pos, m.sub, m.m - c.cm AS qrm
        |  FROM m JOIN cm c ON m.pos = c.pos WHERE m.vec_id = 0),
        |rqdt AS (SELECT q.cell, q.sub, rc.label AS code,
@@ -1177,10 +1174,9 @@ object Sim {
        |    SUM((m.m - w.w) * (m.m - w.w)) AS d2
        |  FROM $mSrc m JOIN cw0$x w ON m.sub = w.sub AND m.pos = w.pos
        |  GROUP BY m.vec_id, m.sub, w.c),
-       |asn$x AS (SELECT vec_id, sub, c FROM (
-       |  SELECT vec_id, sub, c,
-       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, c ASC) AS rn
-       |  FROM a2$x) WHERE rn = 1),
+       |asn$x AS (SELECT vec_id, sub,
+       |    (min(struct_pack(d := d2, c := c))).c AS c
+       |  FROM a2$x GROUP BY vec_id, sub),
        |cw$x AS MATERIALIZED (SELECT a.c, m.sub, m.pos, ${halfAwayDivSql("SUM(m.m)", "COUNT(*)")} AS w
        |  FROM $mSrc m JOIN asn$x a ON m.vec_id = a.vec_id AND m.sub = a.sub
        |  GROUP BY a.c, m.sub, m.pos),
@@ -1188,11 +1184,10 @@ object Sim {
        |    SUM((m.m - w.w) * (m.m - w.w)) AS d2
        |  FROM $mSrc m JOIN cw$x w ON m.sub = w.sub AND m.pos = w.pos
        |  GROUP BY m.vec_id, m.sub, w.c),
-       |codes4$x AS (SELECT vec_id, sub, c AS code FROM (
-       |  SELECT vec_id, sub, c,
-       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, c ASC) AS rn
-       |  FROM d24$x) WHERE rn = 1),
-       |pk$x AS (SELECT vec_id, sub // 2 AS b,
+       |codes4$x AS (SELECT vec_id, sub,
+       |    (min(struct_pack(d := d2, c := c))).c AS code
+       |  FROM d24$x GROUP BY vec_id, sub),
+       |pk$x AS MATERIALIZED (SELECT vec_id, sub // 2 AS b,
        |    SUM(code * CASE WHEN sub % 2 = 1 THEN 16 ELSE 1 END) AS packed,
        |    SUM(CASE WHEN sub % 2 = 1 THEN 2 ELSE 1 END) AS mask
        |  FROM codes4$x GROUP BY vec_id, sub // 2),
@@ -1219,11 +1214,28 @@ object Sim {
     * `m`, 0-based positions like posexplode): sign-flip each
     * micro-quantized component by popcount((j+1)*2654435769), then the
     * Walsh-Hadamard mix r_i = SUM_j (-1)^popcount(i AND j) * x_j —
-    * VERBATIM the [[graft.functions.OpqRotateMicro]] formula, exact in
-    * BIGINT. `rdim` carries each vector's own positions so a
-    * short vector never fabricates rotated components. MATERIALIZED:
-    * m21 feeds five consumers in the candidate chain. */
-  private val opqPreludeSql: String =
+    * the [[graft.functions.OpqRotateMicro]] formula, exact in BIGINT.
+    * Computed as the FAST Walsh-Hadamard transform: 6 butterfly stages
+    * (one per bit of the 64-dim span), each an exact integer
+    * add/subtract over bit-partner rows — O(d·log d) rows per vector
+    * where the dense i×j mix the twin previously ran is O(d²) (64×64 =
+    * 819 M join rows at sf10, the measured spill monster that DNF'd
+    * e18's sf10 oracle on a 46 GiB temp cap; the butterflies stream
+    * 12.8 M rows per stage). The identity is the standard FWT
+    * factorization of H_{2^k}; stage outputs are MATERIALIZED because
+    * each stage reads its predecessor TWICE (a/b sides) — inlined, the
+    * chain re-expands 2^6-fold (the CcSql mechanism). `f0` zero-pads
+    * each vector to the 64 grid (padding contributes 0 to every sum)
+    * and the final `rdim` join keeps only the vector's own positions,
+    * so a short vector never fabricates rotated components — exactly
+    * the dense formula's semantics for any dim ≤ 64. */
+  private val opqPreludeSql: String = {
+    val stages = (0 until 6).map { k =>
+      val bit = 1 << k
+      s"""f${k + 1} AS MATERIALIZED (SELECT a.vec_id, a.j,
+         |    CASE WHEN a.j & $bit = 0 THEN a.x + b.x ELSE b.x - a.x END AS x
+         |  FROM f$k a JOIN f$k b ON a.vec_id = b.vec_id AND b.j = xor(a.j, $bit))""".stripMargin
+    }.mkString(",\n")
     s"""ru AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
        |         unnest(embedding::DOUBLE[]) AS v
        |  FROM embeddings WHERE $opqEligSql),
@@ -1233,11 +1245,15 @@ object Sim {
        |  FROM ru),
        |rdim AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i
        |  FROM embeddings WHERE $opqEligSql),
-       |m21 AS MATERIALIZED (SELECT rx.vec_id, i.i AS pos, i.i // 8 AS sub,
-       |    CAST(SUM(CASE WHEN bit_count(CAST(i.i & rx.j AS BIGINT)) % 2 = 0
-       |      THEN rx.x ELSE -rx.x END) AS BIGINT) AS m
-       |  FROM rx JOIN rdim i ON rx.vec_id = i.vec_id
-       |  GROUP BY rx.vec_id, i.i)""".stripMargin
+       |f0 AS MATERIALIZED (SELECT d.vec_id, g.j, COALESCE(rx.x, 0) AS x
+       |  FROM (SELECT DISTINCT vec_id FROM rdim) d
+       |  CROSS JOIN (SELECT unnest(range(64)) AS j) g
+       |  LEFT JOIN rx ON rx.vec_id = d.vec_id AND rx.j = g.j),
+       |$stages,
+       |m21 AS MATERIALIZED (SELECT f.vec_id, i.i AS pos, i.i // 8 AS sub,
+       |    CAST(f.x AS BIGINT) AS m
+       |  FROM f6 f JOIN rdim i ON f.vec_id = i.vec_id AND f.j = i.i)""".stripMargin
+  }
 
   val qs: Seq[Q] = Seq(
 
@@ -2294,8 +2310,8 @@ object Sim {
         val code = (0 until 8).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
         val cos = (a: String) => s"ROUND(${dDot(a, "q0.qe")} /" +
           s" (sqrt(${dDot(a, a)}) * sqrt(${dDot("q0.qe", "q0.qe")})), 4)"
-        s"""WITH q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-           |exact10 AS (
+        s"""WITH q0 AS MATERIALIZED (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |exact10 AS MATERIALIZED (
            |  SELECT vec_id FROM embeddings e, q0 WHERE vec_id > 0
            |  ORDER BY ${cos("e.embedding")} DESC, vec_id ASC LIMIT 10),
            |unnested AS (
@@ -2305,7 +2321,7 @@ object Sim {
            |sums AS (SELECT vec_id,
            |$sums
            |FROM unnested GROUP BY vec_id),
-           |bkt AS (SELECT vec_id, CAST($code AS BIGINT) AS bkt FROM sums),
+           |bkt AS MATERIALIZED (SELECT vec_id, CAST($code AS BIGINT) AS bkt FROM sums),
            |qb AS (SELECT bkt FROM bkt WHERE vec_id = 0),
            |lsh10 AS (
            |  SELECT e.vec_id FROM embeddings e JOIN bkt ON e.vec_id = bkt.vec_id, qb, q0
