@@ -219,6 +219,19 @@ object CurationPipeline {
         * the shared [[graft.queries.Docs.spanDedupDf]] body, so the
         * stage is pinned by the d30 oracle by construction. */
       spanDedup: Boolean = false,
+      /** Dedup keeper rule, applied to BOTH the exact stage (02) and
+        * the near-dup stage (04). Default (false): each duplicate
+        * group keeps its minimum doc_id (arrival order). True: d43's
+        * PROVENANCE-PRIORITY rule — the keeper is the group's
+        * (source, doc_id)-minimum, so a higher-ranked source's copy
+        * wins even when a lower-ranked source's copy arrived first
+        * (wiki mirror beats web crawl); both stages must share the rule
+        * or the exact stage would hand a byte-identical cross-source
+        * copy to the lower-ranked source before the near-dup stage sees
+        * it. Shared [[graft.queries.Docs.sourceKeepers]] body, pinned
+        * by the d43 oracle; one extra map-side-combinable min(struct)
+        * agg, no window. */
+      keeperBySource: Boolean = false,
       /** Corpus-observability artifacts (stage `00_report`): write the
         * d39 per-(lang, source) dup/token dashboard and the d40 Zipf
         * frequency-of-frequency report of the RAW corpus alongside the
@@ -334,10 +347,21 @@ object CurationPipeline {
     // stage 2: exact dedup — groupBy(hash)→min(id) + doc_id semi-join
     // back (same shape as d13): the hash exchange ships (md5, doc_id)
     // fingerprints, never document text.
-    val keepIds = gated
-      .select(md5(col("text").cast("binary")).as("_h"), col("doc_id"))
-      .groupBy(col("_h")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
+    // keeperBySource applies HERE too: a byte-identical cross-source
+    // copy must resolve by the same priority rule as a near-dup one,
+    // or the exact stage would hand the doc to the lower-ranked source
+    // before the near-dup stage ever sees it
+    val keepIds =
+      if (cfg.keeperBySource) gated
+        .select(md5(col("text").cast("binary")).as("_h"),
+          col("source"), col("doc_id"))
+        .groupBy(col("_h"))
+        .agg(min(struct(col("source"), col("doc_id"))).as("k"))
+        .select(col("k.doc_id").as("doc_id"))
+      else gated
+        .select(md5(col("text").cast("binary")).as("_h"), col("doc_id"))
+        .groupBy(col("_h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
     val exact = stage("02_exact", gated.join(keepIds, Seq("doc_id"), "left_semi"))
 
     // stage 3: benchmark decontamination — one stage dir, four engines
@@ -403,10 +427,19 @@ object CurationPipeline {
       val (nBands, rowsPerBand) = Docs.lshBandingOf(cfg.lshBanding)
       val comps = graft.operators.ConnectedComponents.components(
         Docs.lshStarEdges(sig, nBands, rowsPerBand), dedupeEdges = false)
-      val survivors = clean
-        .join(comps, clean("doc_id") === comps("id"), "left")
-        .filter(col("rep").isNull || col("rep") === col("doc_id"))
-        .drop("id", "rep", "ws", "n_tokens")
+      val survivors =
+        if (cfg.keeperBySource) {
+          // d43's provenance-priority rule: the cluster's
+          // (source, doc_id)-minimum wins, not the minimum doc_id
+          val keeperIds = Docs.sourceKeepers(Docs.clusteredBySource(
+              clean.select(col("doc_id"), col("source")), comps))
+            .select(col("k.doc_id").as("doc_id"))
+          clean.join(keeperIds, Seq("doc_id"), "left_semi")
+            .drop("ws", "n_tokens")
+        } else clean
+          .join(comps, clean("doc_id") === comps("id"), "left")
+          .filter(col("rep").isNull || col("rep") === col("doc_id"))
+          .drop("id", "rep", "ws", "n_tokens")
       graft.sources.CorpusSink.write(survivors, s"$outDir/04_corpus",
         partitionCol = cfg.partitionCol, maxRecordsPerFile = cfg.maxRecordsPerFile)
     }

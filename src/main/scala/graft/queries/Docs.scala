@@ -1014,6 +1014,30 @@ object Docs {
       .withColumn("sh", shingles(col("ws")))
       .withColumn("mh", graft.functions.MinHashExprs.minHashSig(col("sh")))
 
+  /** Docs tagged with their near-dup cluster id: left-join the CC
+    * labels ((id, rep) from [[graft.operators.ConnectedComponents]]),
+    * singletons cluster as themselves. Shared by the d43 gate and the
+    * pipeline's source-priority keeper stage. */
+  private[graft] def clusteredBySource(
+      docs: org.apache.spark.sql.DataFrame,
+      comps: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.join(comps, docs("doc_id") === comps("id"), "left")
+      .select(docs("doc_id"), col("source"),
+        coalesce(col("rep"), docs("doc_id")).as("cluster"))
+
+  /** d43's keeper rule: per cluster, the (source, doc_id)-minimum —
+    * source rank beats arrival order (a deployment swaps the
+    * lexicographic rank for a rank-table join; the selection shape is
+    * identical). ONE map-side-combinable min(struct) agg keyed by
+    * cluster: skew-safe — a 10⁶-member cluster partial-aggregates to
+    * one struct per map task where a per-cluster row_number window
+    * would sort the whole cluster in one task. Returns (cluster, k)
+    * with k = struct(source, doc_id) of the keeper. */
+  private[graft] def sourceKeepers(
+      cl: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cl.groupBy(col("cluster"))
+      .agg(min(struct(col("source"), col("doc_id"))).as("k"))
+
   private val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
   /** LSH band→bucket core shared by d07/d12: explode each signature into
@@ -3051,12 +3075,9 @@ object Docs {
           col("doc_id") +: (0 until 8).map(i => minhash(col("mh"), i).as(s"mh$i")): _*)
         val comps = graft.operators.ConnectedComponents
           .components(lshStarEdges(sig), dedupeEdges = false)
-        val cl = t(s, dir, "documents").select(col("doc_id"), col("source"))
-          .join(comps, col("doc_id") === col("id"), "left")
-          .select(col("doc_id"), col("source"),
-            coalesce(col("rep"), col("doc_id")).as("cluster"))
-        val keepers = cl.groupBy(col("cluster"))
-          .agg(min(struct(col("source"), col("doc_id"))).as("k"))
+        val cl = clusteredBySource(
+          t(s, dir, "documents").select(col("doc_id"), col("source")), comps)
+        val keepers = sourceKeepers(cl)
           .groupBy(col("k.source").as("source"))
           .agg(count(lit(1)).as("n_keepers"))
         cl.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))

@@ -504,6 +504,45 @@ class CurationPipelineSpec extends SparkSpec {
       "bad banding label must fail before any stage output is written")
   }
 
+  test("keeperBySource: priority source wins the cluster; cluster count is rule-invariant") {
+    import spark.implicits._
+    val dupA = "the quick brown fox jumps over the lazy dog today and tomorrow"
+    val dupB = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    // near-dup (NOT byte-identical — one word differs) cross-source
+    // pair: exercises the stage-4 rule; the dupA pair is byte-identical
+    // and exercises the stage-2 rule
+    val nearC1 = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"
+    val nearC2 = "one two three four five six seven eight nine ten eleven twelve thirteen fifteen"
+    val docs = Seq(
+      (1L, dupA, "b_crawl"), // exact pair {1,2}: b_crawl copy arrived first...
+      (2L, dupA, "a_wiki"),  // ...but a_wiki outranks it — keeper is 2
+      (3L, "completely different words about spark shuffles and exchanges everywhere today", "b_crawl"),
+      (4L, dupB, "b_crawl"), // same-source exact pair {4,5}: min id keeps
+      (5L, dupB, "b_crawl"),
+      (6L, nearC1, "b_crawl"), // near-dup pair {6,7}: priority hands it to 7
+      (7L, nearC2, "a_wiki"))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def survivors(cfg: CurationPipeline.Config): Set[Long] = {
+      val out = Files.createTempDirectory("graft-curation-keeper").toString
+      CurationPipeline.run(spark, docs, out, cfg = cfg)
+      spark.read.parquet(s"$out/04_corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val base = CurationPipeline.Config(benchMod = 0L, chunk = false)
+    assert(survivors(base) === Set(1L, 3L, 4L, 6L), "default rule keeps min doc_id")
+    assert(survivors(base.copy(keeperBySource = true)) === Set(2L, 3L, 4L, 7L),
+      "priority rule must hand the exact pair {1,2} AND the near-dup pair {6,7} to the a_wiki copies")
+    // the rule changes WHICH doc survives, never HOW MANY (one keeper
+    // per cluster either way) — checked on the real corpus too
+    val real = Registry.t(spark, sfDir, "documents")
+    def realCount(cfg: CurationPipeline.Config): Long = {
+      val out = Files.createTempDirectory("graft-curation-keeper-real").toString
+      CurationPipeline.run(spark, real, out, cfg = cfg).toMap.apply("04_corpus")
+    }
+    assert(realCount(base) === realCount(base.copy(keeperBySource = true)))
+  }
+
   test("walkthrough config runs end-to-end: every documented stage, non-degenerate, resumable") {
     // the EXACT config from WALKTHROUGH.md (shared via Walkthrough so
     // the doc can't drift from a config that works)
