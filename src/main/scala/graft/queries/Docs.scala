@@ -3122,6 +3122,133 @@ object Docs {
            |  tot.n_docs - COALESCE(k.n_keepers, 0) AS n_evicted
            |FROM tot LEFT JOIN k ON tot.source = k.source""".stripMargin
       },
-      "cross-source keeper selection: near-dup clusters -> source-priority keeper -> per-source attrition report (north-star: multi-source dedup)")
+      "cross-source keeper selection: near-dup clusters -> source-priority keeper -> per-source attrition report (north-star: multi-source dedup)"),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020: split each
+    // language's corpus into head/middle/tail terciles by LM perplexity
+    // — the standard pre-training quality triage). Thresholds are EXACT
+    // value-based terciles derived by cumulative count over the
+    // (lang, milli_bits_per_token) HISTOGRAM, not ntile over the corpus:
+    // t1 = min mbpt with 3·cum ≥ n (= percentile_disc(1/3)), so ties get
+    // one bucket deterministically in both engines and — the scale
+    // point — the corpus-sized frame never enters a window. The only
+    // windows run on the histogram (≤ distinct score values per lang),
+    // the two thresholds per lang broadcast back, and the labeling pass
+    // is map-side. A per-lang ntile would sort each language's full
+    // corpus inside single window partitions — exactly what a 100 TB
+    // run cannot do.
+    Q("d44_ccnet_buckets",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sc = surprisalDf(docs)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("milli_bits_per_token"))
+        val hist = sc.groupBy(col("lang"), col("milli_bits_per_token"))
+          .agg(count(lit(1)).as("c"))
+        val wCum = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("milli_bits_per_token"))
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+        val cum = hist
+          .withColumn("cum", sum(col("c")).over(wCum))
+          .withColumn("n", sum(col("c")).over(wAll))
+        def cut(k: Int, name: String) = cum
+          .filter(col("cum") * 3 >= col("n") * k)
+          .groupBy(col("lang"))
+          .agg(min(col("milli_bits_per_token")).as(name))
+        val thresholds = cut(1, "t1").join(cut(2, "t2"), Seq("lang"))
+        sc.join(broadcast(thresholds), Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("milli_bits_per_token"),
+            when(col("milli_bits_per_token") <= col("t1"), lit("head"))
+              .when(col("milli_bits_per_token") <= col("t2"), lit("middle"))
+              .otherwise(lit("tail")).as("ppl_bucket"))
+      },
+      Some(s"""WITH $dSurprisal,
+              |sc AS (SELECT d.doc_id, d.lang, s.milli_bits_per_token AS mbpt
+              |  FROM scored s JOIN documents d USING (doc_id)),
+              |hist AS (SELECT lang, mbpt, COUNT(*) AS c FROM sc GROUP BY 1, 2),
+              |cum AS (SELECT lang, mbpt,
+              |    SUM(c) OVER (PARTITION BY lang ORDER BY mbpt) AS cum,
+              |    SUM(c) OVER (PARTITION BY lang) AS n
+              |  FROM hist),
+              |t1 AS (SELECT lang, MIN(mbpt) AS t1 FROM cum WHERE cum * 3 >= n GROUP BY lang),
+              |t2 AS (SELECT lang, MIN(mbpt) AS t2 FROM cum WHERE cum * 3 >= n * 2 GROUP BY lang)
+              |SELECT sc.doc_id, sc.lang, sc.mbpt AS milli_bits_per_token,
+              |  CASE WHEN sc.mbpt <= t1.t1 THEN 'head'
+              |       WHEN sc.mbpt <= t2.t2 THEN 'middle'
+              |       ELSE 'tail' END AS ppl_bucket
+              |FROM sc JOIN t1 USING (lang) JOIN t2 USING (lang)""".stripMargin),
+      "CCNet head/middle/tail perplexity terciles per language, histogram-derived exact thresholds (north-star: quality triage)"),
+
+    // Containment dedup — the SUBSET-duplicate detector Jaccard misses:
+    // a short doc fully quoted inside a long one has containment
+    // |A∩B| / min(|A|,|B|) ≈ 1 while its Jaccard ≈ |A|/|B| can sit far
+    // below any dedup threshold (the d20 verdict would keep both).
+    // Candidates come from the SAME capped LSH band shuffle as d20 (one
+    // signature pass, one bucket exchange, no self-join) and the exact
+    // shingle-set check reuses d20's verification-join discipline:
+    // narrow-build SHJ on the 16-byte pair rows, spillable SMJ for the
+    // second wide side, zero broadcasts (the sf10-OOM-proofed shape).
+    // Verdict: containment ≥ 0.8 evicts the SMALLER set (tie → the
+    // larger doc_id), mirroring d13's min-keeper rule.
+    Q("d45_containment_dedup",
+      (s, dir) => {
+        val sets = t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .select(col("doc_id"), array_distinct(shingles(col("ws"))).as("ss"))
+        val sig = sets
+          .withColumn("mh", graft.functions.MinHashExprs.minHashSig(col("ss")))
+          .select(col("doc_id") +: (0 until 8).map(i => minhash(col("mh"), i).as(s"mh$i")): _*)
+        val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+        val smaller = least(size(col("sa")), size(col("sb"))).cast("double")
+        val contain = inter / smaller
+        lshCandidatePairs(sig).hint("shuffle_hash")
+          .join(sets.select(col("doc_id").as("doc_id_a"), col("ss").as("sa")),
+            Seq("doc_id_a"))
+          .join(sets.select(col("doc_id").as("doc_id_b"), col("ss").as("sb")).hint("merge"),
+            Seq("doc_id_b"))
+          .select(col("doc_id_a"), col("doc_id_b"),
+            round(contain, 4).as("containment"),
+            when(contain < 0.8, lit(null).cast("long"))
+              .when(size(col("sa")) < size(col("sb")), col("doc_id_a"))
+              .when(size(col("sb")) < size(col("sa")), col("doc_id_b"))
+              .otherwise(greatest(col("doc_id_a"), col("doc_id_b")))
+              .as("evict_id"))
+      },
+      Some {
+        val mh = (0 until 8).map(i => s"  ${dMinhash(i)} AS mh$i").mkString(",\n")
+        val bands = (0 until 4).map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || ':' || mh${2 * b + 1} AS band_key FROM sig")
+          .mkString("\n  UNION ALL ")
+        s"""WITH w AS (SELECT doc_id, $dWords ws FROM documents),
+           |s AS (SELECT doc_id,
+           |  list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) sh
+           |  FROM w),
+           |h AS (SELECT doc_id, sh, $dHh hh FROM s),
+           |sig AS (SELECT doc_id,
+           |$mh
+           |FROM h),
+           |banded AS (
+           |  $bands),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+           |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |sets AS (SELECT doc_id, list_distinct(sh) AS ss FROM h),
+           |v AS (SELECT p.doc_id_a, p.doc_id_b,
+           |    len(sa.ss) AS la, len(sb.ss) AS lb,
+           |    CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+           |      CAST(least(len(sa.ss), len(sb.ss)) AS DOUBLE) AS c
+           |  FROM pairs p
+           |  JOIN sets sa ON p.doc_id_a = sa.doc_id
+           |  JOIN sets sb ON p.doc_id_b = sb.doc_id)
+           |SELECT doc_id_a, doc_id_b, ROUND(c, 4) AS containment,
+           |  CASE WHEN c < 0.8 THEN NULL
+           |       WHEN la < lb THEN doc_id_a
+           |       WHEN lb < la THEN doc_id_b
+           |       ELSE greatest(doc_id_a, doc_id_b) END AS evict_id
+           |FROM v""".stripMargin
+      },
+      "containment dedup: LSH candidates -> exact shingle containment -> evict the contained doc (north-star: subset-dup removal)")
   )
 }

@@ -2146,6 +2146,63 @@ object Sim {
              |GROUP BY doc_id, i // 16""".stripMargin),
       "REAL audio feature extraction: PCM WAV decode -> windowed energy envelope, formula-oracle (north-star: multimodal features)"),
 
+    // REAL video fingerprint dedup — the m02×m03 composite that closes
+    // the multimodal dedup matrix: every doc gets a deterministic
+    // raw-RGB AVI whose CONTENT is keyed by doc_id % 24 (24 dup groups,
+    // mixed frame counts since frames = base % 3 + 1), Spark DECODES
+    // the container (real RIFF walk + pixel decode, not the synthesis
+    // formula), rolls the per-frame means into an ORDER-SENSITIVE
+    // video fingerprint (frame order matters — two videos with the
+    // same frames shuffled must NOT collide), and groups into dup
+    // clusters with the d13 min-keeper rule. The DuckDB twin
+    // recomputes expected fingerprints from the construction formula
+    // alone — container writer, decoder, and fingerprint are
+    // cross-checked against a derivation that never touches the bytes.
+    // Scale shape: scan-parallel synth+decode+frame-sig (pixels never
+    // leave the map task), then two NARROW exchanges — (doc_id, ≤3
+    // tiny sig strings) for the per-video rollup and (fp string) for
+    // the dup grouping.
+    Q("m05_video_fp_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, graft.mm.Multimodal.syntheticRgbAvi(id % 24))))
+          .toDF("doc_id", "payload")
+        val frames = graft.mm.Multimodal.decodeFrames(payloads)
+          .filter(col("ok"))
+          .select(col("doc_id"), col("frame_no"),
+            concat_ws(":", col("mean_r").cast("long"),
+              col("mean_g").cast("long"),
+              col("mean_b").cast("long")).as("fsig"))
+        val fp = frames.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("frame_no"), col("fsig")))),
+                x => x.getField("fsig")),
+              "|").as("video_fp"))
+        fp.groupBy(col("video_fp"), col("n_frames"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
+      },
+      Some("""WITH f AS (SELECT doc_id, doc_id % 24 AS base,
+             |    unnest(range((doc_id % 24) % 3 + 1)) AS fr
+             |  FROM documents WHERE doc_id IS NOT NULL),
+             |sig AS (SELECT doc_id, fr,
+             |    CAST((base * 7 + fr * 13) % 256 AS VARCHAR) || ':' ||
+             |    CAST((base * 11 + fr * 17) % 256 AS VARCHAR) || ':' ||
+             |    CAST((base * 3 + fr * 29) % 256 AS VARCHAR) AS fsig
+             |  FROM f),
+             |fp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+             |    string_agg(fsig, '|' ORDER BY fr) AS video_fp
+             |  FROM sig GROUP BY doc_id)
+             |SELECT video_fp, n_frames, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  MIN(doc_id) AS keeper_id
+             |FROM fp GROUP BY video_fp, n_frames""".stripMargin),
+      "REAL video fingerprint dedup: AVI decode -> ordered frame-sig fingerprint -> dup groups, formula-oracle (north-star: multimodal dedup)"),
+
     // Topic-mix report — the corpus-composition view a data-curation
     // owner reads before setting d36 mixture weights: every vector
     // assigned to its nearest centroid (e08's codegen'd broadcast-model
