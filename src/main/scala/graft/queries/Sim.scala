@@ -1956,6 +1956,38 @@ object Sim {
               |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 5""".stripMargin),
       "predicate-filtered ANN: metadata pre-filter + multi-probe IVF, index reused across predicates (north-star)"),
 
+    // Radius (range) search — the similarity query where the RESULT SET
+    // scales with the data, not with k: every vector whose cosine to
+    // the query clears a threshold. The missing sibling of top-k (e02):
+    // dedup-candidate harvesting, "find everything like this spam
+    // template", recall-floor audits. The threshold compares the
+    // ROUNDED cosine (the e02 doctrine) so sub-ulp accumulation drift
+    // between engines cannot flip boundary membership. Scale shape:
+    // ONE scan-parallel pass — broadcast query row, codegen'd cosine,
+    // map-side filter; ZERO exchanges at any corpus size (the dump's
+    // coalesce is the driver's). The approximate scale path (probe
+    // only IVF cells whose centroid dot clears threshold − cell
+    // radius) trades recall like e03 vs e02; this gate pins the EXACT
+    // semantics both are judged against.
+    Q("e23_radius_search",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        e.filter(col("vec_id") > 0).crossJoin(broadcast(q))
+          .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
+          .filter(col("cos_sim") >= 0.25)
+          .select(col("vec_id"), col("label"), col("cos_sim"))
+      },
+      Some {
+        val cos = s"""ROUND(${dDot("e.embedding", "q.qe")} /
+          |    (sqrt(${dDot("e.embedding", "e.embedding")}) * sqrt(${dDot("q.qe", "q.qe")})), 4)""".stripMargin
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+           |SELECT vec_id, label, $cos AS cos_sim
+           |FROM embeddings e, q
+           |WHERE vec_id > 0 AND $cos >= 0.25""".stripMargin
+      },
+      "radius search: all vectors within a cosine threshold of the query, one scan-parallel pass (north-star: similarity)"),
+
     // Cross-corpus SEMANTIC decontamination — the embedding-space
     // complement of d29's shingle near-dup: drop every TARGET vector
     // (vec_id % 10 ≠ 0) whose rounded cosine with any REFERENCE vector
