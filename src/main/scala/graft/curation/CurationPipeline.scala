@@ -159,6 +159,20 @@ object CurationPipeline {
         * default (the built-in minTokens/dupFrac gates overlap two of
         * the rules at different thresholds; enabling both composes). */
       gopherRules: Boolean = false,
+      /** CCNet-style perplexity TRIAGE (d44's shape, stage `01_ppl`):
+        * bucket the RAW corpus into per-language head/middle/tail
+        * surprisal terciles (exact histogram thresholds, shared
+        * [[graft.queries.Docs.ccnetBucketsDf]] body pinned by the d44
+        * oracle), write the full triage table as a stage artifact, and
+        * keep only docs whose bucket is in this set — the CCNet
+        * deployment keeps {head, middle} and drops the tail. Unlike
+        * [[maxSurprisalMilliBits]] (an absolute cut, which needs a
+        * calibrated threshold), the tercile cut is RELATIVE to each
+        * language's own distribution, so one config serves every
+        * language. Buckets are computed on the raw corpus (pre-gate —
+        * stable under gate-config changes, same posture as the
+        * surprisal gate's model). None disables the stage. */
+      keepPplBuckets: Option[Set[String]] = None,
       /** Model-based quality floor (d38's shape, part of stage 1): keep
         * only docs whose hashed-linear score_milli is at or above this.
         * Shared [[graft.queries.Docs.withHashedScore]] body — a per-row
@@ -257,9 +271,15 @@ object CurationPipeline {
       customGate: DataFrame => DataFrame = identity,
       selection: Selection = KeepAll): Seq[(String, Long)] = {
 
-    // fail-fast on a bad banding label BEFORE any stage writes — a typo
-    // must not surface only after hours of upstream stages at scale
+    // fail-fast on a bad banding label or bucket set BEFORE any stage
+    // writes — a typo must not surface only after hours of upstream
+    // stages at scale
     Docs.lshBandingOf(cfg.lshBanding)
+    cfg.keepPplBuckets.foreach { keepSet =>
+      val bad = keepSet -- Set("head", "middle", "tail")
+      require(bad.isEmpty && keepSet.nonEmpty,
+        s"keepPplBuckets must be a non-empty subset of {head, middle, tail}, got $bad")
+    }
 
     val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     def complete(name: String): Boolean =
@@ -334,13 +354,27 @@ object CurationPipeline {
         }
         b3.drop("_wsc")
       }
-      cfg.maxSurprisalMilliBits match {
+      val g2 = cfg.maxSurprisalMilliBits match {
         case Some(maxMb) =>
           val keep = Docs.surprisalDf(docs)
             .filter(col("milli_bits_per_token") <= maxMb)
             .select(col("doc_id"))
           g1.join(keep, Seq("doc_id"), "left_semi")
         case None => g1
+      }
+      // CCNet tercile triage: the full bucket table is a stage artifact
+      // (the per-doc split a downstream sampler reads); survivors
+      // semi-join on the configured bucket set. Reading the artifact
+      // back for the join keeps the resume contract: a resumed run
+      // gates against the exact split it wrote.
+      cfg.keepPplBuckets match {
+        case Some(keepSet) =>
+          val buckets = stage("01_ppl", Docs.ccnetBucketsDf(docs))
+          val keep = buckets
+            .filter(col("ppl_bucket").isin(keepSet.toSeq: _*))
+            .select(col("doc_id"))
+          g2.join(keep, Seq("doc_id"), "left_semi")
+        case None => g2
       }
     })
 

@@ -153,6 +153,40 @@ object Docs {
           .as("milli_bits_per_token"))
   }
 
+  /** DataFrame-in body of d44 (shared with CurationPipeline's
+    * perplexity-triage stage): CCNet head/middle/tail terciles per
+    * language by [[surprisalDf]] score. Thresholds are exact value-based
+    * terciles from a cumulative count over the (lang, score) HISTOGRAM
+    * (t_k = min score with 3·cum ≥ k·n, = percentile_disc(k/3)), so ties
+    * land in ONE bucket deterministically and the corpus-sized frame
+    * never enters a window — the histogram windows see ≤ distinct score
+    * values per lang, the two thresholds per lang broadcast back, and
+    * the labeling pass is map-side. */
+  private[graft] def ccnetBucketsDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sc = surprisalDf(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("milli_bits_per_token"))
+    val hist = sc.groupBy(col("lang"), col("milli_bits_per_token"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("milli_bits_per_token"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    def cut(k: Int, name: String) = cum
+      .filter(col("cum") * 3 >= col("n") * k)
+      .groupBy(col("lang"))
+      .agg(min(col("milli_bits_per_token")).as(name))
+    val thresholds = cut(1, "t1").join(cut(2, "t2"), Seq("lang"))
+    sc.join(broadcast(thresholds), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("milli_bits_per_token"),
+        when(col("milli_bits_per_token") <= col("t1"), lit("head"))
+          .when(col("milli_bits_per_token") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
   /** DataFrame-in body of d24's exact top-K heavy hitters (shared with
     * CurationPipeline's stoplist stage): one explode → one term-keyed
     * partial-agg shuffle → global top-K. The battery twin additionally
@@ -3138,31 +3172,7 @@ object Docs {
     // corpus inside single window partitions — exactly what a 100 TB
     // run cannot do.
     Q("d44_ccnet_buckets",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val sc = surprisalDf(docs)
-          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-          .select(col("doc_id"), col("lang"), col("milli_bits_per_token"))
-        val hist = sc.groupBy(col("lang"), col("milli_bits_per_token"))
-          .agg(count(lit(1)).as("c"))
-        val wCum = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("lang")).orderBy(col("milli_bits_per_token"))
-        val wAll = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("lang"))
-        val cum = hist
-          .withColumn("cum", sum(col("c")).over(wCum))
-          .withColumn("n", sum(col("c")).over(wAll))
-        def cut(k: Int, name: String) = cum
-          .filter(col("cum") * 3 >= col("n") * k)
-          .groupBy(col("lang"))
-          .agg(min(col("milli_bits_per_token")).as(name))
-        val thresholds = cut(1, "t1").join(cut(2, "t2"), Seq("lang"))
-        sc.join(broadcast(thresholds), Seq("lang"))
-          .select(col("doc_id"), col("lang"), col("milli_bits_per_token"),
-            when(col("milli_bits_per_token") <= col("t1"), lit("head"))
-              .when(col("milli_bits_per_token") <= col("t2"), lit("middle"))
-              .otherwise(lit("tail")).as("ppl_bucket"))
-      },
+      (s, dir) => ccnetBucketsDf(t(s, dir, "documents")),
       Some(s"""WITH $dSurprisal,
               |sc AS (SELECT d.doc_id, d.lang, s.milli_bits_per_token AS mbpt
               |  FROM scored s JOIN documents d USING (doc_id)),

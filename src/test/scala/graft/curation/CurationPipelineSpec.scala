@@ -138,6 +138,41 @@ class CurationPipelineSpec extends SparkSpec {
     assert(gatedIds === plainIds.filter(id => scores(id) <= thr))
   }
 
+  test("keepPplBuckets: triage artifact equals the d44 gate; only tail docs drop; bad sets fail fast") {
+    val out = Files.createTempDirectory("graft-curation-ppl").toString
+    val docs = Registry.t(spark, sfDir, "documents")
+    // the oracle-pinned d44 split on the same corpus
+    val d44 = Registry.queries("d44_ccnet_buckets")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val counts = CurationPipeline.run(spark, docs, out,
+      cfg = CurationPipeline.Config(keepPplBuckets = Some(Set("head", "middle"))),
+      customGate = langGate).toMap
+
+    // the stage artifact IS the d44 table
+    val artifact = spark.read.parquet(s"$out/01_ppl")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(artifact === d44)
+    assert(counts("01_ppl") === d44.size.toLong)
+
+    // survivors: exactly the bucket-keep restriction of the plain run
+    val gatedIds = spark.read.parquet(s"$out/01_gated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gatedIds.nonEmpty && gatedIds.forall(id => d44(id) != "tail"))
+    val out2 = Files.createTempDirectory("graft-curation-ppl2").toString
+    CurationPipeline.run(spark, docs, out2, customGate = langGate)
+    val plainIds = spark.read.parquet(s"$out2/01_gated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gatedIds === plainIds.filter(id => d44(id) != "tail"))
+
+    // a typo'd bucket set must fail before any stage writes
+    val outBad = Files.createTempDirectory("graft-curation-pplbad").toString
+    intercept[IllegalArgumentException] {
+      CurationPipeline.run(spark, docs, outBad,
+        cfg = CurationPipeline.Config(keepPplBuckets = Some(Set("heda"))))
+    }
+    assert(!new java.io.File(s"$outBad/01_ppl").exists())
+  }
+
   test("gopher + hashed-score gates: stage 1 equals the d37/d38 oracle cuts") {
     val docs = Registry.t(spark, sfDir, "documents")
     val keep37 = Registry.queries("d37_gopher_rules")(spark, sfDir)
