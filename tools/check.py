@@ -30,6 +30,19 @@ report = {}
 
 def fresh_con():
     c = duckdb.connect()
+    # --memlimit=NGB bounds the oracle engine and spills to disk instead
+    # of riding the OS OOM killer (a twin whose hash tables exceed RAM
+    # should page through temp, not kill the whole gate run)
+    if "memlimit" in opts:
+        c.execute(f"SET memory_limit='{opts['memlimit']}'")
+        c.execute("SET temp_directory='/tmp/duckspill'")
+        c.execute("SET max_temp_directory_size='50GB'")
+    # --threads=N: DuckDB 1.0.0's radix-partitioned aggregates allocate
+    # per thread, and the PQ-family struct-argmin twins amplify ~3 GB/
+    # thread at sf1 — 32 threads OOMs a 125 GB box where 4 threads peak
+    # under 60 GB. Throttle the oracle, not the twin.
+    if "threads" in opts:
+        c.execute(f"SET threads TO {int(opts['threads'])}")
     for p in glob.glob(f"{sf}/*.parquet"):
         name = os.path.basename(p).replace(".parquet", "")
         c.execute(f"create view {name} as select * from '{p}'")
