@@ -316,6 +316,17 @@ object CurationPipeline {
         .select(col("term")).collect().map(_.getString(0)).sorted
     }
 
+    // CCNet tercile triage artifact (01_ppl, the per-doc split a
+    // downstream sampler reads): staged OUTSIDE the 01_gated thunk —
+    // the thunk is by-name and never forced when a resumed run finds
+    // 01_gated complete, so staging it inside would make the returned
+    // per-stage counts differ between fresh and resumed runs
+    // (00_stoplist sets the precedent: artifact stages of the RAW
+    // corpus are forced unconditionally). It depends only on `docs`.
+    val pplBuckets: Option[DataFrame] = cfg.keepPplBuckets.map { _ =>
+      stage("01_ppl", Docs.ccnetBucketsDf(docs))
+    }
+
     // stage 1: repetition/length gates (+ optional stop-fraction and
     // surprisal gates) + caller's gate. The surprisal cut is a
     // semi-join against the d25 scores of the RAW corpus: docs at or
@@ -362,19 +373,17 @@ object CurationPipeline {
           g1.join(keep, Seq("doc_id"), "left_semi")
         case None => g1
       }
-      // CCNet tercile triage: the full bucket table is a stage artifact
-      // (the per-doc split a downstream sampler reads); survivors
-      // semi-join on the configured bucket set. Reading the artifact
-      // back for the join keeps the resume contract: a resumed run
-      // gates against the exact split it wrote.
-      cfg.keepPplBuckets match {
-        case Some(keepSet) =>
-          val buckets = stage("01_ppl", Docs.ccnetBucketsDf(docs))
+      // CCNet tercile triage: survivors semi-join on the configured
+      // bucket set, against the 01_ppl artifact staged above (read
+      // back from disk — the resume contract: a resumed run gates
+      // against the exact split it wrote).
+      (cfg.keepPplBuckets, pplBuckets) match {
+        case (Some(keepSet), Some(buckets)) =>
           val keep = buckets
             .filter(col("ppl_bucket").isin(keepSet.toSeq: _*))
             .select(col("doc_id"))
           g2.join(keep, Seq("doc_id"), "left_semi")
-        case None => g2
+        case _ => g2
       }
     })
 

@@ -163,9 +163,26 @@ object Docs {
     * values per lang, the two thresholds per lang broadcast back, and
     * the labeling pass is map-side. */
   private[graft] def ccnetBucketsDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val sc = surprisalDf(docs)
+    val sc = ccnetScoredDf(docs)
+    sc.join(broadcast(ccnetThresholdsDf(sc)), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("milli_bits_per_token"),
+        when(col("milli_bits_per_token") <= col("t1"), lit("head"))
+          .when(col("milli_bits_per_token") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
+  /** (doc_id, lang, milli_bits_per_token) under the corpus's own d25
+    * model — the input of both the d44 tercile cut and the snapshot
+    * compile for its streaming twin. */
+  private def ccnetScoredDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    surprisalDf(docs)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("milli_bits_per_token"))
+
+  /** Per-language tercile thresholds (lang, t1, t2) from the histogram
+    * cumulative count (see [[ccnetBucketsDf]]'s scaladoc for why the
+    * corpus never enters a window). */
+  private def ccnetThresholdsDf(sc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val hist = sc.groupBy(col("lang"), col("milli_bits_per_token"))
       .agg(count(lit(1)).as("c"))
     val wCum = org.apache.spark.sql.expressions.Window
@@ -179,12 +196,7 @@ object Docs {
       .filter(col("cum") * 3 >= col("n") * k)
       .groupBy(col("lang"))
       .agg(min(col("milli_bits_per_token")).as(name))
-    val thresholds = cut(1, "t1").join(cut(2, "t2"), Seq("lang"))
-    sc.join(broadcast(thresholds), Seq("lang"))
-      .select(col("doc_id"), col("lang"), col("milli_bits_per_token"),
-        when(col("milli_bits_per_token") <= col("t1"), lit("head"))
-          .when(col("milli_bits_per_token") <= col("t2"), lit("middle"))
-          .otherwise(lit("tail")).as("ppl_bucket"))
+    cut(1, "t1").join(cut(2, "t2"), Seq("lang"))
   }
 
   /** DataFrame-in body of d24's exact top-K heavy hitters (shared with
@@ -975,6 +987,200 @@ object Docs {
       .withColumn(textCol, array_join(transform(col("__keep"), k => blockOf(k)), " "))
       .withColumn("n_chars", length(col(textCol)).cast("long"))
       .drop("__ws", "__n", "__keep")
+  }
+
+  // ------------------- d44 streaming snapshot (CCNet terciles) -------------------
+
+  /** Compile a corpus snapshot's unigram LM for the d44 streaming twin:
+    * (terms with count ≥ 2, their counts, n_total). Terms with count 1
+    * are deliberately dropped — a [[graft.functions.SnapshotSurprisal]]
+    * lookup miss scores bits(1), exactly what a count-1 term scores, so
+    * the model bytes roughly halve with zero score drift. The arrays
+    * are term-sorted for deterministic artifacts. LM training is a
+    * batch job: at 100 TB the count≥2 vocabulary is a model-sized
+    * artifact (the same posture as the d41 merge table or the e15 PQ
+    * codebooks), not a corpus-sized one. */
+  def ccnetModelSnapshot(docs: org.apache.spark.sql.DataFrame)
+      : (Array[String], Array[Long], Long) = {
+    val freq = docs.select(explode(words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val nTotal = freq.agg(sum(col("c"))).collect()(0).getLong(0)
+    val kept = freq.filter(col("c") >= 2)
+      .orderBy(col("term"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    (kept.map(_._1), kept.map(_._2), nTotal)
+  }
+
+  /** Compile the snapshot's per-language tercile thresholds
+    * (lang, t1, t2) for the d44 streaming twin — the batch d44 cut,
+    * collected. Bounded by the language inventory (dozens), the
+    * d15-Bloom "compile once, ship as literal" shape. */
+  def ccnetThresholdSnapshot(docs: org.apache.spark.sql.DataFrame)
+      : Array[(String, Long, Long)] =
+    ccnetThresholdsDf(ccnetScoredDf(docs))
+      .orderBy(col("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+  /** Stateless CCNet bucket labeling against a FROZEN snapshot (model +
+    * thresholds): the d44 streaming twin body. Per row this is ONE
+    * compiled byte pass ([[graft.functions.SnapshotSurprisal]]) plus a
+    * literal threshold cascade — no join, no shuffle, no state, so the
+    * same frame-in/frame-out body runs over a batch frame or an
+    * unbounded stream. Scores are bit-identical to batch d44 for every
+    * token the snapshot saw (count-1 terms included — see
+    * [[ccnetModelSnapshot]]); OOV tokens score as count-1 (maximal
+    * surprisal under the model). Docs in a language the snapshot has no
+    * thresholds for get a NULL ppl_bucket (routing them is a policy
+    * decision, not this operator's); zero-token/null-text docs drop,
+    * matching the batch path. Re-cutting terciles over the stream's
+    * own distribution is a batch compactor job — the same split of
+    * labor as nearDedupStream vs banded d12. */
+  def ccnetBucketFilterDf(docs: org.apache.spark.sql.DataFrame,
+      terms: Array[String], counts: Array[Long], nTotal: Long,
+      thresholds: Array[(String, Long, Long)]): org.apache.spark.sql.DataFrame = {
+    val st = graft.functions.SurprisalExprs.snapshotSurprisal(
+      col("text"), terms.toSeq, counts.toSeq, nTotal)
+    val t1 = thresholds.foldLeft(lit(null).cast("long")) { case (acc, (l, a, _)) =>
+      when(col("lang") === lit(l), lit(a)).otherwise(acc) }
+    val t2 = thresholds.foldLeft(lit(null).cast("long")) { case (acc, (l, _, b)) =>
+      when(col("lang") === lit(l), lit(b)).otherwise(acc) }
+    docs
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+      .withColumn("__st", st)
+      .filter(col("__st").getField("n_tokens") >= 1L)
+      .select(col("doc_id"), col("lang"),
+        Sim.halfAwayDiv(col("__st").getField("surprisal_bits") * 1000,
+          col("__st").getField("n_tokens")).as("milli_bits_per_token"))
+      .withColumn("ppl_bucket",
+        when(t1.isNull, lit(null).cast("string"))
+          .when(col("milli_bits_per_token") <= t1, lit("head"))
+          .when(col("milli_bits_per_token") <= t2, lit("middle"))
+          .otherwise(lit("tail")))
+  }
+
+  // --------------- d43 streaming snapshot (source-priority keepers) ---------------
+
+  /** Compile a corpus snapshot's keeper verdicts for the d43 streaming
+    * twin: one Bloom filter PER SNAPSHOT SOURCE RANK, ascending —
+    * `bloom(s)` holds the full MinHash signature strings of every
+    * member of every near-dup cluster whose ELECTED KEEPER's source is
+    * lexicographically ≤ s. The filters are nested by construction
+    * (rank r's set ⊆ rank r+1's), so the stream side picks the bloom of
+    * the largest snapshot source ≤ its own source and one probe decides
+    * the duel: a signature hit means the snapshot already holds a
+    * keeper at better-or-equal priority (same-source ties go to the
+    * snapshot — its doc_ids precede any new arrival). Source
+    * inventories are small (this is a provenance table), so "a few
+    * Blooms" stays broadcast-sized at any corpus scale. */
+  def keeperSigBloomsByRank(docs: org.apache.spark.sql.DataFrame,
+      expectedItems: Long = 1000000L, fpp: Double = 0.001)
+      : Seq[(String, Array[Byte])] = {
+    val sigd = docs
+      .filter(col("doc_id").isNotNull)
+      .repartition(col("doc_id"))
+      .withColumn("__ws", words(col("text")))
+      .withColumn("__sh", shingles(col("__ws")))
+      .withColumn("__mh", graft.functions.MinHashExprs.minHashSig(col("__sh")))
+    val sig8 = sigd.select(
+      col("doc_id") +: (0 until 8).map(i => element_at(col("__mh"), i + 1).as(s"mh$i")): _*)
+    val comps = graft.operators.ConnectedComponents
+      .components(lshStarEdges(sig8), dedupeEdges = false)
+    val cl = clusteredBySource(docs.select(col("doc_id"), col("source")), comps)
+    val keepers = sourceKeepers(cl).select(col("cluster"), col("k.source").as("__ksrc"))
+    val sigs = sigd.select(col("doc_id"),
+      when(size(col("__sh")) >= 1,
+        concat_ws(":", col("__mh").cast("array<string>"))).as("sig"))
+    val memberSigs = cl.join(keepers, Seq("cluster"))
+      .join(sigs, Seq("doc_id"))
+      .filter(col("sig").isNotNull)
+      .select(col("__ksrc"), col("sig"))
+      .localCheckpoint() // one CC + sig pass feeds every rank's filter
+    val sources = memberSigs.select(col("__ksrc")).distinct()
+      .collect().map(_.getString(0)).sorted
+    sources.toSeq.map { s =>
+      s -> benchBloomBytes(memberSigs.filter(col("__ksrc") <= s),
+        gramCol = "sig", expectedItems = expectedItems, fpp = fpp)
+    }
+  }
+
+  /** Stateless cross-source keeper duel against a snapshot — the d43
+    * streaming twin body: drop a doc whose full signature appears in
+    * the rank-appropriate snapshot Bloom (the snapshot's keeper is at
+    * better-or-equal source priority), keep it otherwise (the stream
+    * doc would WIN the duel; actually re-electing the snapshot keeper
+    * is the batch compactor's job, exactly as nearDedupStream defers
+    * banding). A stream source below every snapshot source outranks
+    * all keepers and always passes. Signature equality is the
+    * band-free LSH special case (the crossNeardupStream note); Bloom
+    * error is one-sided — a REAL keeper-owned signature always drops.
+    * Shingle-less docs (NULL signature) always pass. */
+  def keeperPriorityFilterDf(docs: org.apache.spark.sql.DataFrame,
+      ranked: Seq[(String, Array[Byte])]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    def mightContain(bytes: Array[Byte], v: Column): Column =
+      org.apache.spark.sql.GraftShim.column(
+        BloomFilterMightContain(Literal(bytes, BinaryType),
+          org.apache.spark.sql.GraftShim.expression(v)))
+    val sig = sigStr(col("__ws"))
+    val h = xxhash64(sig)
+    // ascending fold → the outermost branch is the LARGEST snapshot
+    // source ≤ the stream source (the blooms are nested, so the
+    // tightest applicable rank is the correct one to probe)
+    val lost = ranked.sortBy(_._1).foldLeft(lit(false)) { case (acc, (s, bytes)) =>
+      when(col("source") >= lit(s), mightContain(bytes, h)).otherwise(acc)
+    }
+    docs.withColumn("__ws", words(col("text")))
+      .filter(sig.isNull || !lost)
+      .drop("__ws")
+  }
+
+  // ---------------- d45 streaming snapshot (containment dedup) ----------------
+
+  /** Compile a corpus snapshot's shingle inventory into ONE Bloom
+    * filter for [[containmentFilterDf]] — the d45 analogue of
+    * [[spanKeeperBloomBytes]], at shingle (3-token) granularity instead
+    * of 16-token blocks. */
+  def containmentBloomBytes(snapshotDocs: org.apache.spark.sql.DataFrame,
+      textCol: String = "text", expectedItems: Long = 1000000L,
+      fpp: Double = 0.001): Array[Byte] =
+    benchBloomBytes(
+      snapshotDocs.select(
+        explode(array_distinct(shingles(words(col(textCol))))).as("sh")),
+      gramCol = "sh", expectedItems = expectedItems, fpp = fpp)
+
+  /** Stateless containment-dedup FILTER against a snapshot — the d45
+    * streaming twin body: drop any doc whose distinct shingles are
+    * ≥ `tauMilli`/1000 contained in the snapshot's shingle inventory.
+    * Containment here is against the CORPUS UNION, not a single
+    * snapshot doc — a deliberate, disclosed strengthening: per-pair
+    * containment ≤ corpus containment, so every doc the batch d45
+    * would evict against a single snapshot doc is dropped here too
+    * (no false keeps vs batch), while a doc assembled from shingles
+    * SPREAD ACROSS many snapshot docs is conservatively over-dropped
+    * (for dedup-before-training that quotes-mosaic is usually exactly
+    * what you want gone). Bloom fpp adds ~fpp per-shingle one-sided
+    * error on top. Exact per-pair containment (and keeper election)
+    * stays on the batch d45 compactor. Per row this is one
+    * shingle-array walk with a Bloom probe per element — no join, no
+    * shuffle, no state. Docs with no shingles always pass. */
+  def containmentFilterDf(docs: org.apache.spark.sql.DataFrame,
+      snapshotBloom: Array[Byte], tauMilli: Long = 800L,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val bloom = Literal(snapshotBloom, BinaryType)
+    def mightContain(v: Column): Column =
+      org.apache.spark.sql.GraftShim.column(
+        BloomFilterMightContain(bloom, org.apache.spark.sql.GraftShim.expression(v)))
+    docs
+      .withColumn("__ss", array_distinct(shingles(words(col(textCol)))))
+      .withColumn("__hits",
+        size(filter(col("__ss"), sh => mightContain(xxhash64(sh)))).cast("long"))
+      .filter(size(col("__ss")) === 0 ||
+        col("__hits") * 1000L < lit(tauMilli) * size(col("__ss")).cast("long"))
+      .drop("__ss", "__hits")
   }
 
   /** Shared body of d29 (and CurationPipeline's NearDup decontamination
@@ -3195,8 +3401,14 @@ object Docs {
     // |A∩B| / min(|A|,|B|) ≈ 1 while its Jaccard ≈ |A|/|B| can sit far
     // below any dedup threshold (the d20 verdict would keep both).
     // Candidates come from the SAME capped LSH band shuffle as d20 (one
-    // signature pass, one bucket exchange, no self-join) and the exact
-    // shingle-set check reuses d20's verification-join discipline:
+    // signature pass, one bucket exchange, no self-join) — NOTE the cap
+    // divergence d20's docs pin under `lsh_bucket_truncation`: the
+    // Spark side truncates a band bucket at maxBucket=2048 members
+    // while the DuckDB twin enumerates band pairs UNCAPPED, so a
+    // degenerate bucket beyond the cap would fail this gate BY DESIGN
+    // (triage as the known cap, not a bug; no testdata bucket comes
+    // near 2048). The exact shingle-set check reuses d20's
+    // verification-join discipline:
     // narrow-build SHJ on the 16-byte pair rows, spillable SMJ for the
     // second wide side, zero broadcasts (the sf10-OOM-proofed shape).
     // Verdict: containment ≥ 0.8 evicts the SMALLER set (tie → the

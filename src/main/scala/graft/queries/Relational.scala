@@ -69,32 +69,44 @@ object Relational {
       (s, dir) => {
         val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
         val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
-        // Shape (r14, matched-pair measured at sf1 — see BENCH_NOTES):
-        //  - revenue is computed BEFORE the spreading exchange so the
-        //    single-row-group scan task writes 16 B rows, not 24 B
-        //    (the serial scan task is the floor at bench SF; 1.62 →
-        //    1.35 s warm);
-        //  - orders joins as a narrow-build SHUFFLE-HASH (16 B build
-        //    rows, co-partitioned with the lineitem spread) instead of
+        // Shape (r15, matched-pair measured at sf1 — see BENCH_NOTES):
+        //  - n_nationkey determines (r_name, n_name) 1:1 (25 values),
+        //    so the GROUP KEY is the int nationkey, not two strings;
+        //    the dim probe happens once per ORDERS row BEFORE the big
+        //    exchange (1.5 M single-map probes) instead of three times
+        //    per joined LINEITEM row after it (r14's shape: 3 × 6 M
+        //    post-join probes + 6 M two-string group-hashes; measured
+        //    1.03 → 0.85 s warm at sf1 / 8 shuffle parts);
+        //  - names attach to the 25-ROW agg result, so strings never
+        //    ride an exchange at all — at 100 TB the same rule keeps
+        //    the wide columns out of every shuffle;
+        //  - orders joins as a narrow-build SHUFFLE-HASH (12 B build
+        //    rows, co-partitioned with the lineitem side) instead of
         //    the statically-chosen broadcast: a 1.5 M-row broadcast
         //    rebuilt its HashedRelation on the DRIVER every run
-        //    (~0.9 s serial, 2.30 → 1.62 s warm), and at 100 TB orders
-        //    never fits a broadcast anyway — the d20 narrow-build-SHJ
-        //    doctrine is the right shape at every SF. A pre-agg by
-        //    l_orderkey before the join was also measured and is WORSE
-        //    (1.49 s: the map-side partial agg serializes in the scan
-        //    task). Dims stay broadcast (bounded small).
+        //    (~0.9 s serial, r14), and at 100 TB orders never fits a
+        //    broadcast anyway — the d20 narrow-build-SHJ doctrine is
+        //    the right shape at every SF. A full pre-agg by l_orderkey
+        //    before the join was measured and is WORSE at both r14 and
+        //    r15 (the 1.5 M-group final agg costs more than it saves);
+        //  - revenue is computed BEFORE the exchange so shuffle rows
+        //    stay 16 B.
         li.select(col("l_orderkey"),
             (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
-          .repartition(col("l_orderkey")) // see q21 — parallel probe; dsum is order-exact
-          .join(o.select(col("o_orderkey"), col("o_custkey")).hint("shuffle_hash"),
+          .join(o.select(col("o_orderkey"), col("o_custkey"))
+              .join(broadcast(c.select(col("c_custkey"), col("c_nationkey"))),
+                col("o_custkey") === col("c_custkey"))
+              .select(col("o_orderkey"), col("c_nationkey"))
+              .hint("shuffle_hash"),
             col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-          .groupBy(col("r_name"), col("n_name"))
+          .groupBy(col("c_nationkey"))
           .agg(dsum(col("rev")).as("revenue"),
             count(lit(1)).as("n_items"))
+          .join(broadcast(n.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r.select(col("r_regionkey"), col("r_name"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name"), col("n_name"), col("revenue"), col("n_items"))
       },
       Some("""SELECT r_name, n_name,
              |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,

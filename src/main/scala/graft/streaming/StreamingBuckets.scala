@@ -140,6 +140,47 @@ object StreamingBuckets {
       .select(col("doc_id"), graft.queries.Docs.bpeEligWords.as("elig"))
       .select((col("doc_id") +: graft.queries.Docs.bpeEncodeCols(merges)): _*)
 
+  /** Streaming twin of d44 CCNet perplexity triage: label each streamed
+    * doc head/middle/tail against a FROZEN snapshot — the unigram LM
+    * ([[graft.queries.Docs.ccnetModelSnapshot]]) and the per-language
+    * tercile thresholds ([[graft.queries.Docs.ccnetThresholdSnapshot]])
+    * both compile to literals, the d15-Bloom "train batch, serve
+    * stream" shape. Per row: ONE compiled byte pass (the
+    * SnapshotSurprisal expression) + a literal threshold cascade —
+    * stateless, shuffle-free, join-free; scores are bit-identical to
+    * batch d44 for every token the snapshot saw. Re-cutting terciles
+    * over the stream's own distribution is a batch compactor job. */
+  def ccnetBucketStream(docs: DataFrame, terms: Array[String],
+      counts: Array[Long], nTotal: Long,
+      thresholds: Array[(String, Long, Long)]): DataFrame =
+    graft.queries.Docs.ccnetBucketFilterDf(docs, terms, counts, nTotal, thresholds)
+
+  /** Streaming twin of d43 cross-source keeper selection, as a filter:
+    * a streamed doc signature-identical to a snapshot near-dup cluster
+    * is dropped iff the snapshot's elected keeper holds better-or-equal
+    * source priority (per-rank nested Blooms,
+    * [[graft.queries.Docs.keeperSigBloomsByRank]]); a doc that would
+    * OUTRANK the snapshot keeper passes — re-electing the snapshot is
+    * the batch compactor's job, exactly as nearDedupStream defers
+    * banding. Pure stateless per-row expression: no state, no
+    * watermark, no join. */
+  def keeperPriorityStream(docs: DataFrame,
+      ranked: Seq[(String, Array[Byte])]): DataFrame =
+    graft.queries.Docs.keeperPriorityFilterDf(docs, ranked)
+
+  /** Streaming twin of d45 containment dedup, as a filter: drop any
+    * streamed doc whose distinct shingles are ≥ τ contained in the
+    * snapshot's (Bloom-compiled) shingle inventory — containment
+    * against the corpus UNION, a disclosed strengthening of the batch
+    * per-pair check (see [[graft.queries.Docs.containmentFilterDf]]):
+    * nothing the batch d45 would evict survives, quote-mosaics are
+    * conservatively over-dropped. Stateless per-row shingle walk — no
+    * state, no watermark, no join; exact per-pair containment stays on
+    * the batch d45 compactor. */
+  def containmentDedupStream(docs: DataFrame, snapshotBloom: Array[Byte],
+      tauMilli: Long = 800L): DataFrame =
+    graft.queries.Docs.containmentFilterDf(docs, snapshotBloom, tauMilli)
+
   /** Streaming twin of e14 semantic decontamination: drop any streamed
     * vector whose rounded cosine with a same-bucket reference vector
     * reaches `threshold`. EXACT (no Bloom, no one-sided error): the

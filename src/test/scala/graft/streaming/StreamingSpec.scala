@@ -11,6 +11,8 @@ import graft.SparkSpec
 case class StreamEv(event_id: Long, ts: Timestamp, event_type: String, value: Double)
 case class StreamDoc(doc_id: Long, text: String, ts: Timestamp)
 case class StreamVec(vec_id: Long, embedding: Seq[Float], label: Int)
+case class StreamSrcDoc(doc_id: Long, source: String, text: String, ts: Timestamp)
+case class StreamLangDoc(doc_id: Long, lang: String, text: String, ts: Timestamp)
 
 class StreamingSpec extends SparkSpec {
   private type Ev = StreamEv
@@ -498,6 +500,144 @@ class StreamingSpec extends SparkSpec {
       stream.addData(evs ++ evs) // duplicates in one batch
       query.processAllAvailable()
       assert(spark.table("dedup").count() === 10)
+    } finally query.stop()
+  }
+
+  test("ccnetBucketStream == batch d44 under a frozen model+threshold snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = System.currentTimeMillis()
+    def at(min: Long) = new Timestamp(base + min * 60000L)
+    // two languages, graded vocabulary rarity so the terciles are real
+    val common = "the of and to in"
+    val snap = Seq(
+      StreamLangDoc(1L, "en", s"$common $common $common", at(0)),
+      StreamLangDoc(2L, "en", s"$common alpha beta alpha beta", at(0)),
+      StreamLangDoc(3L, "en", s"$common gamma delta epsilon zeta", at(0)),
+      StreamLangDoc(4L, "en", "eta theta iota kappa lambda mu", at(0)),
+      StreamLangDoc(5L, "en", s"alpha beta $common", at(0)),
+      StreamLangDoc(6L, "en", "nu xi omicron pi rho sigma", at(0)),
+      StreamLangDoc(7L, "fr", "le la les le la les", at(0)),
+      StreamLangDoc(8L, "fr", "le la un deux un deux", at(0)),
+      StreamLangDoc(9L, "fr", "trois quatre cinq six sept huit", at(0)),
+      StreamLangDoc(10L, "fr", "le la les un deux trois", at(0)),
+      StreamLangDoc(11L, "fr", "neuf dix onze douze treize", at(0)),
+      StreamLangDoc(12L, "fr", "le le le la la la les", at(0)))
+    val snapDF = snap.toDF()
+    // model training + tercile cut are batch jobs; both ship as literals
+    val (terms, counts, nTotal) = graft.queries.Docs.ccnetModelSnapshot(snapDF)
+    val thresholds = graft.queries.Docs.ccnetThresholdSnapshot(snapDF)
+    assert(thresholds.map(_._1).toSeq === Seq("en", "fr"))
+    val extra = Seq(
+      // OOV tokens under a known lang: scored (count-1 convention), labeled
+      StreamLangDoc(100L, "en", "zzzq qqqz wwwx vvvy uuuw", at(1)),
+      // language the snapshot never cut thresholds for: NULL bucket
+      StreamLangDoc(101L, "zz", s"$common alpha beta", at(1)))
+    val stream = MemoryStream[StreamLangDoc]
+    val query = StreamingBuckets.ccnetBucketStream(
+        stream.toDF(), terms, counts, nTotal, thresholds)
+      .writeStream.format("memory").queryName("ccnetbuckets")
+      .outputMode("append").start()
+    try {
+      stream.addData(snap.take(7))
+      query.processAllAvailable()
+      stream.addData(snap.drop(7) ++ extra)
+      query.processAllAvailable()
+      val rows = spark.table("ccnetbuckets")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3)))
+      val streamed = rows.filter(_._1 <= 12L).sortBy(_._1).toSeq
+      // snapshot docs relabel EXACTLY as the batch d44 labeled them:
+      // every token is in-model (count-1 terms score as misses, bits(1))
+      val batch = graft.queries.Docs.ccnetBucketsDf(snapDF)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+      assert(streamed === batch)
+      assert(streamed.map(_._4).distinct.sorted === Seq("head", "middle", "tail"))
+      val oov = rows.find(_._1 === 100L).get
+      assert(oov._4 !== null)
+      assert(rows.find(_._1 === 101L).get._4 === null)
+    } finally query.stop()
+  }
+
+  test("keeperPriorityStream: snapshot keeper at better-or-equal rank drops; outranking doc passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = System.currentTimeMillis()
+    def at(min: Long) = new Timestamp(base + min * 60000L)
+    val T1 = "the quick brown fox jumps over the lazy dog tonight"
+    val T2 = "completely different prose about spark shuffle partitions here"
+    val T3 = "fresh new never before seen text streaming in today"
+    // snapshot: docs 1(b) and 2(c) are a near-dup cluster -> keeper
+    // source "b"; doc 3(a) is a singleton -> keeper source "a"
+    val snap = Seq(
+      StreamSrcDoc(1L, "b", T1, at(0)),
+      StreamSrcDoc(2L, "c", T1, at(0)),
+      StreamSrcDoc(3L, "a", T2, at(0)))
+    val ranked = graft.queries.Docs.keeperSigBloomsByRank(snap.toDF())
+    assert(ranked.map(_._1) === Seq("a", "b"))
+    val incoming = Seq(
+      StreamSrcDoc(10L, "c", T1, at(1)), // loses to keeper "b" -> dropped
+      StreamSrcDoc(11L, "a", T1, at(2)), // outranks keeper "b" -> kept
+      StreamSrcDoc(12L, "0", T2, at(3)), // below every snapshot rank -> kept
+      StreamSrcDoc(13L, "z", T2, at(4)), // loses to keeper "a" -> dropped
+      StreamSrcDoc(14L, "c", T3, at(5)), // fresh signature -> kept
+      StreamSrcDoc(15L, "c", "hi there", at(6))) // shingle-less -> kept
+    val stream = MemoryStream[StreamSrcDoc]
+    val query = StreamingBuckets.keeperPriorityStream(stream.toDF(), ranked)
+      .writeStream.format("memory").queryName("keeperprio")
+      .outputMode("append").start()
+    try {
+      stream.addData(incoming.take(3))
+      query.processAllAvailable()
+      stream.addData(incoming.drop(3))
+      query.processAllAvailable()
+      val streamed = spark.table("keeperprio").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val batch = graft.queries.Docs.keeperPriorityFilterDf(incoming.toDF(), ranked)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(streamed === batch)
+      assert(streamed === Seq(11L, 12L, 14L, 15L))
+    } finally query.stop()
+  }
+
+  test("containmentDedupStream: contained docs drop, mosaics at tau drop, fresh/short docs pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = System.currentTimeMillis()
+    def at(min: Long) = new Timestamp(base + min * 60000L)
+    val A = (1 to 20).map(i => s"a$i").mkString(" ")
+    val B = (1 to 10).map(i => s"b$i").mkString(" ")
+    val bloom = graft.queries.Docs.containmentBloomBytes(
+      Seq((1L, A), (2L, B)).toDF("doc_id", "text"), expectedItems = 1000L)
+    val incoming = Seq(
+      // a verbatim subrange of A: containment 1.0 -> dropped
+      StreamDoc(20L, (1 to 10).map(i => s"a$i").mkString(" "), at(0)),
+      // 1 of 8 shingles hits -> kept
+      StreamDoc(21L, "a1 a2 a3 x1 x2 x3 x4 x5 x6 x7", at(1)),
+      // shingle-less -> kept
+      StreamDoc(22L, "hi there", at(2)),
+      // A+B mosaic: 8 of 10 shingles hit = exactly tau 0.8 -> dropped
+      // (corpus-union containment is the disclosed strengthening)
+      StreamDoc(23L, (1 to 6).map(i => s"a$i").mkString(" ") + " " +
+        (1 to 6).map(i => s"b$i").mkString(" "), at(3)),
+      // fully fresh -> kept
+      StreamDoc(24L, "nothing here was ever in the snapshot corpus", at(4)))
+    val stream = MemoryStream[StreamDoc]
+    val query = StreamingBuckets.containmentDedupStream(stream.toDF(), bloom)
+      .writeStream.format("memory").queryName("containdedup")
+      .outputMode("append").start()
+    try {
+      stream.addData(incoming.take(2))
+      query.processAllAvailable()
+      stream.addData(incoming.drop(2))
+      query.processAllAvailable()
+      val streamed = spark.table("containdedup").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val batch = graft.queries.Docs.containmentFilterDf(incoming.toDF(), bloom)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(streamed === batch)
+      assert(streamed === Seq(21L, 22L, 24L))
     } finally query.stop()
   }
 }

@@ -11,41 +11,104 @@ Usage: python3 tools/check.py [sfDir] [outDir]
 --timeout: per-oracle DuckDB cap; an interrupted oracle records
   "oracle_timeout" (engine capacity, not a correctness verdict).
 --json: also write a CORRECTNESS-style per-query JSON report.
+--threads=N / --memlimit=NGB: global DuckDB budget (see fresh_con).
+--qthreads=name=N,name=N / --qmem=name=NGB,...: PER-ORACLE budget
+  overrides — the named oracle runs on a dedicated connection with its
+  own thread/memory budget (the e18 sf10 recipe: DuckDB 1.0.0's
+  radix-partitioned aggs allocate untracked ~3 GB/thread on the
+  PQ-family struct-argmin twins, so those twins need --qthreads=...=2
+  while the rest of the battery keeps 32).
+--qsplit=name:col=v1|v2|...: run the named oracle ONCE PER VALUE with
+  a pushed equality filter (SELECT * FROM (<sql>) WHERE col = 'v'),
+  concatenating the results — for a report oracle whose final SELECT
+  is a UNION ALL of independent branches (e18), DuckDB prunes the
+  other branches at plan time, so peak memory is the LARGEST single
+  branch instead of the sum (the sf10 capacity recipe; shared
+  MATERIALIZED CTEs recompute per branch — slower, but it fits).
 Exit codes: 0 all verified; 1 any FAIL; 2 no fails but some queries
 unverified (skipped/timeout).
 (Dev tool only — the Scala library has no Python dependency.)
 """
-import duckdb, glob, os, sys, json, threading
+import duckdb, glob, os, re, sys, json, threading
 import numpy as np
 import pandas as pd
 
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
 opts = {a.split("=")[0][2:]: (a.split("=", 1)[1] if "=" in a else True)
         for a in sys.argv[1:] if a.startswith("--")}
+# every option carries a value: a bare `--threads` would parse to True
+# and int(True) would silently throttle DuckDB to ONE thread — reject
+# it (and any typo'd option) up front instead of corrupting the run
+VALUE_OPTS = ("skip", "timeout", "json", "memlimit", "threads",
+              "qthreads", "qmem", "qsplit")
+for k, v in opts.items():
+    if k not in VALUE_OPTS:
+        sys.exit(f"check.py: unknown option --{k}")
+    if v is True:
+        sys.exit(f"check.py: --{k} requires a value (--{k}=...)")
+if "memlimit" in opts and not re.fullmatch(
+        r"\d+(\.\d+)?[KMGT]i?B", str(opts["memlimit"])):
+    sys.exit("check.py: --memlimit must look like 48GB / 512MiB")
 sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
 out = args[1] if len(args) > 1 else "/root/repo/target/verify_out"
 skip = set(str(opts.get("skip", "")).split(",")) - {""}
 cap = float(opts["timeout"]) if "timeout" in opts else None
+
+def parse_per_query(opt):
+    """--qthreads=e18=2,e20=4 -> {'e18': '2', 'e20': '4'}"""
+    d = {}
+    for kv in str(opts.get(opt, "")).split(","):
+        if not kv:
+            continue
+        if "=" not in kv:
+            sys.exit(f"check.py: --{opt} entries must be name=value")
+        q, val = kv.split("=", 1)
+        d[q] = val
+    return d
+
+qthreads = parse_per_query("qthreads")
+qmem = parse_per_query("qmem")
+
+def parse_qsplit():
+    """--qsplit=e18:method=ivf|lsh -> {'e18': ('method', ['ivf','lsh'])}"""
+    d = {}
+    for spec in str(opts.get("qsplit", "")).split(","):
+        if not spec:
+            continue
+        m = re.fullmatch(r"([^:]+):(\w+)=([\w|]+)", spec)
+        if not m:
+            sys.exit("check.py: --qsplit entries must be name:col=v1|v2|...")
+        d[m.group(1)] = (m.group(2), m.group(3).split("|"))
+    return d
+
+qsplit = parse_qsplit()
 report = {}
 
-def fresh_con():
+def table_src(p):
+    """A fixture table is one parquet file OR a directory of them (the
+    r15 multi-file layout for >64 MB tables — see replicate.py)."""
+    return f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+
+def fresh_con(threads=None, memlimit=None):
     c = duckdb.connect()
     # --memlimit=NGB bounds the oracle engine and spills to disk instead
     # of riding the OS OOM killer (a twin whose hash tables exceed RAM
     # should page through temp, not kill the whole gate run)
-    if "memlimit" in opts:
-        c.execute(f"SET memory_limit='{opts['memlimit']}'")
+    ml = memlimit if memlimit is not None else opts.get("memlimit")
+    if ml is not None:
+        c.execute(f"SET memory_limit='{ml}'")
         c.execute("SET temp_directory='/tmp/duckspill'")
         c.execute("SET max_temp_directory_size='50GB'")
     # --threads=N: DuckDB 1.0.0's radix-partitioned aggregates allocate
     # per thread, and the PQ-family struct-argmin twins amplify ~3 GB/
     # thread at sf1 — 32 threads OOMs a 125 GB box where 4 threads peak
     # under 60 GB. Throttle the oracle, not the twin.
-    if "threads" in opts:
-        c.execute(f"SET threads TO {int(opts['threads'])}")
+    th = threads if threads is not None else opts.get("threads")
+    if th is not None:
+        c.execute(f"SET threads TO {int(th)}")
     for p in glob.glob(f"{sf}/*.parquet"):
         name = os.path.basename(p).replace(".parquet", "")
-        c.execute(f"create view {name} as select * from '{p}'")
+        c.execute(f"create view {name} as select * from {table_src(p)}")
     return c
 
 con = fresh_con()
@@ -75,33 +138,55 @@ def norm(df):
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
-def run_oracle(sql):
-    """Run one oracle, optionally under the per-query cap."""
+def run_oracle(sql, name=None):
+    """Run one oracle, optionally under the per-query cap. An oracle
+    named in --qthreads/--qmem runs on a DEDICATED connection with its
+    own budget (closed afterwards); one named in --qsplit runs once per
+    split value with a pushed filter, results concatenated."""
+    if name is not None and name in qsplit:
+        col_, vals = qsplit[name]
+        parts = [run_oracle_once(
+            f"SELECT * FROM ({sql}) __g WHERE {col_} = '{v}'", name)
+            for v in vals]
+        return pd.concat(parts, ignore_index=True)
+    return run_oracle_once(sql, name)
+
+def run_oracle_once(sql, name=None):
     global con
-    if cap is None:
-        return con.sql(sql).df()
-    box, err = [], []
-    c = con
-    def work():
-        try:
-            box.append(c.sql(sql).df())
-        except Exception as e:
-            err.append(e)
-    t = threading.Thread(target=work, daemon=True)
-    t.start()
-    t.join(cap)
-    if t.is_alive():
-        con.interrupt()
-        t.join(30)
+    dedicated = name is not None and (name in qthreads or name in qmem)
+    c = (fresh_con(threads=qthreads.get(name), memlimit=qmem.get(name))
+         if dedicated else con)
+    wedged = False
+    try:
+        if cap is None:
+            return c.sql(sql).df()
+        box, err = [], []
+        def work():
+            try:
+                box.append(c.sql(sql).df())
+            except Exception as e:
+                err.append(e)
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        t.join(cap)
         if t.is_alive():
-            # the worker is wedged past the grace join — abandon this
-            # connection entirely (it is not thread-safe) and give the
-            # remaining oracles a fresh one
-            con = fresh_con()
-        raise TimeoutError(f"oracle exceeded {cap}s")
-    if err:
-        raise err[0]
-    return box[0]
+            c.interrupt()
+            t.join(30)
+            if t.is_alive():
+                # the worker is wedged past the grace join — abandon
+                # this connection entirely (it is not thread-safe) and,
+                # if it was the shared one, give the remaining oracles
+                # a fresh one
+                wedged = True
+                if not dedicated:
+                    con = fresh_con()
+            raise TimeoutError(f"oracle exceeded {cap}s")
+        if err:
+            raise err[0]
+        return box[0]
+    finally:
+        if dedicated and not wedged:
+            c.close()
 
 n_pass = n_fail = n_skip = n_timeout = 0
 for name in sorted(oracle):
@@ -120,7 +205,7 @@ for name in sorted(oracle):
         n_fail += 1
         continue
     try:
-        d = norm(run_oracle(oracle[name]))
+        d = norm(run_oracle(oracle[name], name))
     except TimeoutError as e:
         print(f"SKIP {name}: {e}")
         report[name] = {"rows_match": None, "schema_match": None,
