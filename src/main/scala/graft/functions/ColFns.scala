@@ -160,6 +160,76 @@ object ColFns {
       .select(col(key) +: outs: _*)
   }
 
+  /** Exact per-group percentiles WITHOUT a per-group full sort — the
+    * 100 TB shape of [[percentilesByKey]] (same outputs, bit-identical
+    * interpolation):
+    *
+    *   pass 1  histogram: count rows per (key, monotone value bucket)
+    *           — one map-side-combinable agg; buckets come from the
+    *           order-preserving double→long bit map
+    *           ([[DoubleOrderBits]]) right-shifted `bucketShift`, so
+    *           NO range assumption and no pre-scan;
+    *   locate  cumulative counts over the HISTOGRAM (windows see
+    *           buckets-per-key rows, never the corpus) pin, for each
+    *           target fraction, the bucket + in-bucket rank of the
+    *           floor and ceil order statistics;
+    *   pass 2  only rows of TARGET buckets (≈ group_size / #buckets
+    *           per target) are sorted, per (key, bucket, target), and
+    *           the pinned local rank is picked; linear interpolation
+    *           as numpy/quantile_cont spells it.
+    *
+    * vs [[percentilesByKey]]: that sorts EVERY group member inside one
+    * window partition per key — partition-parallel and spillable, but
+    * a full sort of the corpus; here the corpus-sized pass is a narrow
+    * counting agg and only slivers ever sort. Groups with no non-null
+    * value are absent from the result (same contract). */
+  def histPercentilesByKey(df: org.apache.spark.sql.DataFrame, key: String,
+      value: String, ps: Seq[(String, Double)],
+      bucketShift: Int = 40): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vb = df.filter(col(value).isNotNull)
+      .select(col(key), col(value),
+        shiftright(DoubleOrderBits.orderBits(col(value)), bucketShift).as("_b"))
+    val hist = vb.groupBy(col(key), col("_b")).agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy(col(key)).orderBy(col("_b"))
+    val wAll = Window.partitionBy(col(key))
+    val cum = hist
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+    // one row per (key, target-side): the bucket holding that rank +
+    // the rank's offset inside it
+    val targets = ps.flatMap { case (name, p) =>
+      val pos = lit(p) * (col("_n") - 1).cast("double")
+      Seq("lo" -> floor(pos), "hi" -> ceil(pos)).map { case (side, r) =>
+        cum.filter(col("_cum") > r && (col("_cum") - col("_c")) <= r)
+          .select(col(key), col("_b"),
+            (r - (col("_cum") - col("_c"))).cast("long").as("_local"),
+            lit(s"${side}_$name").as("_which"))
+      }
+    }.reduce(_.unionByName(_))
+    // fractional interpolation weights, one row per key
+    val fr = cum.select(col(key), col("_n")).distinct()
+      .select(col(key) +: ps.map { case (name, p) =>
+        val pos = lit(p) * (col("_n") - 1).cast("double")
+        (pos - floor(pos).cast("double")).as(s"_f_$name")
+      }: _*)
+    val pickAggs = ps.flatMap { case (name, _) => Seq(
+      max(when(col("_which") === s"lo_$name", col(value))).as(s"_lo_$name"),
+      max(when(col("_which") === s"hi_$name", col(value))).as(s"_hi_$name"))
+    }
+    val picked = vb.join(broadcast(targets), Seq(key, "_b"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(key), col("_b"), col("_which")).orderBy(col(value)))
+        .cast("long") - 1)
+      .filter(col("_rn") === col("_local"))
+      .groupBy(col(key)).agg(pickAggs.head, pickAggs.tail: _*)
+    picked.join(broadcast(fr), Seq(key))
+      .select(col(key) +: ps.map { case (name, _) =>
+        (col(s"_lo_$name") + col(s"_f_$name") * (col(s"_hi_$name") - col(s"_lo_$name")))
+          .as(name)
+      }: _*)
+  }
+
   // ---------- skew handling ----------
 
   /** Salted equi-join for skewed keys: the fact side gets a deterministic

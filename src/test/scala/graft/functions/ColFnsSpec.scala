@@ -60,4 +60,46 @@ class ColFnsSpec extends SparkSpec {
     val c = df.select(ColFns.cosine(col("a"), col("b"))).head.getDouble(0)
     assert(math.abs(c - 1.0) < 1e-12)
   }
+
+  test("DoubleOrderBits is monotone over sign/magnitude/zero boundaries") {
+    import spark.implicits._
+    val vals = Seq(Double.NegativeInfinity, -1e300, -2.5, -1.0, -1e-300, -0.0,
+      0.0, 1e-300, 0.5, 1.0, 2.5, 1e300, Double.PositiveInfinity)
+    val got = vals.toDF("v")
+      .select(graft.functions.DoubleOrderBits.orderBits(col("v"))).collect().map(_.getLong(0))
+    assert(got.toSeq === got.sorted.toSeq)
+    // strict except at -0.0/0.0 which must stay adjacent
+    assert(got.distinct.length >= got.length - 1)
+  }
+
+  test("histPercentilesByKey == percentilesByKey (ties, negatives, 1-row and null-only groups)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(4000) { i =>
+      val k = s"g${i % 5}"
+      val v: java.lang.Double = (i % 5) match {
+        case 0 => rnd.nextInt(10).toDouble                 // heavy ties
+        case 1 => rnd.nextDouble() * 2000 - 1000           // negatives
+        case 2 => math.exp(rnd.nextDouble() * 20 - 10)     // wide magnitude
+        case 3 => if (i % 7 == 0) null else rnd.nextDouble()
+        case _ => 42.0                                     // constant group
+      }
+      (k, v)
+    } ++ Seq(("solo", java.lang.Double.valueOf(3.25)), ("allnull", null: java.lang.Double))
+    val df = rows.toDF("k", "v")
+    val ps = Seq("p05" -> 0.05, "p50" -> 0.5, "p95" -> 0.95)
+    def collectMap(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => r.getString(0) ->
+        (1 to ps.size).map(i => r.getDouble(i)).toSeq).toMap
+    val a = collectMap(ColFns.percentilesByKey(df, "k", "v", ps))
+    // coarse shift too: many values collapse into one bucket, local ranks do the work
+    for (shift <- Seq(40, 58)) {
+      val b = collectMap(ColFns.histPercentilesByKey(df, "k", "v", ps, bucketShift = shift))
+      assert(b.keySet === a.keySet)        // null-only group absent from both
+      assert(!a.keySet.contains("allnull"))
+      a.foreach { case (k, exp) =>
+        assert(b(k) === exp, s"key=$k shift=$shift")  // bit-identical doubles
+      }
+    }
+  }
 }

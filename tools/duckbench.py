@@ -78,6 +78,8 @@ for name in sorted(oracle):
     if name in skip:
         errors[name] = "skipped"
         continue
+    # progress to stderr: a kill mid-battery must name its query
+    print(name, file=sys.stderr, flush=True)
     dedicated = name in qthreads or name in qmem
     if dedicated:
         c = make_con(threads=qthreads.get(name, "32"),
