@@ -189,13 +189,26 @@ object ColFns {
     import org.apache.spark.sql.expressions.Window
     val vb = df.filter(col(value).isNotNull)
       .select(col(key), col(value),
-        shiftright(DoubleOrderBits.orderBits(col(value)), bucketShift).as("_b"))
+        // cast is monotone over numerics, so bucketing on the double
+        // image preserves value order for any numeric input column
+        shiftright(DoubleOrderBits.orderBits(col(value).cast("double")),
+          bucketShift).as("_b"))
     val hist = vb.groupBy(col(key), col("_b")).agg(count(lit(1)).as("_c"))
     val wCum = Window.partitionBy(col(key)).orderBy(col("_b"))
     val wAll = Window.partitionBy(col(key))
+    // Materialized ONCE: `targets` unions 2·|ps| filtered copies of this
+    // frame (plus `fr`'s), and Spark does not CSE across union branches —
+    // without the checkpoint the corpus-sized pass-1 agg would re-run per
+    // branch, breaking the one-pass contract above. The frame itself is
+    // histogram-sized (≤ buckets-per-key · keys), so the materialization
+    // is cheap and bounded. LAZY (eager=false): the first action — the
+    // `targets` broadcast job — computes and pins it; building the plan
+    // stays free (an eager checkpoint would re-run the corpus agg on
+    // every plan CONSTRUCTION, e.g. Bench's min-of-2 build protocol).
     val cum = hist
       .withColumn("_cum", sum(col("_c")).over(wCum))
       .withColumn("_n", sum(col("_c")).over(wAll))
+      .localCheckpoint(false)
     // one row per (key, target-side): the bucket holding that rank +
     // the rank's offset inside it
     val targets = ps.flatMap { case (name, p) =>

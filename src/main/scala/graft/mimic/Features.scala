@@ -113,9 +113,12 @@ object Features {
 
   /** outlier_imputation (outlier_removal.py:11-37): per-group exact
     * percentiles (numpy 'linear' interpolation lo + f·(hi-lo), computed
-    * by the window-rank [[graft.functions.ColFns.percentilesByKey]] —
+    * by the histogram-guided
+    * [[graft.functions.ColFns.histPercentilesByKey]] — one map-side-
+    * combinable counting pass, then only target-bucket slivers sort;
     * Spark's `percentile` aggregate buffers every group value in one
-    * in-memory map, an OOM at 100 TB itemid group sizes), then
+    * in-memory map, an OOM at 100 TB itemid group sizes, and the
+    * window-rank shape single-tasks a hot itemid's full sort), then
     *  - impute=true: sequential masked writes collapse to
     *    min(max(v, perc_up), perc_down)
     *  - impute=false: keep rows with perc_up <= v <= perc_down.
@@ -130,7 +133,7 @@ object Features {
   def outlierImputation(
       df: DataFrame, idCol: String, valueCol: String,
       cutOff: Int, leftThresh: Int, impute: Boolean): DataFrame = {
-    val pct = graft.functions.ColFns.percentilesByKey(df, idCol, valueCol,
+    val pct = graft.functions.ColFns.histPercentilesByKey(df, idCol, valueCol,
       Seq("_perc_up" -> leftThresh / 100.0, "_perc_down" -> cutOff / 100.0))
     val joined = df.join(broadcast(pct), Seq(idCol), "left")
     val cleaned =

@@ -583,19 +583,19 @@ object Relational {
     // A7: exact per-group percentile clip (outlier_removal.py semantics).
     Q("q12_percentile_clip",
       (s, dir) => {
-        // Window-rank percentiles (ColFns.percentilesByKey), not the
-        // `percentile` aggregate: the aggregate buffers every group
-        // value in one in-memory map — a serial bottleneck here and an
-        // OOM at 100 TB group sizes — while the rank formulation is a
-        // partition-parallel spillable sort computing the SAME explicit
-        // interpolation the oracle spells out. One event_type exchange
-        // feeds both the window and the probe side. The left join +
-        // least/greatest null-skipping keeps all-null groups behaving
-        // like the aggregate's null bounds (clip = identity).
+        // Histogram-guided exact percentiles (ColFns.histPercentilesByKey,
+        // spec-proven bit-identical to the window-rank shape): pass 1 is
+        // one map-side-combinable counting agg, then only the target
+        // buckets' slivers ever sort — no per-key single-task full sort
+        // (the window-rank shape serializes a hot event_type's whole
+        // group into one task at 100 TB), and no `percentile` aggregate
+        // (buffers every group value in one in-memory map). The probe
+        // side stays exchange-free: bounds come back as a broadcast.
+        // The left join + least/greatest null-skipping keeps all-null
+        // groups behaving like the aggregate's null bounds (clip = id).
         val ev = t(s, dir, "events")
           .select(col("event_id"), col("event_type"), col("value"))
-          .repartition(col("event_type"))
-        val pct = graft.functions.ColFns.percentilesByKey(
+        val pct = graft.functions.ColFns.histPercentilesByKey(
           ev, "event_type", "value", Seq("p05" -> 0.05, "p95" -> 0.95))
         ev.join(broadcast(pct), Seq("event_type"), "left")
           .select(col("event_id"), col("event_type"),
