@@ -551,10 +551,9 @@ object CurationPipeline {
       val mergesBack = stage("08_bpe/merges", Docs.bpeMergesEligibleDf(selected, k))
       val merges = mergesBack.orderBy(col("cnt").desc, col("pair").asc)
         .collect().map(_.getString(0)).toSeq
-      stage("08_bpe/encoded", selected
+      stage("08_bpe/encoded", Docs.bpeEncodeFrom(selected
         .filter(col("text").isNotNull)
-        .select(col("doc_id"), Docs.bpeEligWords.as("elig"))
-        .select((col("doc_id") +: Docs.bpeEncodeCols(merges)): _*))
+        .select(col("doc_id"), Docs.bpeEligWords.as("elig")), merges))
       ()
     }
     counts.toSeq

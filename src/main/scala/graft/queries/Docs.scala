@@ -601,11 +601,34 @@ object Docs {
   private[graft] def bpeEligWords: Column =
     filter(words(col("text")), w => length(w) >= 2 && w.rlike(bpeEligibleRe))
 
-  /** d41's per-row encode projection from a bound `elig` array column —
-    * shared by the gate and the streaming twin (training is a batch
-    * job; serving takes the collected merge snapshot as a literal
-    * model). Columns: n_words, chars_total, syms_total, enc_fp. */
-  private[graft] def bpeEncodeCols(merges: Seq[String]): Seq[Column] = {
+  /** d41's per-row encode from a bound `elig` array column — shared by
+    * the gate and the streaming twin (training is a batch job; serving
+    * takes the collected merge snapshot as a literal model). ONE fused
+    * codegen expression ([[graft.functions.BpeEncodeStats]]) replaces
+    * the per-char regexp_replace + |merges|×passes `replace` chain +
+    * regexp_extract_all count (32 full traversals with an intermediate
+    * allocation each at the shipped config) with a single byte-level
+    * encode per row; byte-equality with the chain spelling
+    * ([[bpeEncodeColsChain]], kept as the spec reference) is pinned by
+    * BpeApplySpec. The struct is bound via withColumn before its fields
+    * are consumed (the d17 pattern — CollapseProject does not inline
+    * non-cheap producers, so the encode runs once per row).
+    * Columns appended: n_words, chars_total, syms_total, enc_fp. */
+  private[graft] def bpeEncodeFrom(withElig: org.apache.spark.sql.DataFrame,
+      merges: Seq[String]): org.apache.spark.sql.DataFrame =
+    withElig
+      .withColumn("_b", graft.functions.BpeExprs.bpeEncodeStats(
+        col("elig"), merges, BpePasses))
+      .select(col("doc_id"),
+        col("_b").getField("n_words").as("n_words"),
+        col("_b").getField("chars_total").as("chars_total"),
+        col("_b").getField("syms_total").as("syms_total"),
+        md5(col("_b").getField("enc").cast("binary")).as("enc_fp"))
+
+  /** The builtin-chain spelling of [[bpeEncodeFrom]]'s encode — the
+    * reference implementation the fused expression is spec-pinned
+    * against (BpeApplySpec fused≡chain). Not on the serving path. */
+  private[graft] def bpeEncodeColsChain(merges: Seq[String]): Seq[Column] = {
     // ' ' + per-char spacing of the ' / '-joined words: every symbol
     // (incl. the last) gets a trailing space, so ' a b ' patterns see
     // uniform boundaries; multi-space gaps at word joints still offer
@@ -630,9 +653,8 @@ object Docs {
       k: Int = BpeMerges): org.apache.spark.sql.DataFrame = {
     val merges: Seq[String] =
       bpeMergesEligibleDf(docs, k).collect().map(_.getString(0)).toSeq
-    docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), bpeEligWords.as("elig"))
-      .select((col("doc_id") +: bpeEncodeCols(merges)): _*)
+    bpeEncodeFrom(docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), bpeEligWords.as("elig")), merges)
   }
 
   /** DataFrame-in body of d36: the data-MIXING plan — given per-language

@@ -132,13 +132,14 @@ object StreamingBuckets {
     * deploys: the merge table ships to workers as a literal model and
     * never changes mid-stream; retraining is a new snapshot + restart,
     * exactly the e15/e19 index-invalidation contract). Stateless
-    * per-row map (shared [[graft.queries.Docs.bpeEncodeCols]] body):
-    * no watermark, no state store, batch backfill ≡ stream by
-    * construction. */
+    * per-row map (shared [[graft.queries.Docs.bpeEncodeFrom]] body —
+    * the fused one-pass encode expression): no watermark, no state
+    * store, batch backfill ≡ stream by construction. */
   def bpeEncodeStream(docs: DataFrame, merges: Seq[String]): DataFrame =
-    docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), graft.queries.Docs.bpeEligWords.as("elig"))
-      .select((col("doc_id") +: graft.queries.Docs.bpeEncodeCols(merges)): _*)
+    graft.queries.Docs.bpeEncodeFrom(
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), graft.queries.Docs.bpeEligWords.as("elig")),
+      merges)
 
   /** Streaming twin of d44 CCNet perplexity triage: label each streamed
     * doc head/middle/tail against a FROZEN snapshot — the unigram LM

@@ -43,6 +43,45 @@ class BpeApplySpec extends SparkSpec {
     assert(out(2L) === ((1L, 4L, 2L)))
   }
 
+  test("fused BpeEncodeStats == builtin replace chain, byte-for-byte (seeded random + sharp)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val alpha = "abthe01" // small alphabet -> dense merges, deep chains
+    def word() = Seq.fill(1 + rnd.nextInt(10))(alpha(rnd.nextInt(alpha.length))).mkString
+    val randomDocs = Seq.tabulate(300) { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(8))(word()).mkString(" "))
+    }
+    val sharpDocs = Seq(
+      (1000L, ""), (1001L, "x"), (1002L, "aaaaaaaaaaaaaaaa"),
+      (1003L, "ththththththth"), (1004L, "ab ab ab ab"),
+      (1005L, "a b a b a b"), (1006L, "the the the he he th"))
+    val docs = (randomDocs ++ sharpDocs).toDF("doc_id", "text")
+    val withElig = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), graft.queries.Docs.bpeEligWords.as("elig"))
+    // mined merges AND adversarial hand lists (same-char pair, chain
+    // pairs, a pair absent from the corpus, rank order shuffled)
+    val mined = graft.queries.Docs.bpeMergesEligibleDf(docs, 8)
+      .collect().map(_.getString(0)).toSeq
+    val handLists = Seq(
+      Seq("aa", "th", "he", "ab", "ba", "e0", "01", "zz"),
+      Seq("th", "ht", "aa", "a0"),
+      mined.reverse)
+    for (merges <- mined +: handLists) {
+      val fused = graft.queries.Docs.bpeEncodeFrom(withElig, merges)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      val chain = withElig
+        .select((col("doc_id") +: graft.queries.Docs.bpeEncodeColsChain(merges)): _*)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      assert(fused.keySet === chain.keySet)
+      fused.foreach { case (id, v) =>
+        assert(v === chain(id), s"doc_id=$id merges=$merges")
+      }
+    }
+  }
+
   test("d41: uppercase, len-1, and non-ASCII words are out of scope; stats say so") {
     val out = run(Seq((1L, "Hello a X9 Ünïcödé"), (2L, "thth the")))
     // doc 1 has NO mergeable words: zero counts, and its pairs never
