@@ -1018,19 +1018,37 @@ object Docs {
     * are deliberately dropped — a [[graft.functions.SnapshotSurprisal]]
     * lookup miss scores bits(1), exactly what a count-1 term scores, so
     * the model bytes roughly halve with zero score drift. The arrays
-    * are term-sorted for deterministic artifacts. LM training is a
-    * batch job: at 100 TB the count≥2 vocabulary is a model-sized
-    * artifact (the same posture as the d41 merge table or the e15 PQ
-    * codebooks), not a corpus-sized one. */
-  def ccnetModelSnapshot(docs: org.apache.spark.sql.DataFrame)
-      : (Array[String], Array[Long], Long) = {
+    * are term-sorted for deterministic artifacts.
+    *
+    * `maxTerms` makes the model-artifact posture ENFORCEABLE, not an
+    * analogy: with a cap, only the top-maxTerms terms by
+    * (count DESC, term ASC) are kept — a driver-bounded TakeOrdered,
+    * so the collect can never exceed the knob regardless of corpus
+    * size (a 100 TB corpus's count≥2 vocabulary can exceed driver
+    * memory; a KenLM-style deployment prunes for exactly this reason).
+    * Score drift is BOUNDED by the miss≡count-1 convention: a pruned
+    * term with true count c scores bits(1)=1 instead of bits(c), so
+    * each of its occurrences inflates surprisal by exactly
+    * bits(c) − 1 ≤ bits(c_K) − 1, where c_K is the smallest kept count
+    * (pruning keeps the largest counts) — spec-pinned in
+    * StreamingSpec. Uncapped (None) keeps every count≥2 term: scores
+    * bit-identical to batch d44, the gate configuration. */
+  def ccnetModelSnapshot(docs: org.apache.spark.sql.DataFrame,
+      maxTerms: Option[Int] = None): (Array[String], Array[Long], Long) = {
     val freq = docs.select(explode(words(col("text"))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
     val nTotal = freq.agg(sum(col("c"))).collect()(0).getLong(0)
-    val kept = freq.filter(col("c") >= 2)
-      .orderBy(col("term"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val eligible = freq.filter(col("c") >= 2)
+    val kept = maxTerms match {
+      case Some(k) =>
+        eligible.orderBy(col("c").desc, col("term").asc).limit(k)
+          .orderBy(col("term"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+      case None =>
+        eligible.orderBy(col("term"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+    }
     (kept.map(_._1), kept.map(_._2), nTotal)
   }
 

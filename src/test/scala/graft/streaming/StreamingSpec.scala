@@ -560,6 +560,57 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ccnetModelSnapshot maxTerms cap: bounded collect, exact per-occurrence drift, opaque plan holder") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def bits(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val snap = Seq(
+      (1L, "en", "the the the the of of of and and to"),
+      (2L, "en", "the of and to in in alpha alpha beta beta"),
+      (3L, "en", "the of gamma gamma delta delta solo")).toDF("doc_id", "lang", "text")
+    val (terms, counts, nTotal) = graft.queries.Docs.ccnetModelSnapshot(snap)
+    val k = 3
+    assert(terms.length > k)
+    val (cTerms, cCounts, cN) = graft.queries.Docs.ccnetModelSnapshot(snap, Some(k))
+    assert(cN === nTotal) // n_total is the corpus constant, cap-invariant
+    assert(cTerms.length === k)
+    // kept = top-k by (count DESC, term ASC), re-sorted by term
+    val byCount = terms.zip(counts).sortBy { case (t, c) => (-c, t) }.take(k)
+    assert(cTerms.zip(cCounts).toSeq === byCount.sortBy(_._1).toSeq)
+    // exact drift: a pruned term with true count c scores bits(1)=1
+    // instead of bits(c) -> +(bits(c)-1) per occurrence; bounded by the
+    // smallest kept count
+    val probe = Seq((1L, "the of alpha alpha gamma zzz")).toDF("doc_id", "text")
+    def score(ts: Array[String], cs: Array[Long]): Long = probe
+      .select(graft.functions.SurprisalExprs.snapshotSurprisal(
+        col("text"), ts.toSeq, cs.toSeq, nTotal).getField("surprisal_bits"))
+      .head.getLong(0)
+    val full = score(terms, counts)
+    val capped = score(cTerms, cCounts)
+    val pruned = terms.zip(counts).filterNot { case (t, _) => cTerms.contains(t) }.toMap
+    val occs = "the of alpha alpha gamma zzz".split(" ")
+    val expectedDrift = occs.flatMap(pruned.get).map(c => bits(c) - 1).sum
+    assert(capped - full === expectedDrift)
+    val cK = cCounts.min
+    occs.flatMap(pruned.get).foreach(c => assert(bits(c) - 1 <= bits(cK) - 1))
+    // opaque holder: canonical equality is by content digest; the plan
+    // string carries the digest, never the vocabulary
+    val sharedChild = org.apache.spark.sql.functions.lit("probe")
+    val e1 = graft.functions.SurprisalExprs.snapshotSurprisal(
+      sharedChild, terms.toSeq, counts.toSeq, nTotal)
+    val e2 = graft.functions.SurprisalExprs.snapshotSurprisal(
+      sharedChild, terms.toSeq, counts.toSeq, nTotal)
+    val e3 = graft.functions.SurprisalExprs.snapshotSurprisal(
+      sharedChild, cTerms.toSeq, cCounts.toSeq, nTotal)
+    def expr(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftShim.expression(c)
+    assert(expr(e1).canonicalized === expr(e2).canonicalized)
+    assert(expr(e1).canonicalized !== expr(e3).canonicalized)
+    val rendered = expr(e1).toString
+    assert(rendered.contains("surprisal_model"))
+    assert(!rendered.contains("alpha"))
+  }
+
   test("keeperPriorityStream: snapshot keeper at better-or-equal rank drops; outranking doc passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
