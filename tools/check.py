@@ -25,6 +25,10 @@ Usage: python3 tools/check.py [sfDir] [outDir]
   other branches at plan time, so peak memory is the LARGEST single
   branch instead of the sum (the sf10 capacity recipe; shared
   MATERIALIZED CTEs recompute per branch — slower, but it fits).
+  Two guards keep the split from weakening the gate: the enumerated
+  values must COVER the dump's distinct split-column values (else
+  FAIL — unenumerated oracle rows would silently vanish), and the
+  --timeout cap is a single budget ACROSS parts, not per part.
 Exit codes: 0 all verified; 1 any FAIL; 2 no fails but some queries
 unverified (skipped/timeout).
 (Dev tool only — the Scala library has no Python dependency.)
@@ -142,23 +146,34 @@ def run_oracle(sql, name=None):
     """Run one oracle, optionally under the per-query cap. An oracle
     named in --qthreads/--qmem runs on a DEDICATED connection with its
     own budget (closed afterwards); one named in --qsplit runs once per
-    split value with a pushed filter, results concatenated."""
+    split value with a pushed filter, results concatenated. The
+    documented per-oracle cap holds ACROSS the split: each part gets
+    the time remaining of the single budget, not a fresh cap (a k-way
+    split must not quietly become k*cap)."""
     if name is not None and name in qsplit:
+        import time
         col_, vals = qsplit[name]
-        parts = [run_oracle_once(
-            f"SELECT * FROM ({sql}) __g WHERE {col_} = '{v}'", name)
-            for v in vals]
+        t0 = time.monotonic()
+        parts = []
+        for v in vals:
+            remaining = None if cap is None else cap - (time.monotonic() - t0)
+            if remaining is not None and remaining <= 0:
+                raise TimeoutError(f"oracle exceeded {cap}s (across qsplit parts)")
+            parts.append(run_oracle_once(
+                f"SELECT * FROM ({sql}) __g WHERE {col_} = '{v}'", name,
+                cap_override=remaining))
         return pd.concat(parts, ignore_index=True)
     return run_oracle_once(sql, name)
 
-def run_oracle_once(sql, name=None):
+def run_oracle_once(sql, name=None, cap_override=None):
     global con
     dedicated = name is not None and (name in qthreads or name in qmem)
     c = (fresh_con(threads=qthreads.get(name), memlimit=qmem.get(name))
          if dedicated else con)
+    qcap = cap if cap_override is None else cap_override
     wedged = False
     try:
-        if cap is None:
+        if qcap is None:
             return c.sql(sql).df()
         box, err = [], []
         def work():
@@ -168,7 +183,7 @@ def run_oracle_once(sql, name=None):
                 err.append(e)
         t = threading.Thread(target=work, daemon=True)
         t.start()
-        t.join(cap)
+        t.join(qcap)
         if t.is_alive():
             c.interrupt()
             t.join(30)
@@ -180,7 +195,7 @@ def run_oracle_once(sql, name=None):
                 wedged = True
                 if not dedicated:
                     con = fresh_con()
-            raise TimeoutError(f"oracle exceeded {cap}s")
+            raise TimeoutError(f"oracle exceeded {qcap}s")
         if err:
             raise err[0]
         return box[0]
@@ -204,6 +219,29 @@ for name in sorted(oracle):
                         "hash_match": False, "err": f"spark_unreadable: {e}"}
         n_fail += 1
         continue
+    if name in qsplit:
+        # the split enumeration must COVER the dumped artifact: a value
+        # present in the dump but absent from --qsplit would silently
+        # vanish from the oracle result, weakening the gate to "matches
+        # on the enumerated subset" (e.g. an engine bug duplicating rows
+        # into a branch the list missed would false-pass)
+        scol, svals = qsplit[name]
+        if scol.lower() not in s.columns:
+            print(f"FAIL {name}: --qsplit column {scol} not in dump columns")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False,
+                            "err": f"qsplit_column_missing: {scol}"}
+            n_fail += 1
+            continue
+        uncovered = sorted(set(s[scol.lower()].astype(str)) - set(svals))
+        if uncovered:
+            print(f"FAIL {name}: dump has {scol} values not enumerated "
+                  f"in --qsplit: {uncovered}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False,
+                            "err": f"qsplit_uncovered_values: {uncovered}"}
+            n_fail += 1
+            continue
     try:
         d = norm(run_oracle(oracle[name], name))
     except TimeoutError as e:
