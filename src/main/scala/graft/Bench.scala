@@ -61,7 +61,12 @@ import org.apache.spark.sql.functions.{count, lit}
   * absolute-gap escape hatch: a >2x query whose spark−twin gap exceeds
   * 1 s enters the gate even when its twin is sub-floor (`gap_flagged`
   * carries the gap) — a tiny twin must not hide a multi-second
-  * regression.
+  * regression. Queries with a DISCLOSED twin class (`twin_class` —
+  * the decode-vs-formula m-gates, whose twin recomputes a generator
+  * formula instead of decoding real bytes) are excluded from
+  * over2x/gap_flagged and routed to `class_flagged` with class + gap
+  * when they would otherwise flag: the alarm channels stay engine
+  * comparisons, and the exclusion is auditable in the artifact.
   *
   * The JSON line is also written to BENCH_LAST.json: a log-capture
   * truncation on the driver side can never lose the number.
@@ -75,24 +80,32 @@ object Bench {
     // dispatch overhead; AQE coalescing handles the rest. Override with
     // SPARK_GRAFT_SHUFFLE for larger SFs.
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
-    val builder = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // BENCH-SF AQE floor: the testdata parquet is one row group per
-      // table, so every scan is one task and all width comes from
-      // exchanges — but at MB-scale shuffles AQE's default coalescing
-      // (1 MB min / parallelismFirst) collapses every post-exchange
-      // stage back to ONE task, serializing the compute the exchanges
-      // exist to spread (measured: jobs==stages==tasks across the
-      // battery). Lowering the coalesce floor restores intra-stage
-      // parallelism at bench SF. These two values are SF-TUNED, not
-      // engine guidance: at production scale the 64 MB advisory default
-      // is correct and this override must not be copied out of Bench.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+    // BENCH-SF AQE floor — ONLY for the pinned-width default protocol
+    // (no SPARK_GRAFT_SHUFFLE set, i.e. the sf0.1 gate pair): there the
+    // testdata parquet is one row group per table, so every scan is one
+    // task and all width comes from exchanges — but at MB-scale shuffles
+    // AQE's default coalescing (1 MB min / parallelismFirst) collapses
+    // every post-exchange stage back to ONE task, serializing the
+    // compute the exchanges exist to spread (measured: jobs==stages==
+    // tasks across the battery). Lowering the coalesce floor restores
+    // intra-stage parallelism at bench SF. When the protocol sets an
+    // explicit width (the sf1/sf10 runs on multi-file fixtures), scans
+    // provide width and post-shuffle frames deserve PRODUCTION
+    // coalescing — keeping the tiny floor there measured +9 s on the
+    // sf1 battery (q31 1.24→0.63 s, q03 2.03→0.71 s at defaults, r16
+    // matched batteries). These values are SF-TUNED, not engine
+    // guidance — never copy them out of Bench.
+    val builder =
+      if (sys.env.contains("SPARK_GRAFT_SHUFFLE")) builder0
+      else builder0
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
     // extra session confs, semicolon-separated k=v (experiment knob, wins
     // over the defaults above):
     // SPARK_GRAFT_CONF="spark.sql.adaptive.coalescePartitions.minPartitionSize=1m;..."
@@ -223,6 +236,18 @@ object Bench {
         val re = """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r
         re.findAllMatchIn(obj).map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    // Disclosed twin-comparison classes: queries whose DuckDB twin does
+    // NOT do the same work, so their ratio is not an engine comparison —
+    // m03/m04/m05 decode real PNG/WAV/container bytes while the twin
+    // recomputes the generator formula (no codec in the oracle). They
+    // are kept OUT of the over2x/gap_flagged alarm channels and instead
+    // reported in `class_flagged` with their class + gap whenever they
+    // would otherwise flag, so the exclusion is auditable, not silent,
+    // and the alarm channels stay real alarms.
+    val twinClasses: Map[String, String] = Map(
+      "m03_image_phash" -> "decode-vs-formula",
+      "m04_audio_fp" -> "decode-vs-formula",
+      "m05_video_fp_dedup" -> "decode-vs-formula")
     val ratioPart = if (duckTimes.isEmpty) "" else {
       val ratios = results.collect { case (k, v) if duckTimes.get(k).exists(_ > 0) =>
         k -> math.round(v / duckTimes(k) * 100.0) / 100.0 }
@@ -237,12 +262,22 @@ object Bench {
       // in over2x). Gap-admitted rows are also listed in `gap_flagged`
       // with their absolute gap so the new criterion is auditable.
       val candidates = ratios.collect { case (k, r)
-        if r > 2.0 && (duckTimes.getOrElse(k, 0.0) > 0.2 ||
+        if r > 2.0 && !twinClasses.contains(k) &&
+          (duckTimes.getOrElse(k, 0.0) > 0.2 ||
           sparkTotalOf.getOrElse(k, 0.0) - duckTimes.getOrElse(k, 0.0) > 1.0) => k -> r }
       val gapFlagged = ratios.collect { case (k, r)
-        if r > 2.0 && duckTimes.getOrElse(k, 0.0) <= 0.2 &&
+        if r > 2.0 && !twinClasses.contains(k) &&
+          duckTimes.getOrElse(k, 0.0) <= 0.2 &&
           sparkTotalOf.getOrElse(k, 0.0) - duckTimes.getOrElse(k, 0.0) > 1.0 =>
         s"${Verify.jq(k)}:${math.round((sparkTotalOf(k) - duckTimes(k)) * 100.0) / 100.0}" }
+      // class-disclosed rows that would otherwise have flagged: same
+      // admission rules, routed to their own channel with the class
+      val classFlagged = ratios.collect { case (k, r)
+        if r > 2.0 && twinClasses.contains(k) &&
+          (duckTimes.getOrElse(k, 0.0) > 0.2 ||
+          sparkTotalOf.getOrElse(k, 0.0) - duckTimes.getOrElse(k, 0.0) > 1.0) =>
+        val gap = math.round((sparkTotalOf(k) - duckTimes(k)) * 100.0) / 100.0
+        s"${Verify.jq(k)}:{\"class\":${Verify.jq(twinClasses(k))},\"raw\":$r,\"gap\":$gap}" }
       val adjOf = candidates.map { case (k, r) =>
         val adj = math.round(math.max(0.0,
           construct(k) + exec(k) - stages.getOrElse(k, 0L) * floorWave) /
@@ -257,7 +292,9 @@ object Bench {
       // = driver-side Catalyst analysis excluded) vs the twin total.
       val execRatio = if (duckTotal > 0)
         math.round(exec.values.sum / duckTotal * 100.0) / 100.0 else -1
-      s""","duck_total":$duckTotal,"ratio_total":${if (duckTotal > 0) math.round(total / duckTotal * 100.0) / 100.0 else -1},"exec_ratio":$execRatio,"ratios":${jmap(ratios.toMap)},"over2x":${over2x.map(Verify.jq).mkString("[", ",", "]")},"gap_flagged":${gapFlagged.mkString("{", ",", "}")},"floor_adjudicated":${floorAdj.mkString("{", ",", "}")}"""
+      val classPart = twinClasses.collect { case (k, c) if ratios.toMap.contains(k) =>
+        s"${Verify.jq(k)}:${Verify.jq(c)}" }
+      s""","duck_total":$duckTotal,"ratio_total":${if (duckTotal > 0) math.round(total / duckTotal * 100.0) / 100.0 else -1},"exec_ratio":$execRatio,"ratios":${jmap(ratios.toMap)},"over2x":${over2x.map(Verify.jq).mkString("[", ",", "]")},"gap_flagged":${gapFlagged.mkString("{", ",", "}")},"class_flagged":${classFlagged.mkString("{", ",", "}")},"twin_class":${classPart.mkString("{", ",", "}")},"floor_adjudicated":${floorAdj.mkString("{", ",", "}")}"""
     }
     // floor_est: the per-query harness constant the battery pays n times —
     // calibrated IN-RUN as the minimum warm exec across queries (the

@@ -336,10 +336,35 @@ object Relational {
     // how="right" (feature_preproc_icu.py:331,343-344).
     Q("q28_right_join",
       (s, dir) => {
-        val li = t(s, dir, "lineitem")
-        val heavy = li.filter(col("l_quantity") >= 40)
-          .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_heavy"))
-        val total = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_total"))
+        // ONE corpus aggregation feeds BOTH join sides (the
+        // Features.summary fold discipline): the naive spelling scans
+        // lineitem twice (filtered agg + total agg) and shuffles each —
+        // at 100 TB that doubles the scan volume for a conditional
+        // count. A single (partkey) agg computes the heavy count as
+        // sum(when(...)) alongside the total; the `heavy` side is a
+        // filtered projection of it (nh>0 reproduces the absent groups
+        // the filtered agg would drop) and the right join runs over two
+        // histogram-sized frames. The agg is localCheckpoint'ed (the
+        // d12/corpusClean materialize-once pattern) because column
+        // pruning otherwise specializes each consumer's copy into a
+        // DIFFERENT aggregate below the exchange (sum-CASE vs count),
+        // defeating exchange reuse and re-scanning the corpus anyway —
+        // verified in the executed plan. Results identical: missing
+        // heavy groups surface as null → coalesce 0.
+        // No broadcast hint and no sort hint on the join: part
+        // cardinality grows with SF (billions at 100 TB), so the heavy
+        // side must be ALLOWED to stay distributed — AQE reads the
+        // runtime exchange sizes and picks BHJ while the histogram is
+        // small, SMJ once it isn't. Declaring the join and letting the
+        // optimizer choose IS the scale story here.
+        val agg = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(when(col("l_quantity") >= 40, 1L).otherwise(0L)).as("nh"),
+            count(lit(1)).as("n_total"))
+          .localCheckpoint(false)
+        val heavy = agg.filter(col("nh") > 0)
+          .select(col("l_partkey"), col("nh").as("n_heavy"))
+        val total = agg.select(col("l_partkey"), col("n_total"))
         heavy.join(total, Seq("l_partkey"), "right")
           .select(col("l_partkey"), coalesce(col("n_heavy"), lit(0L)).as("n_heavy"),
             col("n_total"))
