@@ -88,6 +88,17 @@ def parse_qsplit():
 qsplit = parse_qsplit()
 report = {}
 
+def flush_report():
+    """Write the --json report after EVERY query (temp+rename, so the
+    file is always whole). A long oracle batch can die mid-run on the
+    OS OOM killer (the sf10 PQ twins' untracked allocations); an
+    end-of-run-only dump loses every completed verdict with it."""
+    if "json" in opts:
+        tmp = str(opts["json"]) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        os.replace(tmp, str(opts["json"]))
+
 def table_src(p):
     """A fixture table is one parquet file OR a directory of them (the
     r15 multi-file layout for >64 MB tables — see replicate.py)."""
@@ -205,6 +216,7 @@ def run_oracle_once(sql, name=None, cap_override=None):
 
 n_pass = n_fail = n_skip = n_timeout = 0
 for name in sorted(oracle):
+    flush_report()  # persist all verdicts so far before the next oracle runs
     if name in skip:
         print(f"SKIP {name} (listed in --skip)")
         report[name] = {"rows_match": None, "schema_match": None,
@@ -291,9 +303,7 @@ for name in sorted(oracle):
         report[name]["hash_match"] = True
         n_pass += 1
 
-if "json" in opts:
-    with open(str(opts["json"]), "w") as f:
-        json.dump(report, f, indent=1, sort_keys=True)
+flush_report()
 # skipped/timed-out oracles are UNVERIFIED, not passed: name them in the
 # summary and exit 2 (distinct from both clean=0 and fail=1) so a caller
 # chaining on exit 0 can't mistake an unverified run for a green one
