@@ -106,6 +106,10 @@ def table_src(p):
 
 def fresh_con(threads=None, memlimit=None):
     c = duckdb.connect()
+    # row order never matters here (norm() sorts both sides before the
+    # compare), and preserving insertion order makes DuckDB buffer whole
+    # materializations — measurably more RSS on the PQ-family twins
+    c.execute("SET preserve_insertion_order=false")
     # --memlimit=NGB bounds the oracle engine and spills to disk instead
     # of riding the OS OOM killer (a twin whose hash tables exceed RAM
     # should page through temp, not kill the whole gate run)
