@@ -2399,6 +2399,16 @@ object Sim {
         val code = (0 until 8).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
         val cos = (a: String) => s"ROUND(${dDot(a, "q0.qe")} /" +
           s" (sqrt(${dDot(a, a)}) * sqrt(${dDot("q0.qe", "q0.qe")})), 4)"
+        // Report tail shape matters for the sf10 capacity protocol: a
+        // UNION ALL of six UNGROUPED aggregates never prunes under an
+        // outer `WHERE method=...` in DuckDB 1.0 (filter(false) over an
+        // aggregate is not folded to empty), so check.py's --qsplit ran
+        // every method's pipeline per part. Tagging the hit rows first
+        // and grouping ONCE by method (zero-filled via the 6-row methods
+        // dimension) makes the method filter push through the left join
+        // and the group-by into the tagged union, where constant folding
+        // drops the other five branches — each split part then plans only
+        // its own method's CTE chain. Identical results either way.
         s"""WITH q0 AS MATERIALIZED (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
            |exact10 AS MATERIALIZED (
            |  SELECT vec_id FROM embeddings e, q0 WHERE vec_id > 0
@@ -2451,24 +2461,25 @@ object Sim {
            |opq410 AS (
            |  SELECT cand4r.vec_id FROM cand4r JOIN embeddings e ON e.vec_id = cand4r.vec_id, q0
            |  ORDER BY ${cos("e.embedding")} DESC, cand4r.vec_id ASC LIMIT 10),
-           |r AS (
-           |  SELECT 'ivf' AS method, CAST(COUNT(*) AS BIGINT) AS hits
-           |  FROM ivf10 JOIN exact10 USING (vec_id)
+           |hitrows AS (
+           |  SELECT 'ivf' AS method, vec_id FROM ivf10 JOIN exact10 USING (vec_id)
            |  UNION ALL
-           |  SELECT 'lsh' AS method, CAST(COUNT(*) AS BIGINT) AS hits
-           |  FROM lsh10 JOIN exact10 USING (vec_id)
+           |  SELECT 'lsh' AS method, vec_id FROM lsh10 JOIN exact10 USING (vec_id)
            |  UNION ALL
-           |  SELECT 'pq' AS method, CAST(COUNT(*) AS BIGINT) AS hits
-           |  FROM pq10 JOIN exact10 USING (vec_id)
+           |  SELECT 'pq' AS method, vec_id FROM pq10 JOIN exact10 USING (vec_id)
            |  UNION ALL
-           |  SELECT 'pq_res' AS method, CAST(COUNT(*) AS BIGINT) AS hits
-           |  FROM pqres10 JOIN exact10 USING (vec_id)
+           |  SELECT 'pq_res' AS method, vec_id FROM pqres10 JOIN exact10 USING (vec_id)
            |  UNION ALL
-           |  SELECT 'pq4' AS method, CAST(COUNT(*) AS BIGINT) AS hits
-           |  FROM pq410 JOIN exact10 USING (vec_id)
+           |  SELECT 'pq4' AS method, vec_id FROM pq410 JOIN exact10 USING (vec_id)
            |  UNION ALL
-           |  SELECT 'opq4' AS method, CAST(COUNT(*) AS BIGINT) AS hits
-           |  FROM opq410 JOIN exact10 USING (vec_id))
+           |  SELECT 'opq4' AS method, vec_id FROM opq410 JOIN exact10 USING (vec_id)),
+           |counts AS (SELECT method, CAST(COUNT(*) AS BIGINT) AS hits
+           |  FROM hitrows GROUP BY method),
+           |methods AS (
+           |  SELECT 'ivf' AS method UNION ALL SELECT 'lsh' UNION ALL SELECT 'pq'
+           |  UNION ALL SELECT 'pq_res' UNION ALL SELECT 'pq4' UNION ALL SELECT 'opq4'),
+           |r AS (SELECT m.method, COALESCE(c.hits, CAST(0 AS BIGINT)) AS hits
+           |  FROM methods m LEFT JOIN counts c USING (method))
            |SELECT method, hits, (hits * 1000000) // 10 AS recall_ppm FROM r""".stripMargin
       },
       "ANN recall report: recall@10 of IVF and LSH rankings vs the exact baseline (north-star: index evaluation)")

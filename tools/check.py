@@ -29,6 +29,10 @@ Usage: python3 tools/check.py [sfDir] [outDir]
   values must COVER the dump's distinct split-column values (else
   FAIL — unenumerated oracle rows would silently vanish), and the
   --timeout cap is a single budget ACROSS parts, not per part.
+  Split parts run with `AS MATERIALIZED` stripped (result-neutral
+  hint; DuckDB 1.0 disables union-branch pruning when any
+  materialized CTE is present, defeating the split) — disclosed on
+  the report row as qsplit.dematerialized.
 Exit codes: 0 all verified; 1 any FAIL; 2 no fails but some queries
 unverified (skipped/timeout).
 (Dev tool only — the Scala library has no Python dependency.)
@@ -168,6 +172,13 @@ def run_oracle(sql, name=None):
     if name is not None and name in qsplit:
         import time
         col_, vals = qsplit[name]
+        # Strip the MATERIALIZED hint under --qsplit: it is result-neutral
+        # (a pure optimizer hint), but DuckDB 1.0 disables union-branch
+        # pruning whenever ANY materialized CTE is present — with it, each
+        # "split" part still plans and executes every branch's pipeline,
+        # which is exactly the capacity blow-up the split exists to avoid.
+        # Disclosed per-row in the report ("qsplit": {..., dematerialized}).
+        base = re.sub(r"\bAS MATERIALIZED\b", "AS", sql)
         t0 = time.monotonic()
         parts = []
         for v in vals:
@@ -175,7 +186,7 @@ def run_oracle(sql, name=None):
             if remaining is not None and remaining <= 0:
                 raise TimeoutError(f"oracle exceeded {cap}s (across qsplit parts)")
             parts.append(run_oracle_once(
-                f"SELECT * FROM ({sql}) __g WHERE {col_} = '{v}'", name,
+                f"SELECT * FROM ({base}) __g WHERE {col_} = '{v}'", name,
                 cap_override=remaining))
         return pd.concat(parts, ignore_index=True)
     return run_oracle_once(sql, name)
@@ -277,6 +288,10 @@ for name in sorted(oracle):
                     "schema_match": list(s.columns) == list(d.columns),
                     "hash_match": False, "spark_rows": len(s),
                     "oracle_rows": len(d), "err": None}
+    if name in qsplit:  # disclose the split protocol on the row itself
+        report[name]["qsplit"] = {"column": qsplit[name][0],
+                                  "values": qsplit[name][1],
+                                  "dematerialized": True}
     if list(s.columns) != list(d.columns):
         print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
         n_fail += 1
