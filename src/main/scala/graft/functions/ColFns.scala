@@ -196,51 +196,87 @@ object ColFns {
     val hist = vb.groupBy(col(key), col("_b")).agg(count(lit(1)).as("_c"))
     val wCum = Window.partitionBy(col(key)).orderBy(col("_b"))
     val wAll = Window.partitionBy(col(key))
-    // Materialized ONCE: `targets` unions 2·|ps| filtered copies of this
-    // frame (plus `fr`'s), and Spark does not CSE across union branches —
-    // without the checkpoint the corpus-sized pass-1 agg would re-run per
-    // branch, breaking the one-pass contract above. The frame itself is
-    // histogram-sized (≤ buckets-per-key · keys), so the materialization
-    // is cheap and bounded. LAZY (eager=false): the first action — the
-    // `targets` broadcast job — computes and pins it; building the plan
-    // stays free (an eager checkpoint would re-run the corpus agg on
-    // every plan CONSTRUCTION, e.g. Bench's min-of-2 build protocol).
     val cum = hist
       .withColumn("_cum", sum(col("_c")).over(wCum))
       .withColumn("_n", sum(col("_c")).over(wAll))
-      .localCheckpoint(false)
-    // one row per (key, target-side): the bucket holding that rank +
-    // the rank's offset inside it
-    val targets = ps.flatMap { case (name, p) =>
+    // ONE pass over the histogram emits every (key, target-side) row: a
+    // hist row knows from (_cum, _c, _n) alone whether it holds a target
+    // rank, so the former per-side filtered-copy union (2·|ps| branches
+    // that Spark cannot CSE — the corpus agg re-ran per branch until a
+    // localCheckpoint pinned it, and THAT pinned the corpus agg into
+    // every plan CONSTRUCTION via toRdd) collapses to one when()-array
+    // explode. `_n` rides along so the interpolation fraction needs no
+    // separate per-key frame or join. Exactly one bucket per (key, side)
+    // matches (cum is strictly increasing), so row multiplicity is
+    // unchanged vs the union spelling.
+    val sides = ps.flatMap { case (name, p) =>
       val pos = lit(p) * (col("_n") - 1).cast("double")
-      Seq("lo" -> floor(pos), "hi" -> ceil(pos)).map { case (side, r) =>
-        cum.filter(col("_cum") > r && (col("_cum") - col("_c")) <= r)
-          .select(col(key), col("_b"),
-            (r - (col("_cum") - col("_c"))).cast("long").as("_local"),
-            lit(s"${side}_$name").as("_which"))
-      }
-    }.reduce(_.unionByName(_))
-    // fractional interpolation weights, one row per key
-    val fr = cum.select(col(key), col("_n")).distinct()
-      .select(col(key) +: ps.map { case (name, p) =>
-        val pos = lit(p) * (col("_n") - 1).cast("double")
-        (pos - floor(pos).cast("double")).as(s"_f_$name")
-      }: _*)
+      Seq(s"lo_$name" -> floor(pos), s"hi_$name" -> ceil(pos))
+    }
+    val tags = sides.map { case (which, r) =>
+      when(col("_cum") > r && (col("_cum") - col("_c")) <= r,
+        struct((r - (col("_cum") - col("_c"))).cast("long").as("_local"),
+          lit(which).as("_which")))
+    }
+    val targets = cum
+      .select(col(key), col("_b"), col("_n"),
+        explode(filter(array(tags: _*), t => t.isNotNull)).as("_t"))
+      .select(col(key), col("_b"), col("_n"),
+        col("_t._local").as("_local"), col("_t._which").as("_which"))
     val pickAggs = ps.flatMap { case (name, _) => Seq(
       max(when(col("_which") === s"lo_$name", col(value))).as(s"_lo_$name"),
       max(when(col("_which") === s"hi_$name", col(value))).as(s"_hi_$name"))
-    }
-    val picked = vb.join(broadcast(targets), Seq(key, "_b"))
+    } :+ max(col("_n")).as("_n")
+    vb.join(broadcast(targets), Seq(key, "_b"))
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col(key), col("_b"), col("_which")).orderBy(col(value)))
         .cast("long") - 1)
       .filter(col("_rn") === col("_local"))
       .groupBy(col(key)).agg(pickAggs.head, pickAggs.tail: _*)
-    picked.join(broadcast(fr), Seq(key))
-      .select(col(key) +: ps.map { case (name, _) =>
-        (col(s"_lo_$name") + col(s"_f_$name") * (col(s"_hi_$name") - col(s"_lo_$name")))
+      .select(col(key) +: ps.map { case (name, p) =>
+        val pos = lit(p) * (col("_n") - 1).cast("double")
+        val f = pos - floor(pos).cast("double")
+        (col(s"_lo_$name") + f * (col(s"_hi_$name") - col(s"_lo_$name")))
           .as(name)
       }: _*)
+  }
+
+  /** Size-adaptive exact per-group percentiles: dispatches between the
+    * two spec-pinned-identical shapes ([[percentilesByKey]] ≡
+    * [[histPercentilesByKey]], ColFnsSpec) on the input's optimizer size
+    * estimate — the same estimate-driven strategy choice Spark itself
+    * makes for joins via `autoBroadcastJoinThreshold`.
+    *
+    * Rationale (measured, BENCH_NOTES r16): the histogram shape does
+    * three narrow passes (count-agg, sliver pick, probe) where the
+    * window shape does one full-width sort + probe. Above a few MB the
+    * narrow passes win and keep winning to 100 TB (no per-key
+    * single-task sort, mandatory once a hot key outgrows one task);
+    * below, the sort is broadcast-class work and the histogram's two
+    * extra job launches dominate (sf0.1 matched pair: window 0.48 s vs
+    * hist 1.13 s; sf1: hist exec 0.56 s vs window 1.58 s). The
+    * crossover is cluster-dependent, so the threshold is a conf
+    * (`spark.graft.percentiles.histMinBytes`, default 4 MB — under the
+    * measured sf1 crossover, comfortably above the sf0.1 one). Both
+    * branches return bit-identical results, so the dispatch can never
+    * change a query's output, only its plan.
+    */
+  def percentilesByKeyAdaptive(df: org.apache.spark.sql.DataFrame, key: String,
+      value: String, ps: Seq[(String, Double)],
+      bucketShift: Int = 40): org.apache.spark.sql.DataFrame = {
+    val thresh = df.sparkSession.conf
+      .get("spark.graft.percentiles.histMinBytes", (4L * 1024 * 1024).toString).toLong
+    val pct =
+      if (df.queryExecution.optimizedPlan.stats.sizeInBytes < thresh)
+        percentilesByKey(df, key, value, ps)
+      else histPercentilesByKey(df, key, value, ps, bucketShift)
+    // The bounds frame is dimension-sized (one row per key) and is what
+    // callers broadcast against the probe side; persist() (lazy,
+    // MEMORY_AND_DISK) pins it so a re-executed consumer plan — every
+    // query materializes the broadcast input once per action — rebuilds
+    // the probe only, not the percentile pass (the q28/d44
+    // materialize-once discipline, at dimension size).
+    pct.persist()
   }
 
   // ---------- skew handling ----------

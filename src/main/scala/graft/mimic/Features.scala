@@ -133,7 +133,7 @@ object Features {
   def outlierImputation(
       df: DataFrame, idCol: String, valueCol: String,
       cutOff: Int, leftThresh: Int, impute: Boolean): DataFrame = {
-    val pct = graft.functions.ColFns.histPercentilesByKey(df, idCol, valueCol,
+    val pct = graft.functions.ColFns.percentilesByKeyAdaptive(df, idCol, valueCol,
       Seq("_perc_up" -> leftThresh / 100.0, "_perc_down" -> cutOff / 100.0))
     val joined = df.join(broadcast(pct), Seq(idCol), "left")
     val cleaned =

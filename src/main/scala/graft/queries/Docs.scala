@@ -141,7 +141,10 @@ object Docs {
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
       .filter(col("term") =!= "")
     val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
-    val n = toks.agg(count(lit(1)).as("n_total"))
+    // n_total = Σ per-term counts — read off the VOCAB-sized freq frame
+    // (its term exchange is reused) instead of a third corpus-sized
+    // explode pass; sum-of-counts ≡ count-of-tokens exactly.
+    val n = freq.agg(sum(col("c")).as("n_total"))
     def bits(c: Column) = length(bin(c)).cast("long")
     toks.join(broadcast(freq), Seq("term"))
       .crossJoin(broadcast(n))
@@ -163,7 +166,17 @@ object Docs {
     * values per lang, the two thresholds per lang broadcast back, and
     * the labeling pass is map-side. */
   private[graft] def ccnetBucketsDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val sc = ccnetScoredDf(docs)
+    // The scored frame feeds BOTH the threshold histogram and the probe
+    // side; left unmaterialized, each consumer re-runs the full surprisal
+    // evaluation (2 corpus tokenize passes each — the ReusedExchange only
+    // covers the raw doc spread, the explode/agg work re-runs per
+    // consumer). persist() pins the NARROW derived frame — (doc_id, lang,
+    // mbpt), ~24 B/doc, the guide-§8 "decision pass over small rows"
+    // class, spilling to disk at scale — so surprisal is evaluated ONCE
+    // per execution, which is exactly what the DuckDB twin's MATERIALIZED
+    // `scored` CTE does. Lazy: plan construction stays free; the first
+    // action (the threshold broadcast job) fills the cache.
+    val sc = ccnetScoredDf(docs).persist()
     sc.join(broadcast(ccnetThresholdsDf(sc)), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("milli_bits_per_token"),
         when(col("milli_bits_per_token") <= col("t1"), lit("head"))
@@ -1643,7 +1656,14 @@ object Docs {
       .select(col("lang"), col("source"), col("sub"), col("base_tok"))
     val firstBin = graft.functions.ColFns.floorDiv(col("start_tok"), ctx)
     val lastBin = graft.functions.ColFns.floorDiv(col("end_tok") - 1, ctx)
-    inSub.join(bases.hint("merge"), Seq("lang", "source", "sub"))
+    // shuffle_hash, NOT merge: both sides already satisfy the (lang,
+    // source, sub) distribution from the one explicit exchange, but an
+    // SMJ would additionally re-SORT the corpus side by the join keys
+    // (the window's doc_id order doesn't count) — a full corpus sort for
+    // a join whose build side is one row per sub-shard. The narrow-build
+    // SHJ streams the corpus rows unsorted past a tiny per-partition
+    // hash table (the d20 build-side doctrine).
+    inSub.join(bases.hint("shuffle_hash"), Seq("lang", "source", "sub"))
       .withColumn("end_tok", col("base_tok") + col("cum_sub"))
       .withColumn("start_tok", col("end_tok") - col("n_tokens"))
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),

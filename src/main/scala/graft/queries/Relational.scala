@@ -469,19 +469,29 @@ object Relational {
     // (datagen.py:779-782 MEDS‖PROC‖OUT‖CHART assembly).
     Q("q36_wide_concat",
       (s, dir) => {
-        val ev = t(s, dir, "events")
-        val w1 = ev.groupBy(col("user_id"))
-          .pivot("event_type", Seq("click", "purchase"))
-          .agg(count(lit(1))).na.fill(0L)
-          .select(col("user_id"), col("click").as("n_click"), col("purchase").as("n_purchase"))
-        val w2 = ev.filter(col("event_type") === "view")
+        // The reference assembles per-modality wide frames and joins them
+        // on the key; every branch here groups the SAME scan by the SAME
+        // key, so the three aggregations (pivot counts, filtered view
+        // sum, total count) fold into ONE conditional aggregation — the
+        // q28/q29 single-scan discipline. 3 scans + 3 exchanges + 2
+        // joins → 1 scan + 1 exchange, identical rows: the pivot's
+        // absent-type count is 0 either way, the left join's missing
+        // view sum is the conditional sum's null → same coalesce(0.0),
+        // and all three branches carry the same user_id group set. At
+        // 100 TB this is a third of the scan volume and one exchange.
+        // isNotNull reproduces the join spelling's null-key semantics:
+        // the NULL-user group never matched the inner stats join (null
+        // ≠ null), so it must not surface from the fold either — and as
+        // a filter it now prunes at the scan instead of after an agg.
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull)
           .groupBy(col("user_id"))
-          .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("view_value"))
-        val stats = ev.groupBy(col("user_id"))
-          .agg(count(lit(1)).as("n_events"))
-        w1.join(w2, Seq("user_id"), "left").join(stats, Seq("user_id"))
-          .select(col("user_id"), col("n_click"), col("n_purchase"),
-            coalesce(col("view_value"), lit(0.0)).as("view_value"), col("n_events"))
+          .agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+            coalesce(sum(when(col("event_type") === "view", col("value"))
+              .cast("decimal(18,6)")).cast("double"), lit(0.0)).as("view_value"),
+            count(lit(1)).as("n_events"))
       },
       Some("""WITH w1 AS (
              |  SELECT user_id,
@@ -608,8 +618,10 @@ object Relational {
     // A7: exact per-group percentile clip (outlier_removal.py semantics).
     Q("q12_percentile_clip",
       (s, dir) => {
-        // Histogram-guided exact percentiles (ColFns.histPercentilesByKey,
-        // spec-proven bit-identical to the window-rank shape): pass 1 is
+        // Size-adaptive exact percentiles (ColFns.percentilesByKeyAdaptive):
+        // broadcast-class inputs take the single-exchange window-rank
+        // sort, larger inputs the histogram shape (spec-proven
+        // bit-identical, so the dispatch can't change results): pass 1 is
         // one map-side-combinable counting agg, then only the target
         // buckets' slivers ever sort — no per-key single-task full sort
         // (the window-rank shape serializes a hot event_type's whole
@@ -620,7 +632,7 @@ object Relational {
         // groups behaving like the aggregate's null bounds (clip = id).
         val ev = t(s, dir, "events")
           .select(col("event_id"), col("event_type"), col("value"))
-        val pct = graft.functions.ColFns.histPercentilesByKey(
+        val pct = graft.functions.ColFns.percentilesByKeyAdaptive(
           ev, "event_type", "value", Seq("p05" -> 0.05, "p95" -> 0.95))
         ev.join(broadcast(pct), Seq("event_type"), "left")
           .select(col("event_id"), col("event_type"),

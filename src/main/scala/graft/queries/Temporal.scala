@@ -271,14 +271,14 @@ object Temporal {
     // (outlier_removal.py:24-37 imputing=False path; q12 is the clip twin).
     Q("q34_outlier_drop",
       (s, dir) => {
-        // Histogram-guided exact percentiles — see q12 (same 100 TB
-        // rationale: one counting pass + sliver sorts, probe side
-        // exchange-free). A null bound (all-null group) nulls the
+        // Size-adaptive exact percentiles — see q12 (same 100 TB
+        // rationale: above the broadcast class, one counting pass +
+        // sliver sorts, probe side exchange-free). A null bound (all-null group) nulls the
         // comparison and drops the row, exactly as the aggregate's
         // null bounds did.
         val ev = t(s, dir, "events")
           .select(col("event_id"), col("event_type"), col("value"))
-        val pct = graft.functions.ColFns.histPercentilesByKey(
+        val pct = graft.functions.ColFns.percentilesByKeyAdaptive(
           ev, "event_type", "value", Seq("p05" -> 0.05, "p95" -> 0.95))
         ev.join(broadcast(pct), Seq("event_type"), "left")
           .filter(col("value") >= col("p05") && col("value") <= col("p95"))

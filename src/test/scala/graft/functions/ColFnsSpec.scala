@@ -102,4 +102,29 @@ class ColFnsSpec extends SparkSpec {
       }
     }
   }
+
+  test("percentilesByKeyAdaptive dispatches by size estimate, identical results either way") {
+    import spark.implicits._
+    val df = Seq.tabulate(500)(i => (s"g${i % 3}", i.toDouble)).toDF("k", "v")
+    val ps = Seq("p05" -> 0.05, "p95" -> 0.95)
+    def rows(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val exp = rows(ColFns.percentilesByKey(df, "k", "v", ps))
+    // tiny threshold -> histogram branch; huge -> window branch; both equal
+    for (t <- Seq("1", (1L << 40).toString)) {
+      spark.conf.set("spark.graft.percentiles.histMinBytes", t)
+      try assert(rows(ColFns.percentilesByKeyAdaptive(df, "k", "v", ps)) === exp, s"thresh=$t")
+      finally spark.conf.unset("spark.graft.percentiles.histMinBytes")
+    }
+    // branch choice is observable in the plan: the histogram branch joins
+    // on the bucket column, the window branch has no `_b` attribute
+    spark.conf.set("spark.graft.percentiles.histMinBytes", "1")
+    val histPlan = ColFns.percentilesByKeyAdaptive(df, "k", "v", ps)
+      .queryExecution.optimizedPlan.toString
+    spark.conf.set("spark.graft.percentiles.histMinBytes", (1L << 40).toString)
+    val winPlan = ColFns.percentilesByKeyAdaptive(df, "k", "v", ps)
+      .queryExecution.optimizedPlan.toString
+    spark.conf.unset("spark.graft.percentiles.histMinBytes")
+    assert(histPlan.contains("_b") && !winPlan.contains("_b"))
+  }
 }
