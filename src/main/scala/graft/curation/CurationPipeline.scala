@@ -324,7 +324,13 @@ object CurationPipeline {
     // (00_stoplist sets the precedent: artifact stages of the RAW
     // corpus are forced unconditionally). It depends only on `docs`.
     val pplBuckets: Option[DataFrame] = cfg.keepPplBuckets.map { _ =>
-      stage("01_ppl", Docs.ccnetBucketsDf(docs))
+      // release the d44 scored-frame cache entry right after the stage's
+      // terminal action (the parquet write) — a long-lived pipeline
+      // session must not pin one corpus-sized entry per run (ADVICE r16);
+      // the stage is read back from disk, so nothing downstream re-runs
+      // the persisted subtree
+      val (df, release) = Docs.ccnetBucketsDfWithRelease(docs)
+      try stage("01_ppl", df) finally release()
     }
 
     // stage 1: repetition/length gates (+ optional stop-fraction and

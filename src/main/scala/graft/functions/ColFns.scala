@@ -266,17 +266,18 @@ object ColFns {
       bucketShift: Int = 40): org.apache.spark.sql.DataFrame = {
     val thresh = df.sparkSession.conf
       .get("spark.graft.percentiles.histMinBytes", (4L * 1024 * 1024).toString).toLong
-    val pct =
-      if (df.queryExecution.optimizedPlan.stats.sizeInBytes < thresh)
-        percentilesByKey(df, key, value, ps)
-      else histPercentilesByKey(df, key, value, ps, bucketShift)
-    // The bounds frame is dimension-sized (one row per key) and is what
-    // callers broadcast against the probe side; persist() (lazy,
-    // MEMORY_AND_DISK) pins it so a re-executed consumer plan — every
-    // query materializes the broadcast input once per action — rebuilds
-    // the probe only, not the percentile pass (the q28/d44
-    // materialize-once discipline, at dimension size).
-    pct.persist()
+    // Size dispatch reads the optimizer's estimate; when stats are
+    // unavailable sizeInBytes defaults to a huge value, which silently
+    // (and safely) selects the histogram branch — the shape that cannot
+    // OOM. NOT persisted: every consumer broadcasts the bounds frame
+    // exactly once per action, so a persist would only let REPEATED
+    // actions (bench reps, retried jobs) serve stale-free cache hits
+    // while pinning an entry for the session's lifetime per distinct
+    // input plan (ADVICE r16) — the recompute is one narrow pass,
+    // cheaper than the leak.
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < thresh)
+      percentilesByKey(df, key, value, ps)
+    else histPercentilesByKey(df, key, value, ps, bucketShift)
   }
 
   // ---------- skew handling ----------

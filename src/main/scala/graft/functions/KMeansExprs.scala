@@ -155,11 +155,19 @@ case class KMeansAssign(
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val sc = ctx.addReferenceObj("scorer", scorer,
       classOf[KMeansAssign.Scorer].getName)
-    nullSafeCodeGen(ctx, ev, a => s"""
-      |Object r = $sc.compute($a);
-      |if (r == null) { ${ev.isNull} = true; }
-      |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r; }
-     """.stripMargin)
+    // freshName, NOT a raw local: a fixed `r` redefines itself when the
+    // expression appears twice in one codegen context — Janino failed
+    // with "Redefinition of local variable r" and the WHOLE stage fell
+    // back to interpreted eval, re-paying the failed compile on every
+    // materialization (found via the bench stderr in r17).
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("r")
+      s"""
+      |Object $r = $sc.compute($a);
+      |if ($r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $r; }
+     """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): KMeansAssign =

@@ -96,6 +96,20 @@ object VectorExprs {
     import org.apache.spark.sql.functions.sqrt
     vecDot(a, b) / (sqrt(vecDot(a, a)) * sqrt(vecDot(b, b)))
   }
+
+  /** L2 norm of a float-vector column — EXACTLY the self-norm factor of
+    * [[cosineFast]] (same vecDot, same sqrt), split out so self-join
+    * shapes can compute it ONCE per row before the join and spend one
+    * array dot per PAIR instead of three:
+    * `vecDot(a,b) / (na * nb)` with `na = vecNorm(a)` precomputed is
+    * bit-identical to `cosineFast(a, b)` — identical doubles through an
+    * identical expression tree — while pairs grow quadratically with
+    * bucket density and rows don't. Null/malformed vectors propagate
+    * the same way (null dot → null norm → null cosine). */
+  def vecNorm(v: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    sqrt(vecDot(v, v))
+  }
 }
 
 /** Element-wise micro-unit sum of a vector column — the aggregate that

@@ -165,23 +165,35 @@ object Docs {
     * never enters a window — the histogram windows see ≤ distinct score
     * values per lang, the two thresholds per lang broadcast back, and
     * the labeling pass is map-side. */
-  private[graft] def ccnetBucketsDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // The scored frame feeds BOTH the threshold histogram and the probe
-    // side; left unmaterialized, each consumer re-runs the full surprisal
-    // evaluation (2 corpus tokenize passes each — the ReusedExchange only
-    // covers the raw doc spread, the explode/agg work re-runs per
-    // consumer). persist() pins the NARROW derived frame — (doc_id, lang,
-    // mbpt), ~24 B/doc, the guide-§8 "decision pass over small rows"
-    // class, spilling to disk at scale — so surprisal is evaluated ONCE
-    // per execution, which is exactly what the DuckDB twin's MATERIALIZED
-    // `scored` CTE does. Lazy: plan construction stays free; the first
-    // action (the threshold broadcast job) fills the cache.
+  private[graft] def ccnetBucketsDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ccnetBucketsDfWithRelease(docs)._1
+
+  /** d44 body plus its cache-release handle. The scored frame feeds
+    * BOTH the threshold histogram and the probe side; left
+    * unmaterialized, each consumer re-runs the full surprisal
+    * evaluation (2 corpus tokenize passes each — the ReusedExchange only
+    * covers the raw doc spread, the explode/agg work re-runs per
+    * consumer). persist() pins the NARROW derived frame — (doc_id, lang,
+    * mbpt), ~24 B/doc, the guide-§8 "decision pass over small rows"
+    * class, spilling to disk at scale — so surprisal is evaluated ONCE
+    * per execution, which is exactly what the DuckDB twin's MATERIALIZED
+    * `scored` CTE does. Lazy: plan construction stays free; the first
+    * action (the threshold broadcast job) fills the cache.
+    *
+    * Callers that OUTLIVE their terminal action (CurationPipeline — a
+    * bench/verify process exits and Bench clears the cache between
+    * queries) must call release() after the action, or the
+    * corpus-row-count cache entry stays pinned MEMORY_AND_DISK for the
+    * session (ADVICE r16). */
+  private[graft] def ccnetBucketsDfWithRelease(docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, () => Unit) = {
     val sc = ccnetScoredDf(docs).persist()
-    sc.join(broadcast(ccnetThresholdsDf(sc)), Seq("lang"))
+    val out = sc.join(broadcast(ccnetThresholdsDf(sc)), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("milli_bits_per_token"),
         when(col("milli_bits_per_token") <= col("t1"), lit("head"))
           .when(col("milli_bits_per_token") <= col("t2"), lit("middle"))
           .otherwise(lit("tail")).as("ppl_bucket"))
+    (out, () => { sc.unpersist(); () })
   }
 
   /** (doc_id, lang, milli_bits_per_token) under the corpus's own d25
@@ -2925,42 +2937,57 @@ object Docs {
     // bits and round(,4) absorbs the last-ulp libm gap (the d18 log
     // discipline). Ordering ties break on the bigram itself.
     //
-    // Shuffle shape: one doc_id spread, one bigram-keyed aggregation
-    // and one unigram aggregation (both map-side combinable — a
-    // stopword bigram collapses per task); the unigram table joins back
-    // BROADCAST twice (post min-count the scored vocab fits an
-    // executor; AQE self-demotes if not), so the bigram stream never
-    // re-shuffles; the global top-50 is a TakeOrdered, not a sort.
+    // Shuffle shape: one doc_id spread, then ONE boundary-sentinel
+    // (prev, cur) pair aggregation (map-side combinable — a stopword
+    // bigram collapses per task) from which unigram counts, bigram
+    // counts and the token total all derive (see the body comment);
+    // the unigram table joins back BROADCAST twice (post min-count the
+    // scored vocab fits an executor; AQE self-demotes if not), so the
+    // bigram stream never re-shuffles; the global top-50 is a
+    // TakeOrdered, not a sort.
     Q("d31_collocations",
       (s, dir) => {
         val base = t(s, dir, "documents")
           .filter(col("text").isNotNull)
           .repartition(col("doc_id"))
           .select(col("doc_id"), words(col("text")).as("ws"))
-        // The corpus token total n = Σ ct — an unpartitioned window sum
-        // over the vocab-sized unigram aggregate, NOT its own corpus
-        // pass + crossJoin (the previous shape's scalar agg was a third
-        // full token walk and two extra stage waves). The two broadcast
-        // subtrees (ca and cb lookups) still each run the unigram pass,
-        // deliberately UNcheckpointed: broadcast exchanges execute
-        // concurrently, so on non-saturated executors the duplicate
-        // pass overlaps the bigram probe pass — an eager vocab
-        // checkpoint was measured 25% SLOWER end-to-end at sf1 because
-        // it serializes that pass before anything else can start.
-        val uni = base.select(explode(col("ws")).as("t"))
-          .groupBy(col("t")).agg(count(lit(1)).as("ct"))
-        val bi = base
-          .select(col("ws"),
-            explode(when(size(col("ws")) >= 2, sequence(lit(1), size(col("ws")) - 1))).as("i"))
-          .select(element_at(col("ws"), col("i")).as("a"),
-            element_at(col("ws"), col("i") + 1).as("b"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
-          .filter(col("cab") >= 5)
+        // ONE corpus tokenize pass feeds unigrams, bigrams AND the token
+        // total (guide §2.3/§2.4 — the previous shape ran TWO corpus
+        // explode passes: a unigram agg shared by the ca/cb broadcast
+        // subtrees plus a separate bigram agg, because their exchanges
+        // were keyed differently). Each doc emits one boundary-sentinel
+        // adjacency slot per position j∈[0, n]: (prev, cur) =
+        // (ws[j] if j≥1 else NULL, ws[j+1] if j<n else NULL), so
+        //   bigram counts  = slots with both sides non-null (j∈[1,n-1]),
+        //   unigram counts = Σ over cur of the slot counts per prev
+        //     (every occurrence is `prev` of exactly one slot, j∈[1,n]),
+        //   n              = Σ unigram counts (window over the vocab).
+        // The single (a, b) pair aggregation is the only corpus-sized
+        // exchange; the unigram derivations and both broadcast lookups
+        // re-run only the vocab²-sized final agg over that SAME reused
+        // exchange (ReusedExchange in the executed plan). Counts are
+        // identical integers to the two-pass spelling — same ws array,
+        // every slot classified once — so pmi bits don't move. CaseWhen
+        // evaluates lazily: element_at never sees index 0.
+        val slots = base
+          .select(col("ws"), explode(sequence(lit(0), size(col("ws")))).as("j"))
+          .select(
+            when(col("j") >= 1, element_at(col("ws"), col("j"))).as("a"),
+            when(col("j") < size(col("ws")),
+              element_at(col("ws"), col("j") + 1)).as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        val uni = slots.filter(col("a").isNotNull)
+          .groupBy(col("a")).agg(sum(col("c")).as("ct"))
+        val bi = slots
+          .filter(col("a").isNotNull && col("b").isNotNull && col("c") >= 5)
+          .select(col("a"), col("b"), col("c").as("cab"))
+        // n = Σ ct — an unpartitioned window sum over the vocab-sized
+        // unigram aggregate, NOT its own corpus pass + crossJoin.
         val withN = uni.withColumn("n", sum(col("ct")).over(
           org.apache.spark.sql.expressions.Window
             .rowsBetween(Long.MinValue, Long.MaxValue)))
-        bi.join(broadcast(withN.select(col("t").as("a"), col("ct").as("ca"), col("n"))), Seq("a"))
-          .join(broadcast(uni.select(col("t").as("b"), col("ct").as("cb"))), Seq("b"))
+        bi.join(broadcast(withN.select(col("a"), col("ct").as("ca"), col("n"))), Seq("a"))
+          .join(broadcast(uni.select(col("a").as("b"), col("ct").as("cb"))), Seq("b"))
           .withColumn("pmi", round(log(
             (col("cab").cast("double") * col("n").cast("double")) /
               (col("ca").cast("double") * col("cb").cast("double"))), 4))

@@ -344,13 +344,19 @@ object Relational {
         // sum(when(...)) alongside the total; the `heavy` side is a
         // filtered projection of it (nh>0 reproduces the absent groups
         // the filtered agg would drop) and the right join runs over two
-        // histogram-sized frames. The agg is localCheckpoint'ed (the
-        // d12/corpusClean materialize-once pattern) because column
-        // pruning otherwise specializes each consumer's copy into a
-        // DIFFERENT aggregate below the exchange (sum-CASE vs count),
-        // defeating exchange reuse and re-scanning the corpus anyway —
-        // verified in the executed plan. Results identical: missing
-        // heavy groups surface as null → coalesce 0.
+        // histogram-sized frames. The agg is persist()-ed (lazy, the
+        // d44 shared-consumer pattern) because column pruning otherwise
+        // specializes each consumer's copy into a DIFFERENT aggregate
+        // below the exchange (sum-CASE vs count), defeating exchange
+        // reuse and re-scanning the corpus — cache substitution runs on
+        // the ANALYZED plan, before pruning can specialize, so one
+        // InMemoryRelation feeds both join sides. persist, NOT
+        // localCheckpoint: checkpoint ran toRdd at CONSTRUCTION time
+        // (AQE materializes every stage), re-paying the full histogram
+        // on each plan build and pinning a lineage-truncated RDD that
+        // cannot recompute after executor loss at scale (VERDICT r16
+        // #3). Results identical: missing heavy groups surface as
+        // null → coalesce 0.
         // No broadcast hint and no sort hint on the join: part
         // cardinality grows with SF (billions at 100 TB), so the heavy
         // side must be ALLOWED to stay distributed — AQE reads the
@@ -361,7 +367,7 @@ object Relational {
           .groupBy(col("l_partkey"))
           .agg(sum(when(col("l_quantity") >= 40, 1L).otherwise(0L)).as("nh"),
             count(lit(1)).as("n_total"))
-          .localCheckpoint(false)
+          .persist()
         val heavy = agg.filter(col("nh") > 0)
           .select(col("l_partkey"), col("nh").as("n_heavy"))
         val total = agg.select(col("l_partkey"), col("n_total"))

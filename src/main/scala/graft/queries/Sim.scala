@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.functions.ColFns._
-import graft.functions.VectorExprs.cosineFast
+import graft.functions.VectorExprs.{cosineFast, vecDot, vecNorm}
 import graft.queries.Registry.t
 
 /** Similarity search over the `embeddings` table (64-dim float vectors)
@@ -198,17 +198,24 @@ object Sim {
     */
   def knnJoinFast(s: org.apache.spark.sql.SparkSession, dir: String,
       planes: Int, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    // Norms once per ROW, before the self-join: the per-pair hot path
+    // pays ONE array dot instead of three (see [[VectorExprs.vecNorm]] —
+    // bit-identical cosine; pairs grow quadratically with bucket
+    // density, rows don't, and the norm is 8 bytes of shuffle payload).
     val e = t(s, dir, "embeddings")
       .withColumn("bkt",
         graft.functions.PlaneBucketExpr.planeBucketCode(col("embedding"), planes))
+      .withColumn("nrm", vecNorm(col("embedding")))
       .repartition(col("bkt"))
-    val a = e.select(col("bkt"), col("vec_id"), col("embedding"))
-    val b = e.select(col("bkt"), col("vec_id").as("nbr_id"), col("embedding").as("ne"))
+    val a = e.select(col("bkt"), col("vec_id"), col("embedding"), col("nrm"))
+    val b = e.select(col("bkt"), col("vec_id").as("nbr_id"),
+      col("embedding").as("ne"), col("nrm").as("nnrm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("nbr_id").asc)
     a.join(b, Seq("bkt"))
       .filter(col("vec_id") =!= col("nbr_id"))
-      .withColumn("cos_sim", round(cosineFast(col("embedding"), col("ne")), 4))
+      .withColumn("cos_sim",
+        round(vecDot(col("embedding"), col("ne")) / (col("nrm") * col("nnrm")), 4))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("vec_id"), col("nbr_id"), col("cos_sim"), col("rk"))
@@ -236,21 +243,26 @@ object Sim {
     val mask = (1L << planesPerFamily) - 1
     val e = t(s, dir, "embeddings").withColumn("code",
       graft.functions.PlaneBucketExpr.planeBucketCode(col("embedding"), total))
+    // per-row norms before the self-join — see knnJoinFast
     val withFam = e.select(col("vec_id"), col("embedding"),
+      vecNorm(col("embedding")).as("nrm"),
       explode(array((0 until families).map(f =>
         concat_ws(":", lit(f),
           shiftrightunsigned(col("code"), f * planesPerFamily)
             .bitwiseAND(lit(mask)))): _*)).as("fc"))
       .repartition(col("fc"))
-    val a = withFam.select(col("fc"), col("vec_id"), col("embedding"))
-    val b = withFam.select(col("fc"), col("vec_id").as("nbr_id"), col("embedding").as("ne"))
+    val a = withFam.select(col("fc"), col("vec_id"), col("embedding"), col("nrm"))
+    val b = withFam.select(col("fc"), col("vec_id").as("nbr_id"),
+      col("embedding").as("ne"), col("nrm").as("nnrm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("nbr_id").asc)
     a.join(b, Seq("fc"))
       .filter(col("vec_id") =!= col("nbr_id"))
-      .select(col("vec_id"), col("nbr_id"), col("embedding"), col("ne"))
+      .select(col("vec_id"), col("nbr_id"), col("embedding"), col("ne"),
+        col("nrm"), col("nnrm"))
       .dropDuplicates("vec_id", "nbr_id")
-      .withColumn("cos_sim", round(cosineFast(col("embedding"), col("ne")), 4))
+      .withColumn("cos_sim",
+        round(vecDot(col("embedding"), col("ne")) / (col("nrm") * col("nnrm")), 4))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("vec_id"), col("nbr_id"), col("cos_sim"), col("rk"))
@@ -265,15 +277,20 @@ object Sim {
     * (e10's shape) at any scale. */
   def nearDupPairs(s: org.apache.spark.sql.SparkSession, dir: String,
       planes: Int, threshold: Double = 0.2): org.apache.spark.sql.DataFrame = {
+    // per-row norms before the self-join — see knnJoinFast
     val e = t(s, dir, "embeddings")
       .withColumn("bkt",
         graft.functions.PlaneBucketExpr.planeBucketCode(col("embedding"), planes))
+      .withColumn("nrm", vecNorm(col("embedding")))
       .repartition(col("bkt"))
-    val a = e.select(col("bkt"), col("vec_id").as("vec_id_a"), col("embedding").as("ea"))
-    val b = e.select(col("bkt"), col("vec_id").as("vec_id_b"), col("embedding").as("eb"))
+    val a = e.select(col("bkt"), col("vec_id").as("vec_id_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("bkt"), col("vec_id").as("vec_id_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("bkt"))
       .filter(col("vec_id_a") < col("vec_id_b"))
-      .withColumn("cos_sim", round(cosineFast(col("ea"), col("eb")), 4))
+      .withColumn("cos_sim",
+        round(vecDot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
       .filter(col("cos_sim") >= threshold)
       .select(col("vec_id_a"), col("vec_id_b"), col("cos_sim"))
   }
@@ -428,14 +445,20 @@ object Sim {
     // spec-pinned), keeping the per-row probe cost constant as the
     // corpus grows while the drop set converges on true semantic matches
     val bucket = (c: Column) => graft.functions.PlaneBucketExpr.planeBucketCode(c, planes)
+    // per-row norms on BOTH sides before the join: the collision filter
+    // pays one array dot per colliding pair instead of three
+    // (bit-identical — see VectorExprs.vecNorm)
     val refB = broadcast(ref
-      .select(bucket(col("embedding")).as("_rbkt"), col("embedding").as("_re")))
+      .select(bucket(col("embedding")).as("_rbkt"), col("embedding").as("_re"),
+        vecNorm(col("embedding")).as("_rnrm")))
     tgt.withColumn("_bkt", bucket(col("embedding")))
+      .withColumn("_tnrm", vecNorm(col("embedding")))
       .join(refB,
         col("_bkt") === col("_rbkt") &&
-          round(cosineFast(col("embedding"), col("_re")), 4) >= threshold,
+          round(vecDot(col("embedding"), col("_re")) /
+            (col("_tnrm") * col("_rnrm")), 4) >= threshold,
         "left_anti")
-      .drop("_bkt")
+      .drop("_bkt", "_tnrm")
   }
 
   /** Cluster-balanced quota sample (e09's exact body, DataFrame-in so
@@ -522,9 +545,14 @@ object Sim {
     * recall report. */
   private[graft] def exactTopKDf(e: org.apache.spark.sql.DataFrame,
       k: Int): org.apache.spark.sql.DataFrame = {
-    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    // query self-norm once in the broadcast row, not once per scanned
+    // row: 3 array dots/row → 2 (bit-identical — VectorExprs.vecNorm)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), vecNorm(col("embedding")).as("qn"))
     e.filter(col("vec_id") > 0).crossJoin(broadcast(q))
-      .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
+      .withColumn("cos_sim", round(
+        vecDot(col("embedding"), col("qe")) /
+          (vecNorm(col("embedding")) * col("qn")), 4))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
       .select(col("vec_id"), col("cos_sim"))
@@ -537,11 +565,15 @@ object Sim {
       k: Int): org.apache.spark.sql.DataFrame = {
     val b = e.withColumn("bkt",
       graft.functions.PlaneBucketExpr.planeBucketCode(col("embedding")))
+    // query self-norm once in the broadcast row — see exactTopKDf
     val q = b.filter(col("vec_id") === 0)
-      .select(col("bkt").as("qbkt"), col("embedding").as("qe"))
+      .select(col("bkt").as("qbkt"), col("embedding").as("qe"),
+        vecNorm(col("embedding")).as("qn"))
     b.filter(col("vec_id") > 0).crossJoin(broadcast(q))
       .filter(col("bkt") === col("qbkt"))
-      .withColumn("cos_sim", round(cosineFast(col("embedding"), col("qe")), 4))
+      .withColumn("cos_sim", round(
+        vecDot(col("embedding"), col("qe")) /
+          (vecNorm(col("embedding")) * col("qn")), 4))
       .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(k)
       .select(col("vec_id"), col("cos_sim"))
   }
@@ -601,13 +633,17 @@ object Sim {
     semDedupCache.keySet.removeIf(_._1.sparkContext.isStopped)
     semDedupCache.computeIfAbsent(
       (e0.sparkSession, e0.queryExecution.analyzed.canonicalized), _ => {
+        // per-row norms before the self-join — see knnJoinFast
         val e = e0.withColumn("bkt",
           graft.functions.PlaneBucketExpr.planeBucketCode(col("embedding")))
-        val a = e.select(col("bkt"), col("vec_id").as("u"), col("embedding").as("ea"))
-        val b = e.select(col("bkt"), col("vec_id").as("v"), col("embedding").as("eb"))
+          .withColumn("nrm", vecNorm(col("embedding")))
+        val a = e.select(col("bkt"), col("vec_id").as("u"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("bkt"), col("vec_id").as("v"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
         val edges = a.join(b, Seq("bkt"))
           .filter(col("u") < col("v"))
-          .filter(round(cosineFast(col("ea"), col("eb")), 4) >= 0.2)
+          .filter(round(vecDot(col("ea"), col("eb")) / (col("na") * col("nb")), 4) >= 0.2)
           .select(col("u"), col("v"))
         // components() returns a localCheckpoint-backed frame (both the
         // local-fast-path and distributed-loop branches) — cacheable
@@ -1409,13 +1445,19 @@ object Sim {
     // constant (BENCH_NOTES sf10 section).
     Q("e05_embed_neardup",
       (s, dir) => {
+        // per-row norms before the self-join (one array dot per pair
+        // instead of three, bit-identical — see VectorExprs.vecNorm)
         val e = t(s, dir, "embeddings")
           .withColumn("bkt", graft.functions.PlaneBucketExpr.planeBucketCode(col("embedding")))
-        val a = e.select(col("bkt"), col("vec_id").as("vec_id_a"), col("embedding").as("ea"))
-        val b = e.select(col("bkt"), col("vec_id").as("vec_id_b"), col("embedding").as("eb"))
+          .withColumn("nrm", vecNorm(col("embedding")))
+        val a = e.select(col("bkt"), col("vec_id").as("vec_id_a"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("bkt"), col("vec_id").as("vec_id_b"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
         a.join(b, Seq("bkt"))
           .filter(col("vec_id_a") < col("vec_id_b"))
-          .withColumn("cos_sim", round(cosineFast(col("ea"), col("eb")), 4))
+          .withColumn("cos_sim",
+            round(vecDot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
           .filter(col("cos_sim") >= 0.2)
           .select(col("vec_id_a"), col("vec_id_b"), col("cos_sim"))
       },
@@ -1451,16 +1493,20 @@ object Sim {
     // cosine (with nbr_id tiebreak) so ordering is cross-engine stable.
     Q("e06_knn_join",
       (s, dir) => {
+        // per-row norms before the self-join — see knnJoinFast
         val e = t(s, dir, "embeddings")
           .withColumn("bkt", graft.functions.PlaneBucketExpr.planeBucketCode(col("embedding")))
+          .withColumn("nrm", vecNorm(col("embedding")))
           .repartition(col("bkt"))
-        val a = e.select(col("bkt"), col("vec_id"), col("embedding"))
-        val b = e.select(col("bkt"), col("vec_id").as("nbr_id"), col("embedding").as("ne"))
+        val a = e.select(col("bkt"), col("vec_id"), col("embedding"), col("nrm"))
+        val b = e.select(col("bkt"), col("vec_id").as("nbr_id"),
+          col("embedding").as("ne"), col("nrm").as("nnrm"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("nbr_id").asc)
         a.join(b, Seq("bkt"))
           .filter(col("vec_id") =!= col("nbr_id"))
-          .withColumn("cos_sim", round(cosineFast(col("embedding"), col("ne")), 4))
+          .withColumn("cos_sim",
+            round(vecDot(col("embedding"), col("ne")) / (col("nrm") * col("nnrm")), 4))
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= 3)
           .select(col("vec_id"), col("nbr_id"), col("cos_sim"), col("rk"))

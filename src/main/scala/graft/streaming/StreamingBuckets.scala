@@ -156,6 +156,22 @@ object StreamingBuckets {
       thresholds: Array[(String, Long, Long)]): DataFrame =
     graft.queries.Docs.ccnetBucketFilterDf(docs, terms, counts, nTotal, thresholds)
 
+  /** Compile the d44 model snapshot for [[ccnetBucketStream]] with a
+    * MANDATORY term cap: the streaming serving path must never default
+    * to an unbounded driver collect — the count≥2 vocabulary of a
+    * 100 TB corpus can exceed driver memory, and nothing else on this
+    * path would force choosing the cap (VERDICT r16 #5). The cap is a
+    * driver-bounded TakeOrdered; per-occurrence score drift under
+    * pruning is exact and spec-pinned (see
+    * [[graft.queries.Docs.ccnetModelSnapshot]]). The uncapped Docs
+    * entry point remains for BATCH gate-parity tests, which never
+    * serve a stream. */
+  def ccnetModelSnapshot(docs: DataFrame, maxTerms: Int)
+      : (Array[String], Array[Long], Long) = {
+    require(maxTerms > 0, s"ccnetModelSnapshot: maxTerms must be positive, got $maxTerms")
+    graft.queries.Docs.ccnetModelSnapshot(docs, Some(maxTerms))
+  }
+
   /** Streaming twin of d43 cross-source keeper selection, as a filter:
     * a streamed doc signature-identical to a snapshot near-dup cluster
     * is dropped iff the snapshot's elected keeper holds better-or-equal

@@ -27,6 +27,22 @@ class VectorExprsSpec extends SparkSpec {
     assert(both.filter(col("fast") =!= col("fold")).count() === 0)
   }
 
+  test("precomputed vecNorm pair cosine == cosineFast, bit-exact (the self-join hot-path split)") {
+    // the e05/e06/e11/e12/e10/e14 shapes compute vecNorm once per ROW
+    // before the join and divide the pair dot by the norm product —
+    // must be bit-identical to the fused cosineFast (same vecDot, same
+    // sqrt, same multiplication order), else hash gates drift
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"),
+      VectorExprs.vecNorm(col("embedding")).as("na"))
+    val b = e.select((col("vec_id") - 1).as("ida"), col("embedding").as("eb"),
+      VectorExprs.vecNorm(col("embedding")).as("nb"))
+    val both = a.join(b, "ida").select(
+      (VectorExprs.vecDot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("pre"),
+      VectorExprs.cosineFast(col("ea"), col("eb")).as("fused"))
+    assert(both.filter(col("pre") =!= col("fused")).count() === 0)
+  }
+
   test("VecDot rejects non-float-array inputs at analysis") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b") // double arrays

@@ -560,6 +560,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming snapshot entry point REQUIRES a positive term cap (no unbounded driver collect)") {
+    import spark.implicits._
+    val snap = Seq((1L, "en", "the the of and")).toDF("doc_id", "lang", "text")
+    // the streaming serving path must force the cap decision: uncapped
+    // collects of a 100 TB corpus vocabulary exceed driver memory
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingBuckets.ccnetModelSnapshot(snap, 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingBuckets.ccnetModelSnapshot(snap, -5)
+    }
+    val (terms, counts, n) =
+      graft.streaming.StreamingBuckets.ccnetModelSnapshot(snap, 1)
+    assert(terms.length <= 1 && counts.length === terms.length && n === 4L)
+    // delegates to the capped Docs compiler exactly
+    val (dTerms, dCounts, dN) =
+      graft.queries.Docs.ccnetModelSnapshot(snap, Some(1))
+    assert(terms.toSeq === dTerms.toSeq && counts.toSeq === dCounts.toSeq && n === dN)
+  }
+
   test("ccnetModelSnapshot maxTerms cap: bounded collect, exact per-occurrence drift, opaque plan holder") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
