@@ -68,10 +68,53 @@ import org.apache.spark.sql.functions.{count, lit}
   * when they would otherwise flag: the alarm channels stay engine
   * comparisons, and the exclusion is auditable in the artifact.
   *
+  * Warm-up disclosure (`warmup`): after the construct builds, each
+  * query gets ONE untimed noop materialization whose duration is
+  * reported per-query in `warmup` (+ warmup_total/value_with_warmup).
+  * Rationale: the first execution of a generated code path pays one-off
+  * Janino + C2 JIT compilation that decays over ~10 materializations —
+  * measured 5-9 s on the A7 window-percentile path, charged entirely to
+  * whichever query exercises the path FIRST (q12 read 1.7 s min-of-5
+  * while q34, the same subtree benched 22 queries later, read 0.28 s).
+  * min-of-reps is defined above as the steady state a repeated
+  * production query sees; the DuckDB twin's min-of-runs is steady from
+  * run 1 (no JIT), so steady-vs-steady is the matched comparison and
+  * the one-off cost stays auditable in the artifact instead of
+  * arbitrarily inflating one query per code path.
+  *
+  * SQL-cache parity (`cache_reset`): a query whose plan registers a
+  * Spark SQL cache entry (persist() — the engine analogue of a DuckDB
+  * MATERIALIZED CTE) would otherwise serve reps 2+ from memory while
+  * the twin re-materializes on every run. Detected queries (CacheManager
+  * non-empty after the construct builds) get the cache CLEARED and the
+  * frame rebuilt before every timed rep, so each rep pays exactly one
+  * cache fill — the twin's per-run cost — and their names are disclosed
+  * in `cache_reset`. Queries that don't persist keep the original
+  * protocol byte-for-byte. The cache is also cleared between queries so
+  * one query's persist can never serve another's plan.
+  *
   * The JSON line is also written to BENCH_LAST.json: a log-capture
-  * truncation on the driver side can never lose the number.
+  * truncation on the driver side can never lose the number. A second,
+  * COMPACT summary line (totals + ratios + every flag channel, no
+  * per-query maps, <1.5 KB) is printed LAST so a bounded driver-side
+  * tail capture can always parse the headline numbers — all 16 prior
+  * rounds' PERF artifacts carried `parsed: null` because only the tail
+  * of the ~6 KB full line survived the 2000-char capture.
   */
 object Bench {
+  /** Disclosed twin-comparison classes: queries whose DuckDB twin does
+    * NOT do the same work, so their ratio is not an engine comparison —
+    * m03/m04/m05 decode real PNG/WAV/container bytes while the twin
+    * recomputes the generator formula (no codec in the oracle). Kept
+    * OUT of over2x/gap_flagged and routed to `class_flagged` (see the
+    * artifact scaladoc above). Object-level so VerifySpec can assert
+    * every entry still names a registered query — a renamed/dropped
+    * gate must not leave a stale exclusion behind. */
+  val twinClasses: Map[String, String] = Map(
+    "m03_image_phash" -> "decode-vs-formula",
+    "m04_audio_fp" -> "decode-vs-formula",
+    "m05_video_fp_dedup" -> "decode-vs-formula")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -139,6 +182,15 @@ object Bench {
     // grew the trained-index cache; delta = build1 − build2) — reported,
     // never silently dropped
     val train = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // one-off untimed warm materialization per query (JIT/codegen
+    // warm-up; see the rep-loop comment) — reported, never dropped
+    val warmup = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Queries whose plan registers a Spark SQL cache entry (persist()):
+    // their reps re-pay the cache fill (see below) and the set is
+    // disclosed in the artifact — a cached frame must not let rep 2+
+    // serve from memory while the DuckDB twin re-materializes its
+    // MATERIALIZED CTEs on every run (ADVICE r16).
+    val cacheReset = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       try {
         // fn() INSIDE a timer of its own — eager construction-time work
@@ -147,6 +199,11 @@ object Bench {
         // on build 1 serve from cache on build 2; their training delta
         // goes to `train`, not the battery total (see scaladoc).
         System.gc()
+        // per-query cache hygiene: one query's persist() must never be
+        // readable by the next query's plan (q12/q34 share a byte-
+        // identical percentile subplan — with a lingering entry the
+        // second one benched would serve the first one's cache)
+        spark.catalog.clearCache()
         var df: DataFrame = null
         val cacheBefore = graft.queries.Sim.indexCacheSize
         val creps = (1 to 2).map { _ =>
@@ -155,6 +212,32 @@ object Bench {
           (System.nanoTime() - c0) / 1e9
         }
         construct(name) = creps.min
+        // SQL-cache-populating detection (the CacheManager analogue of
+        // the trained-index `train` channel): a query whose plan holds a
+        // persist() serves reps 2+ from memory while its DuckDB twin
+        // re-materializes per run — so for THESE queries each rep
+        // clears the cache and rebuilds the frame, putting the cache
+        // fill back inside every timed rep (exact MATERIALIZED-CTE
+        // parity). Everything else keeps the original protocol
+        // byte-for-byte.
+        val usesSqlCache = GraftShim.sqlCacheNonEmpty(spark)
+        if (usesSqlCache) cacheReset += name
+        // One UNTIMED warm materialization before the timed reps, its
+        // cost disclosed per-query in `warmup` (the train() pattern):
+        // the first execution of a query's generated code pays one-off
+        // Janino + C2 JIT compilation of paths no earlier query
+        // exercised — measured 5-9 s decaying over ~10 materializations
+        // on the A7 window-percentile path, while q34 (the SAME
+        // subtree, benched later) rode the warmed code at 0.28 s. That
+        // asymmetry charges a one-off session cost to whichever query
+        // runs a path first; min-of-reps is meant to measure "the
+        // steady state a repeated production query sees" (above), and
+        // the DuckDB twin's min-of-runs is steady by run 1 (no JIT).
+        // Nothing is hidden: warmup seconds ride the artifact per query
+        // plus warmup_total/value_with_warmup aggregates.
+        val w0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        warmup(name) = math.round((System.nanoTime() - w0) / 1e6) / 1e3
         // EXPLICIT cache-populating detection: build 1 grew a trained-
         // index cache, so build 2's min-of-2 reports serving cost and
         // the training delta is surfaced separately (clamped at 0 —
@@ -166,6 +249,10 @@ object Bench {
         // under-report (a minhash query "benched" in 0.26s that actually
         // costs 1.3s to materialize).
         val times = (1 to execReps).map { r =>
+          if (usesSqlCache) { // re-pay the cache fill inside the rep
+            spark.catalog.clearCache()
+            df = fn(spark, sfDir)
+          }
           if (r == execReps) { // steady-state wave count: final rep only
             GraftShim.waitListenerBus(spark.sparkContext)
             stageCount.set(0)
@@ -236,19 +323,7 @@ object Bench {
         val re = """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r
         re.findAllMatchIn(obj).map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
-    // Disclosed twin-comparison classes: queries whose DuckDB twin does
-    // NOT do the same work, so their ratio is not an engine comparison —
-    // m03/m04/m05 decode real PNG/WAV/container bytes while the twin
-    // recomputes the generator formula (no codec in the oracle). They
-    // are kept OUT of the over2x/gap_flagged alarm channels and instead
-    // reported in `class_flagged` with their class + gap whenever they
-    // would otherwise flag, so the exclusion is auditable, not silent,
-    // and the alarm channels stay real alarms.
-    val twinClasses: Map[String, String] = Map(
-      "m03_image_phash" -> "decode-vs-formula",
-      "m04_audio_fp" -> "decode-vs-formula",
-      "m05_video_fp_dedup" -> "decode-vs-formula")
-    val ratioPart = if (duckTimes.isEmpty) "" else {
+    val (ratioPart, ratioCompact) = if (duckTimes.isEmpty) ("", "") else {
       val ratios = results.collect { case (k, v) if duckTimes.get(k).exists(_ > 0) =>
         k -> math.round(v / duckTimes(k) * 100.0) / 100.0 }
       val sparkTotalOf = results.toMap
@@ -294,7 +369,9 @@ object Bench {
         math.round(exec.values.sum / duckTotal * 100.0) / 100.0 else -1
       val classPart = twinClasses.collect { case (k, c) if ratios.toMap.contains(k) =>
         s"${Verify.jq(k)}:${Verify.jq(c)}" }
-      s""","duck_total":$duckTotal,"ratio_total":${if (duckTotal > 0) math.round(total / duckTotal * 100.0) / 100.0 else -1},"exec_ratio":$execRatio,"ratios":${jmap(ratios.toMap)},"over2x":${over2x.map(Verify.jq).mkString("[", ",", "]")},"gap_flagged":${gapFlagged.mkString("{", ",", "}")},"class_flagged":${classFlagged.mkString("{", ",", "}")},"twin_class":${classPart.mkString("{", ",", "}")},"floor_adjudicated":${floorAdj.mkString("{", ",", "}")}"""
+      val flags = s""""over2x":${over2x.map(Verify.jq).mkString("[", ",", "]")},"gap_flagged":${gapFlagged.mkString("{", ",", "}")},"class_flagged":${classFlagged.mkString("{", ",", "}")},"twin_class":${classPart.mkString("{", ",", "}")},"floor_adjudicated":${floorAdj.mkString("{", ",", "}")}"""
+      val head = s""","duck_total":$duckTotal,"ratio_total":${if (duckTotal > 0) math.round(total / duckTotal * 100.0) / 100.0 else -1},"exec_ratio":$execRatio"""
+      (s"""$head,"ratios":${jmap(ratios.toMap)},$flags""", s"$head,$flags")
     }
     // floor_est: the per-query harness constant the battery pays n times —
     // calibrated IN-RUN as the minimum warm exec across queries (the
@@ -307,12 +384,25 @@ object Bench {
       math.round(exec.values.min * exec.size * 100.0) / 100.0 else 0.0
     val trainTotal = math.round(train.values.sum * 1000.0) / 1000.0
     val totalWithTrain = math.round((total + trainTotal) * 1000.0) / 1000.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","construct_total":${construct.values.sum},"exec_total":${exec.values.sum},"train_total":$trainTotal,"value_with_train":$totalWithTrain,"exec_reps":$execReps,"floor_est":$floorEst,"floor_wave":$floorWave,"queries":$qs,"construct":${jmap(construct)},"exec":${jmap(exec)},"exec_all":$ea,"stages":$ss,"train":${jmap(train)},"rows":$rs,"errors":$errs$ratioPart,"sf":"$sfDir"}"""
+    val warmupTotal = math.round(warmup.values.sum * 1000.0) / 1000.0
+    val totalWithWarmup = math.round((total + warmupTotal) * 1000.0) / 1000.0
+    val cacheResetPart = cacheReset.map(Verify.jq).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","construct_total":${construct.values.sum},"exec_total":${exec.values.sum},"train_total":$trainTotal,"value_with_train":$totalWithTrain,"warmup_total":$warmupTotal,"value_with_warmup":$totalWithWarmup,"exec_reps":$execReps,"floor_est":$floorEst,"floor_wave":$floorWave,"cache_reset":$cacheResetPart,"queries":$qs,"construct":${jmap(construct)},"exec":${jmap(exec)},"exec_all":$ea,"warmup":${jmap(warmup)},"stages":$ss,"train":${jmap(train)},"rows":$rs,"errors":$errs$ratioPart,"sf":"$sfDir"}"""
     println(line)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")),
+      java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] could not write BENCH_LAST.json: $e") }
+    // Compact summary — the LAST stdout line, sized to survive a
+    // driver-side tail capture (~2000 chars) that decapitates the full
+    // ~6 KB line above: totals, ratios and every flag channel, but no
+    // per-query maps (those live in the full line and $outPath). All 16
+    // prior rounds' PERF artifacts carried `parsed: null` because only
+    // the tail of the full line survived; this line is the parseable
+    // record. Keep it under ~1.5 KB: flags are empty on a healthy run.
+    val compactLine = s"""{"metric":"total","value":$total,"unit":"sec","construct_total":${construct.values.sum},"exec_total":${exec.values.sum},"train_total":$trainTotal,"value_with_train":$totalWithTrain,"warmup_total":$warmupTotal,"value_with_warmup":$totalWithWarmup,"exec_reps":$execReps,"floor_est":$floorEst,"floor_wave":$floorWave,"n_queries":${results.size},"n_errors":${errors.size},"cache_reset":$cacheResetPart$ratioCompact,"sf":"$sfDir","compact":true,"full":${Verify.jq(outPath)}}"""
+    println(compactLine)
     spark.stop()
   }
 }

@@ -18,6 +18,13 @@ object GraftShim {
   def waitListenerBus(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
 
+  /** True when the session's CacheManager holds at least one cached
+    * (persisted) plan — lets Bench detect SQL-cache-populating queries
+    * the same way it detects trained-index caches (`sharedState` is
+    * private[sql], hence the shim). */
+  def sqlCacheNonEmpty(spark: SparkSession): Boolean =
+    !spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
   /** Register a SQL function on an ALREADY-BUILT session — extensions
     * (the preferred path) only apply at session build time, but a library
     * can't always own session construction. */

@@ -109,4 +109,33 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"cross near-dup went all-pairs:\n${p.take(800)}")
   }
+
+  test("SQL-cache registrations: exactly the disclosed persist() queries (bench cache_reset protocol)") {
+    // Bench gives cache-registering queries a different rep protocol
+    // (clear + rebuild per rep, disclosed in `cache_reset`) so reps
+    // re-pay the cache fill like the DuckDB twin's MATERIALIZED CTE.
+    // A query that silently GAINS a persist() would bench reps 2+ as
+    // cache hits if this set and Bench's detection ever diverged from
+    // the code — pin the set here so a change is a conscious decision.
+    import org.apache.spark.sql.GraftShim
+    val registering = Registry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      spark.catalog.clearCache()
+      fn(spark, sfDir)
+      if (GraftShim.sqlCacheNonEmpty(spark)) Some(name) else None
+    }
+    spark.catalog.clearCache()
+    assert(registering.toSet == Set("q28_right_join", "d44_ccnet_buckets"),
+      s"persist()-registering battery queries changed: $registering — update Bench's " +
+        "cache_reset disclosure reasoning and this pin together")
+  }
+
+  test("bench twin_class entries name registered queries (the m-gate exclusion stays auditable)") {
+    // over2x is structurally blind to twin-class queries; a stale entry
+    // (renamed/dropped gate) would silently widen the blind spot, and a
+    // future m-gate twin that DOES decode must remove its entry here.
+    Bench.twinClasses.keys.foreach { k =>
+      assert(Registry.queries.contains(k),
+        s"Bench.twinClasses names unregistered query '$k'")
+    }
+  }
 }
