@@ -124,7 +124,7 @@ class PlanGuardSpec extends SparkSpec {
       if (GraftShim.sqlCacheNonEmpty(spark)) Some(name) else None
     }
     spark.catalog.clearCache()
-    assert(registering.toSet == Set("q28_right_join", "d44_ccnet_buckets"),
+    assert(registering.toSet == Set("d44_ccnet_buckets"),
       s"persist()-registering battery queries changed: $registering — update Bench's " +
         "cache_reset disclosure reasoning and this pin together")
   }
